@@ -1,0 +1,42 @@
+"""Radiance-TPU: a TPU-native (JAX/XLA/Pallas) ray tracing framework.
+
+A from-scratch rebuild of the capabilities of the OpenCL "Radiance" framework
+(Vulkan-RT-style API: TLAS/BLAS acceleration structures, SBT shader dispatch,
+TraceRays) as an idiomatic TPU wavefront path tracer.
+
+Public API mirrors the reference's `RD::` namespace (reference:
+/root/reference/radiance/include/radiance.h) while the implementation is
+TPU-first: SoA ray/scene arrays, vectorized two-level BVH traversal under
+`jax.jit`, and device-resident progressive accumulation.
+"""
+
+from radiance_tpu import config
+from radiance_tpu.core import math as rmath
+from radiance_tpu.core import types
+
+__version__ = "0.1.0"
+
+# Re-export the RD-style platform API lazily to keep import light.
+def __getattr__(name):
+    import importlib
+
+    _api_names = {
+        "Platform", "CreateBuffer", "CreateImage", "CreateImageArray",
+        "CreateSampler", "ReadBuffer", "WriteBuffer", "ReadImage",
+        "WriteImage",
+    }
+    _pipeline_names = {
+        "CreateShaderModule", "CreatePipeline", "CreateDescriptorSet",
+        "CreatePipelineLayout", "BindPipeline", "BindDescriptorSet",
+        "TraceRays",
+    }
+    _as_names = {
+        "BuildAccelStruct", "TopAccelStructToFile", "FileToTopAccelStruct",
+    }
+    if name in _api_names:
+        return getattr(importlib.import_module("radiance_tpu.api.platform"), name)
+    if name in _pipeline_names:
+        return getattr(importlib.import_module("radiance_tpu.api.pipeline"), name)
+    if name in _as_names:
+        return getattr(importlib.import_module("radiance_tpu.api.accel"), name)
+    raise AttributeError(f"module 'radiance_tpu' has no attribute {name!r}")
