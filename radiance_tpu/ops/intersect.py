@@ -29,7 +29,12 @@ def intersect_aabb(origin, inv_dir, box_min, box_max, t_clip=None):
     t1 = (box_max - origin) * inv_dir
     t_near = jnp.max(jnp.minimum(t0, t1), axis=-1)
     t_far = jnp.min(jnp.maximum(t0, t1), axis=-1)
-    hit = t_far > jnp.maximum(t_near, 0.0)
+    # The reference tests tFar > max(tNear, 0) strictly (radiance.cl:204),
+    # which rejects zero-thickness boxes -- flat axis-aligned geometry
+    # (walls, quads) produces exactly those, so the reference silently culls
+    # it.  We use the inclusive comparison: the AABB test is only a
+    # conservative cull; the triangle test remains the authority.
+    hit = t_far >= jnp.maximum(t_near, 0.0)
     if t_clip is not None:
         hit = jnp.logical_and(hit, t_near < t_clip)
     return hit
