@@ -1,0 +1,203 @@
+"""Wavefront path-tracing engine: the TPU-native TraceRays dispatch.
+
+Replaces the reference's per-pixel megakernel (reference:
+samples/shader.cl:175-305 raygen, radiance.cpp:242-267 TraceRays dispatch)
+with a fully-jitted wavefront frame function:
+
+  for each sample in batch (lax.fori_loop):
+    generate rays for every pixel (PCG3D-jittered)
+    for each bounce (lax.fori_loop with alive masks):
+      closest-hit traversal over the whole wavefront
+      SBT-dispatched shading (shaders may trace occlusion rays inline)
+      accumulate color / update throughput exactly like shader.cl:233-260
+    running-average into the accumulation image (shader.cl:262-281)
+  tonemap + quantize (shader.cl:283-305)
+
+Everything stays on device across frames: the accumulation buffer and the
+sample counter live in device memory; the host only pulls the u8 image.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from radiance_tpu.api.sbt import ShaderBindingTable
+from radiance_tpu.bvh.device import DeviceScene
+from radiance_tpu.core import math as rmath
+from radiance_tpu.engine.context import Payload, ShadeContext
+from radiance_tpu.ops import tonemap as tonemap_ops
+from radiance_tpu.ops import traversal
+from radiance_tpu.ops.intersect import FLT_MAX
+
+
+def _make_context(scene: DeviceScene, hits: traversal.HitRecord,
+                  origin, direction, pixel_index, frame_id, depth,
+                  resources, debug, trace_occlusion, trace_full):
+    slot = jnp.clip(hits.slot, 0, scene.inst_id.shape[0] - 1)
+    w0 = 1.0 - hits.b1 - hits.b2
+    bary = jnp.stack([w0, hits.b1, hits.b2], axis=-1)
+    # object-space hit point = inv(M) . o + t * inv(M) . d (the traversal
+    # param is invariant under the affine instance map)
+    inv = scene.inst_inv[slot]
+    o_l = rmath.mat4_transform_point(inv, origin)
+    d_l = rmath.mat4_transform_dir(inv, direction)
+    hit_point = o_l + hits.t[:, None] * d_l
+    return ShadeContext(
+        hit=hits.hit,
+        t=hits.t,
+        prim=hits.prim,
+        instance_id=scene.inst_id[slot],
+        custom_id=scene.inst_custom[slot],
+        sbt_offset=scene.inst_sbt[slot],
+        bary=bary,
+        hit_point=hit_point,
+        transform=scene.inst_transform[slot],
+        ray_origin=origin,
+        ray_dir=direction,
+        pixel_index=pixel_index,
+        frame_id=frame_id,
+        depth=depth,
+        resources=resources,
+        debug=debug,
+        trace_occlusion=trace_occlusion,
+        trace_rays=trace_full,
+    )
+
+
+@dataclasses.dataclass
+class WavefrontPathTracer:
+    """A configured raygen program (the TPU analog of a compiled pipeline).
+
+    ray_generator: (resources, pixel_index [N], rand_input [N,3] u32)
+                   -> (origin [N,3], dir [N,3])
+    sbt: ShaderBindingTable with registered shader callables
+    hit_offset/miss_index/shadow_*: the traceRay group indices the raygen
+      uses (the reference hardcodes 1/3 for primary and 2/4 for shadow in
+      shader.cl:235 and :500; samples configure them here)
+    tonemap: float rgb -> float rgb display transform
+    tmin/tmax: traceRay accept window (shader.cl:236)
+    """
+    ray_generator: Callable
+    sbt: ShaderBindingTable
+    tonemap: Callable = tonemap_ops.tonemap_sample1
+    hit_offset: int = 1
+    miss_index: int = 3
+    tmin: float = 0.001
+    tmax: float = 1000.0
+
+    def frame_fn(self, *, batch: int, depth: int, debug: int = 0):
+        """Build the jittable frame function for static (batch, depth, debug).
+
+        Returns fn(scene, resources, accum [N,3] f32, total_samples u32,
+                   pixel_index [N] i32) -> (accum', image_u8 [N,4])
+        matching the reference's per-frame semantics: frameID starts at
+        totalSamples and advances per sample (shader.cl:197-281).
+        """
+        sbt = self.sbt
+        effective_depth = 1 if debug else depth
+
+        def trace_occlusion(scene, origin, direction, tmin, tmax):
+            rec = traversal.trace_rays(scene, origin, direction, tmin, tmax,
+                                       any_hit_terminate=True)
+            return rec.hit
+
+        def one_sample(scene, resources, pixel_index, frame_id, total_samples0):
+            n = pixel_index.shape[0]
+            rand_input = jnp.stack([
+                jnp.broadcast_to(frame_id, (n,)).astype(jnp.uint32),
+                jnp.broadcast_to(total_samples0, (n,)).astype(jnp.uint32),
+                pixel_index.astype(jnp.uint32),
+            ], axis=-1)
+            origin, direction = self.ray_generator(resources, pixel_index, rand_input)
+
+            occl = functools.partial(trace_occlusion, scene)
+            full = functools.partial(traversal.trace_rays, scene)
+
+            def bounce(b, st):
+                color, contribution, alive, o, d = st
+                hits = traversal.trace_rays(scene, o, d, self.tmin, self.tmax)
+                ctx = _make_context(
+                    scene, hits, o, d, pixel_index, frame_id, b,
+                    resources, debug, occl, full)
+                payload = Payload(
+                    color=jnp.zeros((n, 3), jnp.float32),
+                    hit=jnp.zeros(n, bool),
+                    next_factor=jnp.ones((n, 3), jnp.float32),
+                    next_origin=o,
+                    next_dir=d,
+                )
+                payload = sbt.call_hit(self.hit_offset, ctx, payload,
+                                       alive & hits.hit)
+                payload = sbt.call_miss(self.miss_index, ctx, payload,
+                                        alive & (~hits.hit))
+
+                hit = payload.hit
+                # accumulation logic of shader.cl:238-252
+                add = alive & hit
+                color = color + jnp.where(add[:, None],
+                                          contribution * payload.color, 0.0)
+                # first-bounce miss paints the background
+                bg = alive & (~hit) & (b == 0)
+                color = jnp.where(bg[:, None], payload.color, color)
+                contribution = jnp.where(add[:, None],
+                                         contribution * payload.next_factor,
+                                         contribution)
+                alive = alive & hit
+                return (color, contribution, alive,
+                        payload.next_origin, payload.next_dir)
+
+            init = (jnp.zeros((n, 3), jnp.float32),
+                    jnp.ones((n, 3), jnp.float32),
+                    jnp.ones(n, bool), origin, direction)
+            color, *_ = jax.lax.fori_loop(0, effective_depth, bounce, init)
+            return color
+
+        def frame(scene, resources, accum, total_samples, pixel_index):
+            def sample_body(s, acc):
+                frame_id = total_samples + jnp.uint32(s)
+                color = one_sample(scene, resources, pixel_index, frame_id,
+                                   total_samples)
+                # running average (shader.cl:262-279): at frameID f the new
+                # scratch is (f*scratch + color) / (f + 1); frameID 0 resets.
+                f = frame_id.astype(jnp.float32)
+                return (f * acc + color) / (f + 1.0)
+
+            accum = jax.lax.fori_loop(0, batch, sample_body, accum)
+
+            rgb = accum
+            if not debug:
+                rgb = self.tonemap(rgb)
+            image = tonemap_ops.quantize_rgba8(rgb)
+            return accum, image
+
+        return frame
+
+    @functools.lru_cache(maxsize=None)
+    def _jitted(self, batch: int, depth: int, debug: int):
+        return jax.jit(self.frame_fn(batch=batch, depth=depth, debug=debug))
+
+    def render(self, scene: DeviceScene, resources: Dict, accum,
+               total_samples: int, width: int, height: int,
+               *, batch: int, depth: int, debug: int = 0):
+        """Run one frame: returns (accum', image u8 [H, W, 4]).
+
+        The reference host loop updates totalSamples += batchSize between
+        frames (sample1.cpp:479-490); callers own that counter.
+        """
+        n = width * height
+        pixel_index = jnp.arange(n, dtype=jnp.int32)
+        fn = self._jitted(int(batch), int(depth), int(debug))
+        accum, image = fn(scene, resources, accum,
+                          jnp.uint32(total_samples), pixel_index)
+        return accum, image.reshape(height, width, 4)
+
+    def __hash__(self):  # let lru_cache key on object identity
+        return id(self)
+
+    def __eq__(self, other):
+        return self is other
