@@ -1,0 +1,115 @@
+#!/usr/bin/env python
+"""Benchmark: traversal throughput (Mrays/s, primary + bounce + shadow)
+on a 1M-triangle two-level scene at 1080p on the local accelerator.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where
+vs_baseline is value / 100 (the BASELINE.md target of >=100 Mrays/s on a
+single v5e chip).
+
+The scene build is cached under .bench_cache/ via the TLAS serializer
+(the framework's checkpoint subsystem), so only the first run pays the
+SAH build.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+N_TRIS = 1_000_000
+WIDTH, HEIGHT = 1920, 1080
+CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     ".bench_cache", f"cloud_{N_TRIS}.tlas")
+
+
+def build_or_load_scene():
+    from radiance_tpu.api import accel
+    from radiance_tpu.core import types
+
+    if os.path.exists(CACHE):
+        return accel.FileToTopAccelStruct(CACHE).device_scene()
+
+    rng = np.random.default_rng(7)
+    # a diffuse "city" of boxes-ish triangle clusters: spatially coherent,
+    # unlike a pure random soup, so traversal behaves like a real scene
+    n_clusters = 1000
+    per = N_TRIS // n_clusters
+    centers = rng.uniform(-50, 50, size=(n_clusters, 3)).astype(np.float32)
+    verts_all = []
+    for c in centers:
+        local = rng.uniform(-1.5, 1.5, size=(per, 3)).astype(np.float32)
+        offs = rng.normal(scale=0.08, size=(per, 3, 3)).astype(np.float32)
+        verts_all.append((c + local)[:, None, :] + offs)
+    verts = np.concatenate(verts_all).reshape(-1, 3)
+    tris = np.arange(len(verts), dtype=np.uint32).reshape(-1, 3)
+
+    t0 = time.time()
+    blas = accel.BuildBottomAccelStruct(types.Mesh(verts, tris))
+    inst = types.Instance(np.eye(4, dtype=np.float32), 0, 0, blas)
+    tlas = accel.BuildTopAccelStruct([inst])
+    print(f"# built {N_TRIS}-tri BVH in {time.time() - t0:.1f}s "
+          f"({len(blas.nodes)} nodes)", file=sys.stderr)
+    os.makedirs(os.path.dirname(CACHE), exist_ok=True)
+    accel.TopAccelStructToFile(tlas, CACHE)
+    return tlas.device_scene()
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from radiance_tpu.core import math as rmath
+    from radiance_tpu.ops import traversal
+
+    scene = build_or_load_scene()
+    n = WIDTH * HEIGHT
+
+    # camera rays looking into the cloud
+    rng = np.random.default_rng(0)
+    xs = (np.arange(n, dtype=np.int64) % WIDTH) / WIDTH - 0.5
+    ys = (np.arange(n, dtype=np.int64) // WIDTH) / HEIGHT - 0.5
+    o = np.zeros((n, 3), np.float32)
+    o[:, 2] = 140.0
+    d = np.stack([xs * 1.2, ys * 0.7, np.full(n, -1.0)], axis=-1).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    o = jnp.asarray(o)
+    d = jnp.asarray(d)
+    light = jnp.asarray(np.tile([0.26726124, 0.8017837, 0.5345225], (n, 1)).astype(np.float32))
+
+    @jax.jit
+    def wave(o, d):
+        """primary + 1 bounce + 1 shadow: 3 ray waves over all pixels."""
+        h1 = traversal.trace_rays(scene, o, d, 1e-3, 1e4)
+        # bounce: mirror reflection off a fake normal (geometric probe only)
+        hit_p = o + h1.t[:, None] * d
+        nrm = rmath.normalize(o - hit_p, eps=1e-6)  # toward camera
+        d2 = rmath.reflect(-d, nrm)
+        o2 = jnp.where(h1.hit[:, None], hit_p + nrm * 1e-3, o)
+        h2 = traversal.trace_rays(scene, o2, d2, 1e-3, 1e4)
+        occ = traversal.trace_rays(scene, o2, light, 1e-3, 1e4,
+                                   any_hit_terminate=True)
+        return h1.t, h2.t, occ.t
+
+    # warmup / compile
+    r = jax.block_until_ready(wave(o, d))
+    iters = 3
+    t0 = time.time()
+    for _ in range(iters):
+        r = jax.block_until_ready(wave(o, d))
+    dt = (time.time() - t0) / iters
+
+    rays = 3 * n  # three full-wavefront traversals per call
+    mrays = rays / dt / 1e6
+    print(json.dumps({
+        "metric": "traversal_mrays_per_sec_1Mtri_1080p",
+        "value": round(mrays, 3),
+        "unit": "Mrays/s",
+        "vs_baseline": round(mrays / 100.0, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

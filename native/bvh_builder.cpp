@@ -1,0 +1,263 @@
+// Native SAH BVH builder for radiance_tpu.
+//
+// Production-speed implementation of the same build contract as
+// radiance_tpu/bvh/builder.py (which documents the semantics, themselves
+// capability-matching the reference's recursive SAH builder,
+// /root/reference/radiance/src/bvh.cpp:46-285):
+//
+//   * leaf when a work set has < MAX_LEAF_PRIM_SIZE primitives
+//   * binned SAH, bin count 1024/(depth+1), planes at start + i*step (f32)
+//   * splits leaving <= 1 primitive on a side rejected
+//   * no strict cost improvement over the unsplit node => leaf
+//   * partition by centroid < plane, stable in work order
+//   * nodes emitted in DFS preorder (left first), faces in leaf order
+//
+// Every floating-point decision (plane positions, surface areas, costs) is
+// computed in float so the NumPy builder and this one emit identical trees;
+// tests assert bit-equality of the flattened arrays.
+//
+// Exposed as a C ABI for ctypes; no Python headers needed.
+
+#include <algorithm>
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+#include <limits>
+#include <vector>
+
+namespace {
+
+constexpr int kMaxLeafPrimSize = 8;           // bvh.h:9
+constexpr uint32_t kLeafFlag = 0x80000000u;   // bvh.cpp:486
+
+struct Vec3 {
+  float x, y, z;
+};
+
+static inline Vec3 vmin(const Vec3& a, const Vec3& b) {
+  return {std::min(a.x, b.x), std::min(a.y, b.y), std::min(a.z, b.z)};
+}
+static inline Vec3 vmax(const Vec3& a, const Vec3& b) {
+  return {std::max(a.x, b.x), std::max(a.y, b.y), std::max(a.z, b.z)};
+}
+static inline float surface_area(const Vec3& lo, const Vec3& hi) {
+  const float s1 = hi.x - lo.x, s2 = hi.y - lo.y, s3 = hi.z - lo.z;
+  return s1 * s2 + s2 * s3 + s3 * s1;
+}
+
+// matches types.DEVICE_BVH_NODE_DTYPE (48 bytes)
+struct NodeOut {
+  float bottom[3];
+  float pad0;
+  float top[3];
+  float pad1;
+  uint32_t a;  // inner: left child | leaf: count|LEAF_FLAG
+  uint32_t b;  // inner: right child | leaf: startIndexList
+  uint32_t c;  // leaf: type
+  uint32_t d;
+};
+
+struct Builder {
+  const float* bmin;   // [n, 3]
+  const float* bmax;   // [n, 3]
+  std::vector<Vec3> centers;
+  uint32_t leaf_type;
+  std::vector<NodeOut> nodes;
+  std::vector<int64_t> order;
+  int max_depth = 0;
+
+  // scratch reused across nodes
+  std::vector<int64_t> sorted;
+  std::vector<float> keys;
+  std::vector<Vec3> pre_lo, pre_hi, suf_lo, suf_hi;
+
+  Vec3 prim_lo(int64_t i) const { return {bmin[3 * i], bmin[3 * i + 1], bmin[3 * i + 2]}; }
+  Vec3 prim_hi(int64_t i) const { return {bmax[3 * i], bmax[3 * i + 1], bmax[3 * i + 2]}; }
+
+  int64_t emit_leaf(int64_t* idx, int64_t n) {
+    NodeOut node{};
+    Vec3 lo{std::numeric_limits<float>::max(), std::numeric_limits<float>::max(),
+            std::numeric_limits<float>::max()};
+    Vec3 hi{-std::numeric_limits<float>::max(), -std::numeric_limits<float>::max(),
+            -std::numeric_limits<float>::max()};
+    for (int64_t i = 0; i < n; ++i) {
+      lo = vmin(lo, prim_lo(idx[i]));
+      hi = vmax(hi, prim_hi(idx[i]));
+    }
+    node.bottom[0] = lo.x; node.bottom[1] = lo.y; node.bottom[2] = lo.z;
+    node.top[0] = hi.x; node.top[1] = hi.y; node.top[2] = hi.z;
+    node.a = kLeafFlag | static_cast<uint32_t>(n);
+    node.b = static_cast<uint32_t>(order.size());
+    node.c = leaf_type;
+    for (int64_t i = 0; i < n; ++i) order.push_back(idx[i]);
+    nodes.push_back(node);
+    return static_cast<int64_t>(nodes.size()) - 1;
+  }
+
+  // returns true + (axis, plane) when a strictly better split exists
+  bool find_split(int64_t* idx, int64_t n, const Vec3& lo, const Vec3& hi,
+                  int depth, int* best_axis, float* best_plane) {
+    const float min_cost = static_cast<float>(n) * surface_area(lo, hi);
+    float best_cost = min_cost;
+    bool found = false;
+
+    for (int axis = 0; axis < 3; ++axis) {
+      const float start = (&lo.x)[axis];
+      const float stop = (&hi.x)[axis];
+      if (std::fabs(stop - start) < 1e-4f) continue;  // bvh.cpp:116
+
+      const float bins = 1024.0f / static_cast<float>(depth + 1);
+      const float step = (stop - start) / bins;
+      if (!(step > 0.0f)) continue;
+
+      // sort prims by centroid on this axis (stable, matching np stable sort)
+      sorted.assign(idx, idx + n);
+      keys.resize(n);
+      std::stable_sort(sorted.begin(), sorted.end(),
+                       [&](int64_t a, int64_t b) {
+                         return (&centers[a].x)[axis] < (&centers[b].x)[axis];
+                       });
+      for (int64_t i = 0; i < n; ++i) keys[i] = (&centers[sorted[i]].x)[axis];
+
+      pre_lo.resize(n); pre_hi.resize(n); suf_lo.resize(n); suf_hi.resize(n);
+      Vec3 l = prim_lo(sorted[0]), h = prim_hi(sorted[0]);
+      pre_lo[0] = l; pre_hi[0] = h;
+      for (int64_t i = 1; i < n; ++i) {
+        l = vmin(l, prim_lo(sorted[i]));
+        h = vmax(h, prim_hi(sorted[i]));
+        pre_lo[i] = l; pre_hi[i] = h;
+      }
+      l = prim_lo(sorted[n - 1]); h = prim_hi(sorted[n - 1]);
+      suf_lo[n - 1] = l; suf_hi[n - 1] = h;
+      for (int64_t i = n - 2; i >= 0; --i) {
+        l = vmin(l, prim_lo(sorted[i]));
+        h = vmax(h, prim_hi(sorted[i]));
+        suf_lo[i] = l; suf_hi[i] = h;
+      }
+
+      const float limit = stop - step;
+      const int max_i = static_cast<int>(std::ceil(bins)) + 1;
+      float axis_best = std::numeric_limits<float>::infinity();
+      float axis_best_plane = 0.0f;
+      for (int i = 1; i <= max_i; ++i) {
+        const float plane = start + static_cast<float>(i) * step;
+        if (!(plane < limit)) continue;
+        // count of centroids < plane (np.searchsorted side='left')
+        const int64_t k = std::lower_bound(keys.begin(), keys.end(), plane) -
+                          keys.begin();
+        if (k <= 1 || n - k <= 1) continue;  // bvh.cpp:180
+        const float sa_l = surface_area(pre_lo[k - 1], pre_hi[k - 1]);
+        const float sa_r = surface_area(suf_lo[k], suf_hi[k]);
+        const float cost = sa_l * static_cast<float>(k) +
+                           sa_r * static_cast<float>(n - k);
+        if (cost < axis_best) {  // first-minimum-wins in plane order
+          axis_best = cost;
+          axis_best_plane = plane;
+        }
+      }
+      if (axis_best < best_cost) {  // strict, axis-major tie-break
+        best_cost = axis_best;
+        *best_axis = axis;
+        *best_plane = axis_best_plane;
+        found = true;
+      }
+    }
+    return found;
+  }
+
+  int64_t build(int64_t* idx, int64_t n, int depth) {
+    if (depth > max_depth) max_depth = depth;
+    if (n < kMaxLeafPrimSize) return emit_leaf(idx, n);  // bvh.cpp:55
+
+    Vec3 lo{std::numeric_limits<float>::max(), std::numeric_limits<float>::max(),
+            std::numeric_limits<float>::max()};
+    Vec3 hi{-std::numeric_limits<float>::max(), -std::numeric_limits<float>::max(),
+            -std::numeric_limits<float>::max()};
+    for (int64_t i = 0; i < n; ++i) {
+      lo = vmin(lo, prim_lo(idx[i]));
+      hi = vmax(hi, prim_hi(idx[i]));
+    }
+
+    int axis = -1;
+    float plane = 0.0f;
+    if (!find_split(idx, n, lo, hi, depth, &axis, &plane)) {
+      return emit_leaf(idx, n);  // bvh.cpp:212
+    }
+
+    // stable partition: centroid < plane goes left, work order preserved
+    int64_t* mid = std::stable_partition(
+        idx, idx + n,
+        [&](int64_t i) { return (&centers[i].x)[axis] < plane; });
+    const int64_t n_left = mid - idx;
+
+    NodeOut node{};
+    node.bottom[0] = lo.x; node.bottom[1] = lo.y; node.bottom[2] = lo.z;
+    node.top[0] = hi.x; node.top[1] = hi.y; node.top[2] = hi.z;
+    const int64_t me = static_cast<int64_t>(nodes.size());
+    nodes.push_back(node);
+    const int64_t left = build(idx, n_left, depth + 1);
+    const int64_t right = build(mid, n - n_left, depth + 1);
+    nodes[me].a = static_cast<uint32_t>(left);
+    nodes[me].b = static_cast<uint32_t>(right);
+    return me;
+  }
+};
+
+}  // namespace
+
+extern "C" {
+
+// Builds the BVH over n primitive AABBs.
+// bmin/bmax: [n*3] floats.  leaf_type: TYPE_TRIG=2 or TYPE_INST=1.
+// nodes_out: caller buffer of at least (2n+1) NodeOut (48B each).
+// order_out: caller buffer of n int64.
+// Returns node count (>0) or -1 on error; *max_depth_out gets tree depth.
+int64_t rt_build_bvh(const float* bmin, const float* bmax, int64_t n,
+                     uint32_t leaf_type, void* nodes_out, int64_t nodes_cap,
+                     int64_t* order_out, int32_t* max_depth_out) {
+  if (n < 0) return -1;
+  Builder b;
+  b.bmin = bmin;
+  b.bmax = bmax;
+  b.leaf_type = leaf_type;
+  b.centers.resize(n);
+  for (int64_t i = 0; i < n; ++i) {
+    b.centers[i] = {
+        (bmin[3 * i] + bmax[3 * i]) * 0.5f,
+        (bmin[3 * i + 1] + bmax[3 * i + 1]) * 0.5f,
+        (bmin[3 * i + 2] + bmax[3 * i + 2]) * 0.5f,
+    };
+  }
+  b.nodes.reserve(n > 0 ? 2 * n : 1);
+  b.order.reserve(n);
+  std::vector<int64_t> idx(n);
+  for (int64_t i = 0; i < n; ++i) idx[i] = i;
+  b.build(idx.data(), n, 0);
+
+  const int64_t count = static_cast<int64_t>(b.nodes.size());
+  if (count > nodes_cap) return -1;
+  std::memcpy(nodes_out, b.nodes.data(), count * sizeof(NodeOut));
+  std::memcpy(order_out, b.order.data(), b.order.size() * sizeof(int64_t));
+  if (max_depth_out) *max_depth_out = b.max_depth;
+  return count;
+}
+
+// Threaded-escape computation for a flattened tree (device.py contract):
+// rows described by a[i], b[i], kind[i] (0 = inner); writes esc[i].
+void rt_compute_escape(const int32_t* a, const int32_t* bnode,
+                       const int32_t* kind, int32_t* esc, int64_t n,
+                       int64_t root) {
+  std::vector<std::pair<int64_t, int32_t>> stack;
+  stack.emplace_back(root, -1);
+  while (!stack.empty()) {
+    auto [i, e] = stack.back();
+    stack.pop_back();
+    esc[i] = e;
+    if (kind[i] == 0) {
+      stack.emplace_back(bnode[i], e);
+      stack.emplace_back(a[i], bnode[i]);
+    }
+  }
+}
+
+}  // extern "C"

@@ -113,7 +113,10 @@ class _Builder:
             kk = np.clip(k, 1, n - 1)
             sa_l = _surface_area((pre_hi[kk - 1] - pre_lo[kk - 1]).astype(np.float32))
             sa_r = _surface_area((suf_hi[kk] - suf_lo[kk]).astype(np.float32))
-            cost = (sa_l * kk + sa_r * (n - kk)).astype(np.float32)
+            # all-f32 cost arithmetic so the C++ native builder (which uses
+            # float) selects bit-identical planes
+            cost = (sa_l * kk.astype(np.float32)
+                    + sa_r * np.float32(n - kk).astype(np.float32)).astype(np.float32)
             cost = np.where(valid, cost, np.float32(np.inf))
             j = int(np.argmin(cost))
             # strict improvement, first-minimum-wins in axis/plane scan order
@@ -146,17 +149,28 @@ class _Builder:
         return node_id
 
 
-def build_bvh(bmin: np.ndarray, bmax: np.ndarray, leaf_type: int):
+def build_bvh(bmin: np.ndarray, bmax: np.ndarray, leaf_type: int,
+              use_native: bool = True):
     """Build a flattened SAH BVH over primitive AABBs.
 
     Returns (nodes, order, max_depth):
       nodes: structured array of types.DEVICE_BVH_NODE_DTYPE, DFS preorder
       order: int64 array mapping leaf-slot -> original primitive index
       max_depth: reported like the reference (bvh.cpp:519-521)
+
+    Prefers the C++ builder (native/bvh_builder.cpp) which emits the same
+    trees at production speed; set RADIANCE_TPU_NO_NATIVE=1 to force NumPy.
     """
     bmin = np.ascontiguousarray(bmin, np.float32)
     bmax = np.ascontiguousarray(bmax, np.float32)
     n = len(bmin)
+
+    import os
+    if use_native and not os.environ.get("RADIANCE_TPU_NO_NATIVE"):
+        from radiance_tpu.bvh import native
+        result = native.build_bvh(bmin, bmax, leaf_type)
+        if result is not None:
+            return result
     old_limit = sys.getrecursionlimit()
     sys.setrecursionlimit(max(old_limit, 10000))
     try:

@@ -5,22 +5,25 @@ TPU-native redesign of the reference's pointer-chasing byte-blob layout
 buffer with byte offsets, the scene is a pytree of flat arrays:
 
 - one global node array (TLAS nodes first, then every BLAS's nodes with
-  child indices rebased), split into SoA fields for coalesced gathers
+  child indices rebased), split into SoA fields for coalesced gathers,
+  threaded with precomputed escape indices for stackless traversal
 - triangle leaves normalized to <= LEAF_WIDTH primitives and stored as
   pre-dereferenced 8-wide bundles (v0/e1/e2), so a leaf visit is a single
   contiguous gather + one 8-wide vectorized Moller-Trumbore
 - instances as SoA with **precomputed inverse transforms** (the reference
-  inverts the 4x4 per ray per instance-visit in-shader, radiance.cl:164-167;
+  inverts the 4x4 per ray per instance-visit in-shader, radiance.cl:164-169;
   we hoist the inverse to build time)
 
 Constructors exist for both the host-build path (BottomAccelStruct /
 Instance objects) and the serialized-TLAS path (cache files), so
-reference-layout caches render directly.
+reference-layout caches render directly.  All assembly is vectorized
+NumPy -- a 1M-triangle scene assembles in seconds.
 """
 
 from __future__ import annotations
 
-from typing import List, Sequence
+import dataclasses
+from typing import Dict, Sequence
 
 import numpy as np
 import jax.numpy as jnp
@@ -60,92 +63,117 @@ class DeviceScene:
     inst_sbt: jnp.ndarray        # [Ni] i32
     inst_blas_root: jnp.ndarray  # [Ni] i32 absolute node index
 
+    # --- hot-path packed mirrors (single-gather traversal layouts) ---
+    # node_packed[i] = [min.xyz, max.xyz, bitcast(meta), bitcast(esc)] where
+    # meta = a | count << 26 | kind << 30 (a < 2^26, count <= 15, kind < 4)
+    node_packed: jnp.ndarray     # [Nn, 8] f32
+    # bundle_packed[b, j] = [v0.xyz, e1.xyz, e2.xyz, bitcast(prim), 0, 0]
+    bundle_packed: jnp.ndarray   # [Nb, W, 12] f32
 
-def _split_oversized_leaves(nodes_list: List[list], leaf_width: int) -> List[list]:
+META_A_MASK = (1 << 26) - 1
+META_COUNT_SHIFT = 26
+META_KIND_SHIFT = 30
+
+
+@dataclasses.dataclass
+class _Tree:
+    """Mutable decoded tree: parallel arrays (python lists for appends)."""
+    bot: list
+    top: list
+    a: list
+    b: list
+    kind: list
+
+
+def _decode_nodes(nodes: np.ndarray, leaf_kind: int) -> _Tree:
+    """Structured DEVICE_BVH_NODE rows -> parallel arrays (vectorized)."""
+    count_word = nodes["a"].astype(np.int64)
+    is_leaf = (count_word & config.LEAF_FLAG) != 0
+    a = np.where(is_leaf, nodes["b"].astype(np.int64),
+                 count_word)                      # leaf: start | inner: left
+    b = np.where(is_leaf, count_word & config.COUNT_MASK,
+                 nodes["b"].astype(np.int64))     # leaf: count | inner: right
+    kind = np.where(is_leaf, leaf_kind, KIND_INNER)
+    return _Tree(
+        bot=list(np.ascontiguousarray(nodes["bottom"], np.float32)),
+        top=list(np.ascontiguousarray(nodes["top"], np.float32)),
+        a=a.tolist(), b=b.tolist(), kind=kind.tolist())
+
+
+def _split_oversized_leaves(t: _Tree, leaf_width: int) -> None:
     """Split leaves with count > leaf_width into balanced inner subtrees.
 
     The reference's no-SAH-improvement path can emit arbitrarily large
     leaves (bvh.cpp:212-218); the fixed-width bundle kernel needs
-    count <= leaf_width.  Works on a mutable list of
-    [bottom, top, a, b, kind] rows where leaves have kind != KIND_INNER.
+    count <= leaf_width.  Only oversized leaves are touched.
     """
     i = 0
-    while i < len(nodes_list):
-        row = nodes_list[i]
-        if row[4] != KIND_INNER and row[3] > leaf_width:
-            start, count = row[2], row[3]
+    while i < len(t.kind):
+        if t.kind[i] != KIND_INNER and t.b[i] > leaf_width:
+            start, count, kind = t.a[i], t.b[i], t.kind[i]
             half = count // 2
-            left = [row[0], row[1], start, half, row[4]]
-            right = [row[0], row[1], start + half, count - half, row[4]]
-            li = len(nodes_list)
-            nodes_list.append(left)
-            nodes_list.append(right)
-            nodes_list[i] = [row[0], row[1], li, li + 1, KIND_INNER]
+            li = len(t.kind)
+            for s, c in ((start, half), (start + half, count - half)):
+                t.bot.append(t.bot[i]); t.top.append(t.top[i])
+                t.a.append(s); t.b.append(c); t.kind.append(kind)
+            t.a[i], t.b[i], t.kind[i] = li, li + 1, KIND_INNER
         i += 1
-    return nodes_list
 
 
-def _decode_nodes(nodes: np.ndarray, leaf_kind: int):
-    """Structured DEVICE_BVH_NODE rows -> [bottom, top, a, b, kind] list."""
-    out = []
-    for rec in nodes:
-        count_word = int(rec["a"])
-        if count_word & config.LEAF_FLAG:
-            out.append([np.asarray(rec["bottom"]), np.asarray(rec["top"]),
-                        int(rec["b"]), count_word & config.COUNT_MASK, leaf_kind])
-        else:
-            out.append([np.asarray(rec["bottom"]), np.asarray(rec["top"]),
-                        count_word, int(rec["b"]), KIND_INNER])
-    return out
-
-
-def _bundle_triangles(rows, faces, verts3, leaf_width):
-    """Convert tri-leaf rows to bundle references; returns bundle arrays.
-
-    rows: decoded node rows (leaf a = start into faces, b = count).
-    Mutates rows so tri leaves get a = bundle index.
-    """
-    v0s, e1s, e2s, prims = [], [], [], []
-    for row in rows:
-        if row[4] != KIND_TRI_LEAF:
-            continue
-        start, count = row[2], row[3]
-        assert count <= leaf_width
-        v0 = np.zeros((leaf_width, 3), np.float32)
-        e1 = np.zeros((leaf_width, 3), np.float32)
-        e2 = np.zeros((leaf_width, 3), np.float32)
-        pid = np.full(leaf_width, -1, np.int32)
-        for j in range(count):
-            f = faces[start + j]
-            a = verts3[int(f["idx0"])]
-            b = verts3[int(f["idx1"])]
-            c = verts3[int(f["idx2"])]
-            v0[j] = a
-            e1[j] = b - a
-            e2[j] = c - a
-            pid[j] = int(f["primID"])
-        row[2] = len(v0s)  # bundle index
-        v0s.append(v0)
-        e1s.append(e1)
-        e2s.append(e2)
-        prims.append(pid)
-    return v0s, e1s, e2s, prims
-
-
-def _compute_escape(rows, esc: np.ndarray, root: int) -> None:
-    """Thread one tree: esc[left] = right sibling, esc[right] = esc[parent].
-
-    A node's escape is where traversal resumes after its subtree is done or
-    its box is missed; the root escapes to -1 (exit the tree).
-    """
+def _compute_escape_arrays(a: np.ndarray, b: np.ndarray, kind: np.ndarray,
+                           esc: np.ndarray, root: int) -> None:
+    """Thread one tree: esc[left] = right sibling, esc[right] = esc[parent]."""
+    from radiance_tpu.bvh import native
+    if native.compute_escape(a, b, kind, root, esc):
+        return
     stack = [(root, -1)]
     while stack:
         i, e = stack.pop()
         esc[i] = e
-        if rows[i][4] == KIND_INNER:
-            a, b = rows[i][2], rows[i][3]
-            stack.append((b, e))
-            stack.append((a, b))
+        if kind[i] == KIND_INNER:
+            stack.append((b[i], e))
+            stack.append((a[i], b[i]))
+
+
+def _bundle_triangles(t: _Tree, faces: np.ndarray, verts3: np.ndarray,
+                      leaf_width: int, bundle_base: int):
+    """Vectorized: tri-leaf (start,count) -> 8-wide pre-dereferenced bundles.
+
+    Rewrites each tri leaf's `a` to its bundle index (bundle_base-relative).
+    Returns (v0 [L,W,3], e1, e2, prim [L,W]).
+    """
+    kind = np.asarray(t.kind)
+    leaf_ids = np.nonzero(kind == KIND_TRI_LEAF)[0]
+    nl = len(leaf_ids)
+    w = leaf_width
+    if nl == 0:
+        z = np.zeros((0, w, 3), np.float32)
+        return z, z.copy(), z.copy(), np.zeros((0, w), np.int32)
+
+    a = np.asarray(t.a)
+    b = np.asarray(t.b)
+    starts = a[leaf_ids]
+    counts = b[leaf_ids]
+    lane = np.arange(w)
+    slot = starts[:, None] + lane[None, :]            # [L, W]
+    valid = lane[None, :] < counts[:, None]
+    slot = np.clip(slot, 0, max(len(faces) - 1, 0))
+
+    f = faces[slot]                                    # structured gather
+    i0 = f["idx0"].astype(np.int64)
+    i1 = f["idx1"].astype(np.int64)
+    i2 = f["idx2"].astype(np.int64)
+    va = verts3[i0]
+    vb = verts3[i1]
+    vc = verts3[i2]
+    v0 = np.where(valid[..., None], va, 0.0).astype(np.float32)
+    e1 = np.where(valid[..., None], vb - va, 0.0).astype(np.float32)
+    e2 = np.where(valid[..., None], vc - va, 0.0).astype(np.float32)
+    prim = np.where(valid, f["primID"].astype(np.int64), -1).astype(np.int32)
+
+    for j, ni in enumerate(leaf_ids):
+        t.a[ni] = bundle_base + j
+    return v0, e1, e2, prim
 
 
 def build_device_scene(tlas_nodes: np.ndarray,
@@ -158,55 +186,50 @@ def build_device_scene(tlas_nodes: np.ndarray,
     device_instances: DEVICE_INSTANCE_DTYPE array (leaf order)
     blas_by_offset: {byteOffset: (nodes, faces, verts[V,>=3])}
     """
-    # --- TLAS nodes ---
-    tlas_rows = _decode_nodes(tlas_nodes, KIND_INST_LEAF)
-    tlas_rows = _split_oversized_leaves(tlas_rows, leaf_width)
+    tlas = _decode_nodes(tlas_nodes, KIND_INST_LEAF)
+    _split_oversized_leaves(tlas, leaf_width)
 
-    # --- per-BLAS nodes + bundles ---
     all_v0, all_e1, all_e2, all_prim = [], [], [], []
-    blas_rows_by_offset = {}
+    trees = [tlas]
     blas_root_by_offset = {}
-    node_base = len(tlas_rows)
+    node_base = len(tlas.kind)
+    bundle_base = 0
     for off in sorted(blas_by_offset.keys()):
         nodes, faces, verts = blas_by_offset[off]
         verts3 = np.ascontiguousarray(np.asarray(verts, np.float32)[:, :3])
-        rows = _decode_nodes(nodes, KIND_TRI_LEAF)
-        rows = _split_oversized_leaves(rows, leaf_width)
-        v0s, e1s, e2s, prims = _bundle_triangles(rows, faces, verts3, leaf_width)
-        bundle_base = len(all_v0)
-        for row in rows:
-            if row[4] == KIND_TRI_LEAF:
-                row[2] += bundle_base
-            elif row[4] == KIND_INNER:
-                row[2] += node_base
-                row[3] += node_base
-        all_v0 += v0s; all_e1 += e1s; all_e2 += e2s; all_prim += prims
-        blas_rows_by_offset[off] = rows
+        t = _decode_nodes(nodes, KIND_TRI_LEAF)
+        _split_oversized_leaves(t, leaf_width)
+        v0, e1, e2, prim = _bundle_triangles(t, faces, verts3, leaf_width,
+                                             bundle_base)
+        bundle_base += len(v0)
+        # rebase inner children to global node indices
+        kind_arr = np.asarray(t.kind)
+        a_arr = np.asarray(t.a)
+        b_arr = np.asarray(t.b)
+        inner = kind_arr == KIND_INNER
+        a_arr = np.where(inner, a_arr + node_base, a_arr)
+        b_arr = np.where(inner, b_arr + node_base, b_arr)
+        t.a = a_arr.tolist()
+        t.b = b_arr.tolist()
+        all_v0.append(v0); all_e1.append(e1); all_e2.append(e2)
+        all_prim.append(prim)
+        trees.append(t)
         blas_root_by_offset[off] = node_base
-        node_base += len(rows)
+        node_base += len(t.kind)
 
-    # rebase TLAS inner children (TLAS occupies [0, len(tlas_rows)) already)
-    all_rows = list(tlas_rows)
+    node_min = np.concatenate([np.asarray(t.bot, np.float32).reshape(-1, 3)
+                               for t in trees])
+    node_max = np.concatenate([np.asarray(t.top, np.float32).reshape(-1, 3)
+                               for t in trees])
+    node_a = np.concatenate([np.asarray(t.a, np.int64) for t in trees]).astype(np.int32)
+    node_b = np.concatenate([np.asarray(t.b, np.int64) for t in trees]).astype(np.int32)
+    node_kind = np.concatenate([np.asarray(t.kind, np.int32) for t in trees])
+
+    node_esc = np.full(len(node_kind), -1, np.int32)
+    _compute_escape_arrays(node_a, node_b, node_kind, node_esc, 0)
     for off in sorted(blas_by_offset.keys()):
-        all_rows += blas_rows_by_offset[off]
-
-    n = len(all_rows)
-    node_min = np.zeros((n, 3), np.float32)
-    node_max = np.zeros((n, 3), np.float32)
-    node_a = np.zeros(n, np.int32)
-    node_b = np.zeros(n, np.int32)
-    node_kind = np.zeros(n, np.int32)
-    for i, (bot, top, a, b, kind) in enumerate(all_rows):
-        node_min[i] = bot
-        node_max[i] = top
-        node_a[i] = a
-        node_b[i] = b
-        node_kind[i] = kind
-
-    node_esc = np.full(n, -1, np.int32)
-    _compute_escape(all_rows, node_esc, 0)  # TLAS rooted at 0
-    for off in sorted(blas_by_offset.keys()):
-        _compute_escape(all_rows, node_esc, blas_root_by_offset[off])
+        _compute_escape_arrays(node_a, node_b, node_kind, node_esc,
+                               blas_root_by_offset[off])
 
     # --- instances ---
     ni = len(device_instances)
@@ -214,16 +237,41 @@ def build_device_scene(tlas_nodes: np.ndarray,
     if ni:
         inv = np.linalg.inv(tf.astype(np.float64)).astype(np.float32)
         blas_root = np.array(
-            [blas_root_by_offset[int(r["bottomAccelStructOffset"])] for r in device_instances],
-            np.int32)
+            [blas_root_by_offset[int(r["bottomAccelStructOffset"])]
+             for r in device_instances], np.int32)
     else:
         inv = np.zeros((0, 4, 4), np.float32)
         blas_root = np.zeros(0, np.int32)
 
     w = leaf_width
 
-    def stack_or_empty(lst, shape):
-        return np.stack(lst) if lst else np.zeros((1,) + shape, np.float32)
+    def cat_or_empty(lst, shape, dtype=np.float32, fill=0):
+        out = ([x for x in lst if len(x)] or
+               [np.full((1,) + shape, fill, dtype)])
+        return np.concatenate(out).astype(dtype)
+
+    v0_np = cat_or_empty(all_v0, (w, 3))
+    e1_np = cat_or_empty(all_e1, (w, 3))
+    e2_np = cat_or_empty(all_e2, (w, 3))
+    prim_np = cat_or_empty(all_prim, (w,), np.int32, -1)
+
+    # hot-path packs (see DeviceScene docstring)
+    assert int(node_a.max(initial=0)) < (1 << 26), "node/bundle index overflow"
+    meta = (node_a.astype(np.uint32) & META_A_MASK) \
+        | (np.where(node_kind != KIND_INNER, node_b, 0).astype(np.uint32)
+           << META_COUNT_SHIFT) \
+        | (node_kind.astype(np.uint32) << META_KIND_SHIFT)
+    node_packed = np.zeros((len(node_kind), 8), np.float32)
+    node_packed[:, 0:3] = node_min
+    node_packed[:, 3:6] = node_max
+    node_packed[:, 6] = meta.view(np.float32)
+    node_packed[:, 7] = node_esc.astype(np.int32).view(np.float32)
+
+    bundle_packed = np.zeros((len(prim_np), w, 12), np.float32)
+    bundle_packed[:, :, 0:3] = v0_np
+    bundle_packed[:, :, 3:6] = e1_np
+    bundle_packed[:, :, 6:9] = e2_np
+    bundle_packed[:, :, 9] = prim_np.astype(np.int32).view(np.float32)
 
     return DeviceScene(
         node_min=jnp.asarray(node_min),
@@ -232,11 +280,12 @@ def build_device_scene(tlas_nodes: np.ndarray,
         node_b=jnp.asarray(node_b),
         node_kind=jnp.asarray(node_kind),
         node_esc=jnp.asarray(node_esc),
-        bundle_v0=jnp.asarray(stack_or_empty(all_v0, (w, 3))),
-        bundle_e1=jnp.asarray(stack_or_empty(all_e1, (w, 3))),
-        bundle_e2=jnp.asarray(stack_or_empty(all_e2, (w, 3))),
-        bundle_prim=jnp.asarray(
-            np.stack(all_prim) if all_prim else np.full((1, w), -1, np.int32)),
+        bundle_v0=jnp.asarray(v0_np),
+        bundle_e1=jnp.asarray(e1_np),
+        bundle_e2=jnp.asarray(e2_np),
+        bundle_prim=jnp.asarray(prim_np),
+        node_packed=jnp.asarray(node_packed),
+        bundle_packed=jnp.asarray(bundle_packed),
         inst_transform=jnp.asarray(tf),
         inst_inv=jnp.asarray(inv),
         inst_id=jnp.asarray(device_instances["instanceID"].astype(np.int32)),

@@ -157,17 +157,27 @@ class WavefrontPathTracer:
             color, *_ = jax.lax.fori_loop(0, effective_depth, bounce, init)
             return color
 
-        def frame(scene, resources, accum, total_samples, pixel_index):
+        def sample_sum(scene, resources, pixel_index, first_frame_id,
+                       total_samples0):
+            """Sum of sample colors for frame ids [first, first + batch)."""
             def sample_body(s, acc):
-                frame_id = total_samples + jnp.uint32(s)
-                color = one_sample(scene, resources, pixel_index, frame_id,
-                                   total_samples)
-                # running average (shader.cl:262-279): at frameID f the new
-                # scratch is (f*scratch + color) / (f + 1); frameID 0 resets.
-                f = frame_id.astype(jnp.float32)
-                return (f * acc + color) / (f + 1.0)
+                frame_id = first_frame_id + jnp.uint32(s)
+                return acc + one_sample(scene, resources, pixel_index,
+                                        frame_id, total_samples0)
+            n = pixel_index.shape[0]
+            return jax.lax.fori_loop(
+                0, batch, sample_body, jnp.zeros((n, 3), jnp.float32))
 
-            accum = jax.lax.fori_loop(0, batch, sample_body, accum)
+        def frame(scene, resources, accum, total_samples, pixel_index):
+            colors = sample_sum(scene, resources, pixel_index,
+                                total_samples, total_samples)
+            # running average over sample ids (shader.cl:262-279): with
+            # frameID starting at totalSamples, the batched form of the
+            # reference's per-sample (f*scratch + c) / (f+1) update is
+            # (totalSamples*scratch + sum(c)) / (totalSamples + batch);
+            # totalSamples == 0 resets the scratch.
+            f = total_samples.astype(jnp.float32)
+            accum = (f * accum + colors) / (f + jnp.float32(batch))
 
             rgb = accum
             if not debug:
@@ -175,6 +185,7 @@ class WavefrontPathTracer:
             image = tonemap_ops.quantize_rgba8(rgb)
             return accum, image
 
+        frame.sample_sum = sample_sum
         return frame
 
     @functools.lru_cache(maxsize=None)

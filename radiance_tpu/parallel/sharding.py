@@ -1,0 +1,109 @@
+"""Multi-chip scaling: pixel-tile data parallelism over a device mesh.
+
+The reference is strictly single-device (SURVEY.md §2.2); this is the
+TPU-native scale-out the rebuild adds: rays are embarrassingly parallel,
+so the natural mapping is sharding the pixel wavefront across chips with
+`shard_map` -- the scene is replicated, each chip traverses and shades its
+own pixel rows with zero communication, and only image assembly touches
+ICI (an all-gather XLA inserts at the output).
+
+Two modes:
+  * pixel sharding (`shard_frame`): identical results to single-chip,
+    throughput scales with chips
+  * sample parallelism (`sample_parallel_frame`): every chip renders the
+    full image with a different sample-seed offset; a `pmean` over the
+    mesh merges them -- linear convergence-rate scaling for progressive
+    rendering
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Dict
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from radiance_tpu.bvh.device import DeviceScene
+from radiance_tpu.engine.pathtracer import WavefrontPathTracer
+
+
+def make_mesh(n_devices: int = None, axis: str = "px") -> Mesh:
+    devices = jax.devices()
+    n = n_devices or len(devices)
+    return Mesh(jax.experimental.mesh_utils.create_device_mesh(
+        (n,), devices[:n]), (axis,))
+
+
+def shard_frame(tracer: WavefrontPathTracer, mesh: Mesh, *,
+                batch: int, depth: int, debug: int = 0,
+                axis: str = "px") -> Callable:
+    """Pixel-sharded frame: accum/pixel_index split across the mesh,
+    scene + resources replicated.  Returns
+    fn(scene, resources, accum [N,3], total_samples, pixel_index [N])
+      -> (accum', image_u8 [N,4])  with N divisible by mesh size.
+    """
+    frame = tracer.frame_fn(batch=batch, depth=depth, debug=debug)
+
+    sharded = shard_map(
+        frame, mesh=mesh,
+        in_specs=(P(), P(), P(axis), P(), P(axis)),
+        out_specs=(P(axis), P(axis)),
+        check_rep=False)
+    return jax.jit(sharded)
+
+
+def sample_parallel_frame(tracer: WavefrontPathTracer, mesh: Mesh, *,
+                          batch: int, depth: int, debug: int = 0,
+                          axis: str = "px") -> Callable:
+    """Sample-parallel frame: every device renders all pixels with its own
+    slice of the sample sequence; results are averaged over the mesh.
+
+    With D devices and per-device batch B, one call advances the running
+    average by D*B samples; callers advance totalSamples by D*B.
+    """
+    n_dev = mesh.shape[axis]
+    frame = tracer.frame_fn(batch=batch, depth=depth, debug=debug)
+
+    def local(scene, resources, accum, total_samples, pixel_index):
+        d = jax.lax.axis_index(axis).astype(jnp.uint32)
+        # device d consumes sample ids [ts + d*B, ts + (d+1)*B)
+        local_ts = total_samples + d * jnp.uint32(batch)
+        local_sum = frame.sample_sum(scene, resources, pixel_index,
+                                     local_ts, total_samples)
+        total_sum = jax.lax.psum(local_sum, axis)
+        # merge with the running average: old weight ts, new weight D*B
+        ts_f = total_samples.astype(jnp.float32)
+        w_new = jnp.float32(n_dev * batch)
+        merged = (accum * ts_f + total_sum) / (ts_f + w_new)
+        from radiance_tpu.ops import tonemap as tonemap_ops
+        rgb = merged if debug else tracer.tonemap(merged)
+        return merged, tonemap_ops.quantize_rgba8(rgb)
+
+    sharded = shard_map(
+        local, mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P()),
+        out_specs=(P(), P()),
+        check_rep=False)
+    return jax.jit(sharded)
+
+
+def render_sharded(tracer: WavefrontPathTracer, mesh: Mesh,
+                   scene: DeviceScene, resources: Dict, accum,
+                   total_samples: int, width: int, height: int, *,
+                   batch: int, depth: int, debug: int = 0):
+    """Convenience wrapper: pads the pixel wavefront to the mesh size,
+    renders pixel-sharded, and reshapes the image."""
+    n = width * height
+    n_dev = mesh.shape[list(mesh.shape.keys())[0]]
+    pad = (-n) % n_dev
+    pixel_index = jnp.arange(n + pad, dtype=jnp.int32)
+    if pad:
+        accum = jnp.concatenate(
+            [accum, jnp.zeros((pad, 3), jnp.float32)], axis=0)
+    fn = shard_frame(tracer, mesh, batch=batch, depth=depth, debug=debug)
+    accum2, image = fn(scene, resources, accum,
+                       jnp.uint32(total_samples), pixel_index)
+    return accum2[:n], image[:n].reshape(height, width, 4)

@@ -1,4 +1,8 @@
-"""Test config: force CPU with a virtual 8-device mesh for sharding tests."""
+"""Test config: force CPU with a virtual 8-device mesh for sharding tests.
+
+Note: this environment's JAX build (axon TPU plugin) ignores the
+JAX_PLATFORMS env var; jax.config.update is required.
+"""
 
 import os
 
@@ -9,3 +13,7 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
