@@ -43,6 +43,8 @@ class TopAccelStruct:
     nodes: np.ndarray               # DEVICE_BVH_NODE_DTYPE
     instances: np.ndarray           # DEVICE_INSTANCE_DTYPE (leaf order)
     blas_offsets: list              # [(offset, BottomAccelStruct)]
+    source_instances: Optional[list] = None  # RD Instance list (refit path)
+    tlas_capacity: int = 0
     _device: Optional[device.DeviceScene] = None
 
     def device_scene(self) -> device.DeviceScene:
@@ -51,8 +53,54 @@ class TopAccelStruct:
                 off: (b.nodes, b.faces, b.vertices) for off, b in self.blas_offsets
             }
             self._device = device.build_device_scene(
-                self.nodes, self.instances, blas_by_offset)
+                self.nodes, self.instances, blas_by_offset,
+                tlas_capacity=self.tlas_capacity)
         return self._device
+
+    def refit(self, new_transforms) -> device.DeviceScene:
+        """Animated-transform path: rebuild the (small) TLAS over the
+        existing BLASes and update only the TLAS block + instance arrays
+        of the device scene in place -- the reference has no refit; it
+        rebuilds and re-uploads the whole TLAS buffer.
+
+        new_transforms: [I, 4, 4] row-major, in *creation order* (the
+        order the instances were passed to BuildTopAccelStruct).
+        Requires the TLAS to have been built via BuildTopAccelStruct
+        (source_instances retained) and device_scene() materialized with
+        a capacity (set automatically).
+        """
+        from radiance_tpu.bvh import builder
+
+        assert self.source_instances is not None, "refit needs source instances"
+        scene = self.device_scene()
+        for inst, tf in zip(self.source_instances, new_transforms):
+            inst.transform = np.ascontiguousarray(tf, np.float32)
+        nodes, dev_inst, blas_offsets, _ = builder.build_tlas_arrays(
+            self.source_instances)
+        # BLAS offsets must be unchanged (same instance order => same
+        # first-seen assignment), so the device BLAS blocks stay valid
+        assert [off for off, _ in blas_offsets] == \
+               [off for off, _ in self.blas_offsets]
+        blas_root_by_offset = {}
+        node_base = self.tlas_capacity
+        for off, b in self.blas_offsets:
+            blas_root_by_offset[off] = node_base
+            node_base += self._blas_row_count(b)
+        self.nodes = nodes
+        self.instances = dev_inst
+        self.blob = serialize.serialize_tlas(nodes, dev_inst, self.blas_offsets)
+        self._device = device.update_tlas(
+            scene, nodes, dev_inst, blas_root_by_offset, self.tlas_capacity)
+        return self._device
+
+    def _blas_row_count(self, blas) -> int:
+        """Post-split row count of a BLAS block (must mirror
+        device.build_device_scene's leaf normalization)."""
+        if not hasattr(blas, "_row_count"):
+            t = device._decode_nodes(blas.nodes, device.KIND_TRI_LEAF)
+            device._split_oversized_leaves(t, 8)
+            blas._row_count = len(t.kind)
+        return blas._row_count
 
 
 def BuildTopAccelStruct(instances: Sequence[types.Instance],
@@ -65,7 +113,9 @@ def BuildTopAccelStruct(instances: Sequence[types.Instance],
         print(f"TLAS build: {len(instances)} instances, {len(nodes)} nodes, "
               f"depth {max_depth}, {time.time() - t0:.3f}s")
     return TopAccelStruct(blob=blob, nodes=nodes, instances=dev_inst,
-                          blas_offsets=blas_offsets)
+                          blas_offsets=blas_offsets,
+                          source_instances=list(instances),
+                          tlas_capacity=device.tlas_capacity_for(len(instances)))
 
 
 def BuildAccelStruct(arg, verbose: bool = False):

@@ -176,18 +176,118 @@ def _bundle_triangles(t: _Tree, faces: np.ndarray, verts3: np.ndarray,
     return v0, e1, e2, prim
 
 
+def _prepare_tlas_block(tlas_nodes: np.ndarray, leaf_width: int,
+                        capacity: int):
+    """Decode + split + thread the TLAS into a fixed-size packed block.
+
+    The TLAS block is self-contained (its nodes never reference BLAS node
+    indices; instance leaves reference instance slots), so padding it to a
+    fixed capacity lets animated scenes refit per frame by rewriting only
+    node_packed[:capacity] + the instance arrays.
+    Returns (packed [capacity, 8] f32, n_rows).
+    """
+    t = _decode_nodes(tlas_nodes, KIND_INST_LEAF)
+    _split_oversized_leaves(t, leaf_width)
+    n = len(t.kind)
+    if n > capacity:
+        raise ValueError(f"TLAS block needs {n} rows > capacity {capacity}")
+    a = np.asarray(t.a, np.int64)
+    b = np.asarray(t.b, np.int64)
+    kind = np.asarray(t.kind, np.int32)
+    esc = np.full(n, -1, np.int32)
+    _compute_escape_arrays(a.astype(np.int32), b.astype(np.int32), kind,
+                           esc, 0)
+    packed = np.zeros((capacity, 8), np.float32)
+    packed[:n, 0:3] = np.asarray(t.bot, np.float32).reshape(-1, 3)
+    packed[:n, 3:6] = np.asarray(t.top, np.float32).reshape(-1, 3)
+    meta = (a.astype(np.uint32) & META_A_MASK) \
+        | (np.where(kind != KIND_INNER, b, 0).astype(np.uint32)
+           << META_COUNT_SHIFT) \
+        | (kind.astype(np.uint32) << META_KIND_SHIFT)
+    packed[:n, 6] = meta.view(np.float32)
+    packed[:n, 7] = esc.view(np.float32)
+    # padding rows: unreachable inert inner nodes with empty boxes
+    if n < capacity:
+        packed[n:, 0:3] = np.float32(np.finfo(np.float32).max)
+        packed[n:, 3:6] = -np.float32(np.finfo(np.float32).max)
+        packed[n:, 7] = np.full(capacity - n, -1, np.int32).view(np.float32)
+    return packed, n
+
+
+def _instance_arrays(device_instances: np.ndarray, blas_root_by_offset: dict):
+    ni = len(device_instances)
+    tf = np.ascontiguousarray(device_instances["transform"], np.float32)
+    if ni:
+        inv = np.linalg.inv(tf.astype(np.float64)).astype(np.float32)
+        blas_root = np.array(
+            [blas_root_by_offset[int(r["bottomAccelStructOffset"])]
+             for r in device_instances], np.int32)
+    else:
+        inv = np.zeros((0, 4, 4), np.float32)
+        blas_root = np.zeros(0, np.int32)
+    return tf, inv, blas_root
+
+
+def tlas_capacity_for(n_instances: int) -> int:
+    """Worst-case padded TLAS rows: raw nodes (<= 2I-1) + oversized-leaf
+    splits (< 2I) + root slack."""
+    return 4 * max(n_instances, 1) + 8
+
+
+def update_tlas(scene: DeviceScene,
+                tlas_nodes: np.ndarray,
+                device_instances: np.ndarray,
+                blas_root_by_offset: dict,
+                capacity: int,
+                leaf_width: int = config.LEAF_WIDTH) -> DeviceScene:
+    """Animated-transform refit: rebuild only the TLAS block + instances.
+
+    The BLAS node rows, bundles, and their escape threading are untouched
+    (they live at indices >= capacity); per-frame upload is
+    capacity * 32 B + the instance arrays.
+    """
+    packed, _ = _prepare_tlas_block(tlas_nodes, leaf_width, capacity)
+    tf, inv, blas_root = _instance_arrays(device_instances,
+                                          blas_root_by_offset)
+    return scene.replace(
+        node_packed=scene.node_packed.at[:capacity].set(jnp.asarray(packed)),
+        node_min=scene.node_min.at[:capacity].set(jnp.asarray(packed[:, 0:3])),
+        node_max=scene.node_max.at[:capacity].set(jnp.asarray(packed[:, 3:6])),
+        inst_transform=jnp.asarray(tf),
+        inst_inv=jnp.asarray(inv),
+        inst_id=jnp.asarray(device_instances["instanceID"].astype(np.int32)),
+        inst_custom=jnp.asarray(
+            device_instances["customInstanceID"].astype(np.int32)),
+        inst_sbt=jnp.asarray(device_instances["SBTOffset"].astype(np.int32)),
+        inst_blas_root=jnp.asarray(blas_root),
+    )
+
+
 def build_device_scene(tlas_nodes: np.ndarray,
                        device_instances: np.ndarray,
                        blas_by_offset: dict,
-                       leaf_width: int = config.LEAF_WIDTH) -> DeviceScene:
+                       leaf_width: int = config.LEAF_WIDTH,
+                       tlas_capacity: int = 0) -> DeviceScene:
     """Assemble the DeviceScene from parsed/built host arrays.
 
     tlas_nodes: DEVICE_BVH_NODE_DTYPE array
     device_instances: DEVICE_INSTANCE_DTYPE array (leaf order)
     blas_by_offset: {byteOffset: (nodes, faces, verts[V,>=3])}
+    tlas_capacity: pad the TLAS block to this many rows (enables
+      update_tlas refits); 0 = exact size.
     """
     tlas = _decode_nodes(tlas_nodes, KIND_INST_LEAF)
     _split_oversized_leaves(tlas, leaf_width)
+    if tlas_capacity:
+        if len(tlas.kind) > tlas_capacity:
+            raise ValueError("tlas_capacity too small")
+        while len(tlas.kind) < tlas_capacity:
+            big = np.float32(np.finfo(np.float32).max)
+            tlas.bot.append(np.full(3, big, np.float32))
+            tlas.top.append(np.full(3, -big, np.float32))
+            tlas.a.append(0)
+            tlas.b.append(0)
+            tlas.kind.append(KIND_INNER)
 
     all_v0, all_e1, all_e2, all_prim = [], [], [], []
     trees = [tlas]

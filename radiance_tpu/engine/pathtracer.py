@@ -192,6 +192,11 @@ class WavefrontPathTracer:
     def _jitted(self, batch: int, depth: int, debug: int):
         return jax.jit(self.frame_fn(batch=batch, depth=depth, debug=debug))
 
+    # Max samples executed per device dispatch: keeps single device
+    # programs bounded (very long dispatches can trip runtime watchdogs),
+    # with no semantic difference -- the running average composes exactly.
+    max_batch_per_dispatch: int = 8
+
     def render(self, scene: DeviceScene, resources: Dict, accum,
                total_samples: int, width: int, height: int,
                *, batch: int, depth: int, debug: int = 0):
@@ -202,9 +207,16 @@ class WavefrontPathTracer:
         """
         n = width * height
         pixel_index = jnp.arange(n, dtype=jnp.int32)
-        fn = self._jitted(int(batch), int(depth), int(debug))
-        accum, image = fn(scene, resources, accum,
-                          jnp.uint32(total_samples), pixel_index)
+        remaining = int(batch)
+        ts = int(total_samples)
+        image = None
+        while remaining > 0:
+            sub = min(remaining, self.max_batch_per_dispatch)
+            fn = self._jitted(sub, int(depth), int(debug))
+            accum, image = fn(scene, resources, accum,
+                              jnp.uint32(ts), pixel_index)
+            ts += sub
+            remaining -= sub
         return accum, image.reshape(height, width, 4)
 
     def __hash__(self):  # let lru_cache key on object identity

@@ -35,6 +35,8 @@ def main():
     ap.add_argument("--debug", type=int, default=0)
     ap.add_argument("--glb", type=str, default=None)
     ap.add_argument("--out", type=str, default=None)
+    ap.add_argument("--interactive", action="store_true",
+                    help="progressive viewer loop (renderLoop analog)")
     args = ap.parse_args()
 
     plt = platform.Platform.GetPlatform()
@@ -109,20 +111,34 @@ def main():
     pipeline.BindDescriptorSet(plt, desc)
 
     # --- progressive render loop (sample1.cpp:441-490) ---
-    for frame in range(args.frames):
-        t0 = time.time()
+    def render_frame(_data):
+        """The render() callback (sample1.cpp:455-490): trace, read the
+        image, advance totalSamples on the host."""
         pipeline.TraceRays(plt, 0, 0, 0, args.width, args.height)
         img = platform.ReadBuffer(plt, rd_image, rd_image.size).reshape(
             args.height, args.width, 4)
-        dt = time.time() - t0
-        # host advances totalSamples (sample1.cpp:479-490)
         rt = np.frombuffer(platform.ReadBuffer(plt, rd_rtprop, 16),
                            dtype=types.RAY_TRACE_PROPERTIES_DTYPE).copy()
         rt["totalSamples"] += rt["batchSize"]
         platform.WriteBuffer(plt, rd_rtprop, 16, rt)
+        return img
+
+    if args.interactive:
+        from radiance_tpu.tools import viewer
+        out = args.out or "sample1_progressive.png"
+        viewer.render_loop(render_frame, None, frames=args.frames or 0,
+                           out_path=out)
+        return
+
+    for frame in range(args.frames):
+        t0 = time.time()
+        img = render_frame(None)
+        dt = time.time() - t0
+        rt = np.frombuffer(platform.ReadBuffer(plt, rd_rtprop, 16),
+                           dtype=types.RAY_TRACE_PROPERTIES_DTYPE)
         rays = args.width * args.height * args.batch * args.depth
         print(f"frame {frame}: {dt:.3f}s  (~{rays / dt / 1e6:.2f} Mrays/s upper bound), "
-              f"totalSamples={int(rt['totalSamples'])}")
+              f"totalSamples={int(rt['totalSamples'][0])}")
 
     out = args.out or image_io.timestamped_path("sample1", "png")
     image_io.write_image(out, img)
