@@ -14,6 +14,7 @@ from typing import List, Optional, Sequence
 
 import numpy as np
 
+from radiance_tpu import config
 from radiance_tpu.bvh import builder, device, serialize
 from radiance_tpu.core import types
 
@@ -46,6 +47,7 @@ class TopAccelStruct:
     source_instances: Optional[list] = None  # RD Instance list (refit path)
     tlas_capacity: int = 0
     _device: Optional[device.DeviceScene] = None
+    _device_blas_order: Optional[list] = None  # BLAS objs in device layout order
 
     def device_scene(self) -> device.DeviceScene:
         if self._device is None:
@@ -75,32 +77,44 @@ class TopAccelStruct:
         scene = self.device_scene()
         for inst, tf in zip(self.source_instances, new_transforms):
             inst.transform = np.ascontiguousarray(tf, np.float32)
-        nodes, dev_inst, blas_offsets, _ = builder.build_tlas_arrays(
+        nodes, dev_inst, new_offsets, _ = builder.build_tlas_arrays(
             self.source_instances)
-        # BLAS offsets must be unchanged (same instance order => same
-        # first-seen assignment), so the device BLAS blocks stay valid
-        assert [off for off, _ in blas_offsets] == \
-               [off for off, _ in self.blas_offsets]
-        blas_root_by_offset = {}
+        # Serialized byte offsets shift when the TLAS tree shape changes
+        # under new transforms, so map device BLAS roots by *object
+        # identity*: the device node layout was fixed at device_scene()
+        # time (BLAS blocks in ascending original-offset order after the
+        # padded TLAS block) and never moves across refits.
+        if self._device_blas_order is None:
+            self._device_blas_order = [
+                b for _, b in sorted(self.blas_offsets, key=lambda p: p[0])]
+        root_by_blas = {}
         node_base = self.tlas_capacity
-        for off, b in self.blas_offsets:
-            blas_root_by_offset[off] = node_base
+        for b in self._device_blas_order:
+            root_by_blas[id(b)] = node_base
             node_base += self._blas_row_count(b)
+        blas_root_by_offset = {off: root_by_blas[id(b)]
+                               for off, b in new_offsets}
         self.nodes = nodes
         self.instances = dev_inst
-        self.blob = serialize.serialize_tlas(nodes, dev_inst, self.blas_offsets)
+        self.blob = serialize.serialize_tlas(nodes, dev_inst, new_offsets)
+        self.blas_offsets = new_offsets
         self._device = device.update_tlas(
             scene, nodes, dev_inst, blas_root_by_offset, self.tlas_capacity)
         return self._device
 
+    _row_counts: Optional[dict] = None
+
     def _blas_row_count(self, blas) -> int:
         """Post-split row count of a BLAS block (must mirror
         device.build_device_scene's leaf normalization)."""
-        if not hasattr(blas, "_row_count"):
+        if self._row_counts is None:
+            self._row_counts = {}
+        key = id(blas)
+        if key not in self._row_counts:
             t = device._decode_nodes(blas.nodes, device.KIND_TRI_LEAF)
-            device._split_oversized_leaves(t, 8)
-            blas._row_count = len(t.kind)
-        return blas._row_count
+            device._split_oversized_leaves(t, config.LEAF_WIDTH)
+            self._row_counts[key] = len(t.kind)
+        return self._row_counts[key]
 
 
 def BuildTopAccelStruct(instances: Sequence[types.Instance],
@@ -131,11 +145,19 @@ def TopAccelStructToFile(accel: TopAccelStruct, path: str) -> None:
 
 
 def FileToTopAccelStruct(path: str) -> TopAccelStruct:
-    """Resume (reference: radiance.cpp:450-479)."""
+    """Resume (reference: radiance.cpp:450-479).
+
+    Loads must behave exactly like builds (the reference's cache path
+    produces the same device buffer bytes): the TLAS block is padded to
+    the same capacity BuildTopAccelStruct would use, so cache-loaded and
+    fresh scenes are array-identical.
+    """
     parsed = serialize.tlas_from_file(path)
 
+    cap = device.tlas_capacity_for(len(parsed.instances))
     accel = TopAccelStruct(blob=parsed.blob, nodes=parsed.nodes,
-                           instances=parsed.instances, blas_offsets=[])
+                           instances=parsed.instances, blas_offsets=[],
+                           tlas_capacity=cap)
     accel._device = device.build_device_scene(
-        parsed.nodes, parsed.instances, parsed.blas)
+        parsed.nodes, parsed.instances, parsed.blas, tlas_capacity=cap)
     return accel

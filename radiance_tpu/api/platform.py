@@ -69,6 +69,10 @@ class Buffer:
         """Cached device view; key identifies the parse (dtype/shape)."""
         if self.device_dirty and key in self._device and self._device_version == self.version:
             return self._device[key]
+        if self.device_dirty:
+            # device holds a newer value under a *different* key: parsing
+            # self.host would read stale bytes, so materialize first
+            self.sync_to_host()
         if self._device_version != self.version:
             self._device.clear()
         if key not in self._device:

@@ -43,7 +43,11 @@ def candidate_planes(start: np.float32, stop: np.float32, depth: int) -> Tuple[n
     Mirrors the reference's binning loop bounds (bvh.cpp:123-132):
     step = (stop-start) / (1024/(depth+1)); planes at start + i*step for
     i >= 1 while plane < stop - step.  Computed in float32 so the NumPy and
-    C++ builders agree bit-for-bit.
+    C++ builders here agree bit-for-bit *with each other* (which is what
+    tests/test_native.py asserts).  Note the reference accumulates
+    `testSplit += step` per iteration (bvh.cpp:140), so its candidate
+    positions drift from `start + i*step` after a few bins; trees built by
+    the reference binary may therefore differ slightly in shape.
     """
     start = np.float32(start)
     stop = np.float32(stop)

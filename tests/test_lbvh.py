@@ -89,6 +89,14 @@ def test_lbvh_jit_rebuild_is_fast_to_retrace():
     """The dynamic-geometry path: rebuild + trace under one jit."""
     rng = np.random.default_rng(5)
     verts, tris = random_tris(rng, 500)
+    # guarantee the probe ray (0,0,20)->-z intersects geometry: append a
+    # large triangle spanning the origin at z=0 (the random cloud does not
+    # reliably cover a single axis ray)
+    wall = np.array([[-4, -4, 0], [4, -4, 0], [0, 6, 0]], np.float32)
+    verts = np.concatenate([verts, wall])
+    tris = np.concatenate(
+        [tris, np.arange(len(verts) - 3, len(verts),
+                         dtype=np.int32).reshape(1, 3)])
 
     @jax.jit
     def rebuild_and_trace(verts, o, d):
