@@ -219,9 +219,22 @@ def TraceRays(platform: Platform,
     Reads RTProp from the bound descriptor set, renders batchSize samples
     at depth bounces, writes the image (u8) and accumulation scratch
     buffers.  totalSamples is left untouched for the host loop.
+
+    Unlike the reference, which accepts but ignores the three group
+    indices (radiance.cpp:242-248), they are real here:
+      raygen_group_index selects pipeline.modules[i] (the reference can
+        only ever run modules[0], radiance.cpp:238);
+      hit_group_index / miss_group_index are added to the raygen
+        program's configured SBT hit offset / miss index (Vulkan-style
+        additive record offsets), so (0, 0, 0) reproduces the
+        reference's sample behavior exactly.
     """
     pipeline: Pipeline = platform.active_pipeline
-    program = pipeline.modules[0]
+    if not (0 <= raygen_group_index < len(pipeline.modules)):
+        raise IndexError(
+            f"raygen group index {raygen_group_index} out of range for "
+            f"pipeline with {len(pipeline.modules)} module(s)")
+    program = pipeline.modules[raygen_group_index]
     ds = platform.bound_descriptor_set
     handles = dict(zip(program.descriptor_semantics, ds))
 
@@ -247,7 +260,8 @@ def TraceRays(platform: Platform,
 
     accum, image = program.tracer.render(
         scene, res, accum, total_samples, width, height,
-        batch=batch, depth=depth, debug=debug)
+        batch=batch, depth=depth, debug=debug,
+        hit_group_offset=hit_group_index, miss_group_offset=miss_group_index)
 
     def accum_to_host(a):
         out = np.zeros((n, 4), np.float32)

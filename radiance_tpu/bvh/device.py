@@ -23,7 +23,7 @@ NumPy -- a 1M-triangle scene assembles in seconds.
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, Sequence
+from typing import Dict, Optional, Sequence
 
 import numpy as np
 import jax.numpy as jnp
@@ -69,6 +69,13 @@ class DeviceScene:
     node_packed: jnp.ndarray     # [Nn, 8] f32
     # bundle_packed[b, j] = [v0.xyz, e1.xyz, e2.xyz, bitcast(prim), 0, 0]
     bundle_packed: jnp.ndarray   # [Nb, W, 12] f32
+
+    # --- optional Pallas packet-kernel tables (bvh/kernel_pack.py);
+    # present for single-instance/single-BLAS scenes within kernel limits
+    knode_f: Optional[jnp.ndarray] = None   # [Nk, 8] f32
+    knode_i: Optional[jnp.ndarray] = None   # [Nk, 4] i32
+    kleaf: Optional[jnp.ndarray] = None     # [Nl, 16, 4T] f32
+    kprim: Optional[jnp.ndarray] = None     # [Nf + T] i32
 
 META_A_MASK = (1 << 26) - 1
 META_COUNT_SHIFT = 26
@@ -294,11 +301,18 @@ def build_device_scene(tlas_nodes: np.ndarray,
     blas_root_by_offset = {}
     node_base = len(tlas.kind)
     bundle_base = 0
+    ktables = None
     for off in sorted(blas_by_offset.keys()):
         nodes, faces, verts = blas_by_offset[off]
         verts3 = np.ascontiguousarray(np.asarray(verts, np.float32)[:, :3])
         t = _decode_nodes(nodes, KIND_TRI_LEAF)
         _split_oversized_leaves(t, leaf_width)
+        if len(blas_by_offset) == 1 and len(device_instances) == 1:
+            # single-instance fast path: derive the Pallas packet-kernel
+            # tables before _bundle_triangles rewrites leaf start indices
+            from radiance_tpu.bvh import kernel_pack
+            ktables = kernel_pack.build_kernel_tables(
+                t.kind, t.a, t.b, t.bot, t.top, faces, verts3)
         v0, e1, e2, prim = _bundle_triangles(t, faces, verts3, leaf_width,
                                              bundle_base)
         bundle_base += len(v0)
@@ -392,6 +406,10 @@ def build_device_scene(tlas_nodes: np.ndarray,
         inst_custom=jnp.asarray(device_instances["customInstanceID"].astype(np.int32)),
         inst_sbt=jnp.asarray(device_instances["SBTOffset"].astype(np.int32)),
         inst_blas_root=jnp.asarray(blas_root),
+        knode_f=None if ktables is None else jnp.asarray(ktables["knode_f"]),
+        knode_i=None if ktables is None else jnp.asarray(ktables["knode_i"]),
+        kleaf=None if ktables is None else jnp.asarray(ktables["kleaf"]),
+        kprim=None if ktables is None else jnp.asarray(ktables["kprim"]),
     )
 
 

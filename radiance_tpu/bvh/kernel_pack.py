@@ -1,0 +1,208 @@
+"""Kernel-side scene tables for the Pallas packet traversal.
+
+The Pallas kernel (ops/packet_trace.py) walks a node table resident in
+VMEM, so the table must be small, and intersects leaf triangles on the
+MXU, so each leaf must be a dense matrix.  This module derives that
+layout from the same decoded BVH the DeviceScene is assembled from
+(reference counterpart: the flattener CreateDeviceBVH,
+radiance/src/bvh.cpp:423-597 -- the reference never needed this step
+because GPU threads chase pointers in global memory; the TPU walk wants
+a compact VMEM tree plus matmul-shaped leaves):
+
+  1. **Leaf collapse**: subtrees whose triangles form a contiguous range
+     of <= KERNEL_MAX_TRIS faces become one kernel leaf (merging the SAH
+     builder's 8-wide leaves).  Face ranges are contiguous for siblings
+     because the builder emits faces in DFS leaf order.
+  2. **Escape threading** on the collapsed tree (preorder emission), so
+     the kernel walk is stackless: one scalar register per packet.
+  3. **Pluecker leaf matrices**: each kernel leaf becomes a [16, 4T]
+     f32 matrix W such that, for a ray feature vector
+     X = [d, o x d, o, 1, 0...] (16 wide), the product X @ W yields per
+     triangle the three edge side-products (s0, s1, s2) and the plane
+     numerator (n.o + dp).  Identities used:
+       side(ray, edge a->b) = d.(a x b) + (o x d).(b - a)
+       s0 + s1 + s2 = d.n            (n = e1 x e2; the moment terms
+                                      telescope to zero over a cycle)
+       t = -(n.o + dp) / (d.n)       (dp = -n.v0)
+       b1 = s2 / (s0+s1+s2), b2 = s0 / (s0+s1+s2)
+     so one [R,16]x[16,128] matmul intersects a 256-ray packet against
+     all 32 leaf triangles; no per-triangle scalar broadcasts.
+
+Tables (numpy, converted to jax by the DeviceScene assembly):
+  knode_f [Nk, 8]    f32: bounds min.xyz, max.xyz, 2 pad words
+  knode_i [Nk, 4]    i32: (a, esc, ntri, tri_start); ntri == 0 => inner
+                          node with a = left-child row, ntri > 0 => leaf
+                          with a = kleaf row; esc == -1 exits the walk;
+                          tri_start = row of the leaf's first face in
+                          the BLAS face array (faces are contiguous per
+                          collapsed leaf)
+  kleaf   [Nl, 16, 4T] f32: the W matrices (lanes [0:T) s0-edges,
+                          [T:2T) s1, [2T:3T) s2, [3T:4T) plane num);
+                          invalid lanes are all-zero => s = 0, d.n = 0,
+                          t = nan => rejected by the t-window test
+  kprim   [Nf + T]   i32: face-order primID (what HitRecord.prim wants),
+                          padded with -1 so tri_start+lane never reads
+                          out of bounds
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+# Triangles per kernel leaf.  4 * KERNEL_MAX_TRIS must be a multiple of
+# the TPU lane width (128) so each leaf matrix is exactly tile-aligned.
+KERNEL_MAX_TRIS = 32
+KERNEL_LEAF_LANES = 4 * KERNEL_MAX_TRIS
+
+# VMEM node-table budget: [N, 8] f32 + [N, 4] i32 tables lay out reliably
+# packed below ~200k rows on v5e Mosaic (measured; larger tables trip the
+# compiler into a lane-padded layout that overflows VMEM).
+KERNEL_MAX_NODES = 150_000
+
+
+def leaf_matrix(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray,
+                valid: np.ndarray) -> np.ndarray:
+    """Build one [16, 4T] Pluecker leaf matrix from T triangles.
+
+    v0/v1/v2: [T, 3] f32 vertex positions; valid: [T] bool.
+    Column blocks (T wide each): s0 (edge v0->v1), s1 (v1->v2),
+    s2 (v2->v0), num (n.o + dp).
+    """
+    T = v0.shape[0]
+    w = np.zeros((16, 4 * T), np.float32)
+    vm = valid[:, None]
+    a = np.where(vm, v0, 0.0).astype(np.float32)
+    b = np.where(vm, v1, 0.0).astype(np.float32)
+    c = np.where(vm, v2, 0.0).astype(np.float32)
+
+    def edge_cols(p, q):
+        cols = np.zeros((16, T), np.float32)
+        cols[0:3] = np.cross(p, q).T          # pairs with ray d
+        cols[3:6] = (q - p).T                 # pairs with ray o x d
+        return cols
+
+    n = np.cross(b - a, c - a)                # e1 x e2
+    num = np.zeros((16, T), np.float32)
+    num[6:9] = n.T                            # pairs with ray o
+    num[9] = -np.sum(n * a, axis=-1)          # dp (pairs with the 1)
+
+    w[:, 0 * T:1 * T] = edge_cols(a, b)
+    w[:, 1 * T:2 * T] = edge_cols(b, c)
+    w[:, 2 * T:3 * T] = edge_cols(c, a)
+    w[:, 3 * T:4 * T] = num
+    return w
+
+
+def build_kernel_tables(kind, a, b, bot, top, faces, verts3) -> Optional[dict]:
+    """Collapse + thread + matrix-pack one BLAS tree for the packet kernel.
+
+    kind/a/b: decoded node arrays (a=start, b=count for tri leaves;
+    a=left, b=right local child rows for inner nodes), children always
+    emitted after their parent (builder preorder).
+    faces: structured DEVICE_TRIANGLE rows in leaf-emit order.
+    verts3: [V, 3] f32.
+    Returns the table dict, or None when the scene exceeds kernel limits.
+    """
+    kind = np.asarray(kind, np.int32)
+    a = np.asarray(a, np.int64)
+    b = np.asarray(b, np.int64)
+    bot = np.asarray(bot, np.float32).reshape(-1, 3)
+    top = np.asarray(top, np.float32).reshape(-1, 3)
+    n = len(kind)
+    from radiance_tpu.bvh.device import KIND_INNER, KIND_TRI_LEAF
+
+    if n == 0 or (kind == 2).any():  # instance leaves: not a BLAS tree
+        return None
+
+    is_kleaf = kind == KIND_TRI_LEAF
+    start = np.where(is_kleaf, a, 0)
+    ntri = np.where(is_kleaf, b, 0)
+
+    # --- 1. leaf collapse (vectorized passes; each pass merges sibling
+    # pairs, so <= log2(KERNEL_MAX_TRIS) + stragglers iterations) ---
+    inner_mask = kind == KIND_INNER
+    while True:
+        m = inner_mask & ~is_kleaf
+        l = np.where(m, a, 0)
+        r = np.where(m, b, 0)
+        can = (m & is_kleaf[l] & is_kleaf[r]
+               & (ntri[l] + ntri[r] <= KERNEL_MAX_TRIS)
+               & (start[l] + ntri[l] == start[r]))
+        if not can.any():
+            break
+        ci = np.nonzero(can)[0]
+        start[ci] = start[l[ci]]
+        ntri[ci] = ntri[l[ci]] + ntri[r[ci]]
+        is_kleaf[ci] = True
+
+    # --- subtree sizes in the collapsed tree (children after parents) ---
+    size = np.ones(n, np.int64)
+    eff_inner = inner_mask & ~is_kleaf
+    for i in range(n - 1, -1, -1):
+        if eff_inner[i]:
+            size[i] = 1 + size[a[i]] + size[b[i]]
+    nk = int(size[0])
+    if nk > KERNEL_MAX_NODES:
+        return None
+
+    # --- 2. preorder emission with escape threading ---
+    kb = np.zeros((nk, 8), np.float32)
+    km = np.zeros((nk, 4), np.int32)
+    leaf_rows = []
+    leaf_start = []
+    leaf_ntri = []
+    stack = [(0, -1)]
+    pos = 0
+    while stack:
+        node, esc = stack.pop()
+        my = pos
+        pos += 1
+        kb[my, 0:3] = bot[node]
+        kb[my, 3:6] = top[node]
+        if is_kleaf[node] or not eff_inner[node]:
+            km[my] = (len(leaf_rows), esc, max(int(ntri[node]), 1),
+                      int(start[node]))
+            leaf_rows.append(my)
+            leaf_start.append(int(start[node]))
+            leaf_ntri.append(int(ntri[node]))
+        else:
+            left, right = int(a[node]), int(b[node])
+            km[my] = (my + 1, esc, 0, 0)
+            stack.append((right, esc))
+            stack.append((left, my + 1 + int(size[left])))
+    assert pos == nk, "kernel tree emission size mismatch"
+
+    # --- 3. Pluecker leaf matrices ---
+    T = KERNEL_MAX_TRIS
+    nl = len(leaf_rows)
+    leaf_start = np.asarray(leaf_start, np.int64)
+    leaf_ntri = np.asarray(leaf_ntri, np.int64)
+
+    lane = np.arange(T, dtype=np.int64)[None, :]            # [1, T]
+    valid = lane < leaf_ntri[:, None]                       # [nl, T]
+    face_idx = np.clip(leaf_start[:, None] + lane, 0,
+                       max(len(faces) - 1, 0))              # [nl, T]
+    f = faces[face_idx]
+    p0 = verts3[f["idx0"].astype(np.int64)]                 # [nl, T, 3]
+    p1 = verts3[f["idx1"].astype(np.int64)]
+    p2 = verts3[f["idx2"].astype(np.int64)]
+
+    # batched leaf_matrix over all leaves at once
+    vm = valid[:, :, None]
+    pa = np.where(vm, p0, 0.0).astype(np.float32)
+    pb = np.where(vm, p1, 0.0).astype(np.float32)
+    pc = np.where(vm, p2, 0.0).astype(np.float32)
+    nrm = np.cross(pb - pa, pc - pa)                        # [nl, T, 3]
+    kleaf = np.zeros((nl, 16, KERNEL_LEAF_LANES), np.float32)
+    for k, (p, q) in enumerate(((pa, pb), (pb, pc), (pc, pa))):
+        kleaf[:, 0:3, k * T:(k + 1) * T] = np.cross(p, q).transpose(0, 2, 1)
+        kleaf[:, 3:6, k * T:(k + 1) * T] = (q - p).transpose(0, 2, 1)
+    kleaf[:, 6:9, 3 * T:4 * T] = nrm.transpose(0, 2, 1)
+    kleaf[:, 9, 3 * T:4 * T] = -np.sum(nrm * pa, axis=-1)
+
+    kprim = np.full(len(faces) + T, -1, np.int32)
+    kprim[:len(faces)] = faces["primID"].astype(np.int32)
+
+    return dict(knode_f=kb, knode_i=km, kleaf=kleaf, kprim=kprim)

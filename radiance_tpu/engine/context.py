@@ -53,6 +53,10 @@ class ShadeContext:
     pixel_index: jnp.ndarray    # [N] i32 (get_global_id analog)
     frame_id: jnp.ndarray       # [] or [N] u32
     depth: jnp.ndarray          # [] i32 current bounce
+    # [N] bool dispatch mask: which lanes this shader invocation is live
+    # for (set by the SBT dispatch); shaders pass it to trace_occlusion
+    # so dead lanes retire instantly instead of tracing real geometry
+    active: Optional[jnp.ndarray] = None
     # non-pytree static payload:
     resources: Any = struct.field(pytree_node=True, default=None)
     debug: int = struct.field(pytree_node=False, default=0)

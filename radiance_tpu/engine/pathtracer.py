@@ -30,9 +30,73 @@ from radiance_tpu.api.sbt import ShaderBindingTable
 from radiance_tpu.bvh.device import DeviceScene
 from radiance_tpu.core import math as rmath
 from radiance_tpu.engine.context import Payload, ShadeContext
+from radiance_tpu.ops import compaction
 from radiance_tpu.ops import tonemap as tonemap_ops
 from radiance_tpu.ops import traversal
 from radiance_tpu.ops.intersect import FLT_MAX
+
+# Parking spot for lanes that must not trace: a ray starting here misses
+# the scene root AABB on its first step, so the traversal while_loop
+# retires it immediately.  The TPU-native form of ray compaction is NOT
+# removing lanes (XLA shapes are static) -- it is making dead lanes
+# converge instantly so they never extend a chunk's while_loop tail.
+_PARK_ORIGIN = 1e30
+
+
+def _trace_dispatch(scene, o, d, tmin, tmax, *, any_hit_terminate=False,
+                    any_hit_program=None):
+    """Pick the fastest traversal backend for this scene/query.
+
+    Single-instance scenes with kernel tables go through the Pallas
+    packet kernel (ops/packet_trace); custom any-hit programs,
+    multi-instance scenes, and non-TPU backends (where the kernel would
+    run interpreted, orders of magnitude slower than compiled XLA) use
+    the XLA wavefront walk."""
+    import jax as _jax
+    from radiance_tpu.ops import packet_trace
+
+    if (any_hit_program is None and packet_trace.supports(scene)
+            and _jax.default_backend() == "tpu"):
+        return packet_trace.trace_rays_packet(
+            scene, o, d, tmin, tmax, any_hit=any_hit_terminate)
+    return traversal.trace_rays(scene, o, d, tmin, tmax,
+                                any_hit_terminate=any_hit_terminate,
+                                any_hit_program=any_hit_program)
+
+
+def _traced_wavefront(scene, o, d, tmin, tmax, alive, sort_key=None,
+                      **trace_kw):
+    """Trace only live rays, the wavefront-compaction way (SURVEY 7:
+    generate -> traverse -> shade -> compact; BASELINE north-star).
+
+    Live rays are permuted to the front (optionally grouped by shader
+    key for coherence), dead lanes are parked at _PARK_ORIGIN, and the
+    HitRecord is scattered back to pixel order.  Under chunked traversal
+    (ops/traversal lax.map) trailing all-dead chunks retire in one
+    iteration; within a chunk, parked lanes never gate convergence.
+    """
+    key = jnp.where(alive, 0, 1).astype(jnp.int32)
+    if sort_key is not None:
+        # live rays grouped by material/shader key (the reference's SBT
+        # switch becomes contiguous runs, shader.cl:574-605)
+        key = key * (sort_key.max() + 2) + jnp.where(alive, sort_key, 0)
+    perm = jnp.argsort(key, stable=True).astype(jnp.int32)
+    o_c = o[perm]
+    d_c = d[perm]
+    parked = ~alive[perm]
+    o_c = jnp.where(parked[:, None], _PARK_ORIGIN, o_c)
+    d_c = jnp.where(parked[:, None], 1.0, d_c)
+    rec = _trace_dispatch(scene, o_c, d_c, tmin, tmax, **trace_kw)
+    inv = compaction.invert_perm(perm)
+    rec = compaction.apply_perm(rec, inv)
+    # parked lanes report a miss by construction; force the fields anyway
+    miss = ~alive
+    return traversal.HitRecord(
+        t=jnp.where(miss, FLT_MAX, rec.t),
+        prim=jnp.where(miss, -1, rec.prim),
+        slot=jnp.where(miss, -1, rec.slot),
+        b1=jnp.where(miss, 0.0, rec.b1),
+        b2=jnp.where(miss, 0.0, rec.b2))
 
 
 def _make_context(scene: DeviceScene, hits: traversal.HitRecord,
@@ -87,23 +151,41 @@ class WavefrontPathTracer:
     tonemap: Callable = tonemap_ops.tonemap_sample1
     hit_offset: int = 1
     miss_index: int = 3
+    shadow_hit_offset: int = 2  # shadow-ray SBT offset (shader.cl:500)
     tmin: float = 0.001
     tmax: float = 1000.0
 
-    def frame_fn(self, *, batch: int, depth: int, debug: int = 0):
+    def frame_fn(self, *, batch: int, depth: int, debug: int = 0,
+                 hit_group_offset: int = 0, miss_group_offset: int = 0):
         """Build the jittable frame function for static (batch, depth, debug).
 
         Returns fn(scene, resources, accum [N,3] f32, total_samples u32,
                    pixel_index [N] i32) -> (accum', image_u8 [N,4])
         matching the reference's per-frame semantics: frameID starts at
         totalSamples and advances per sample (shader.cl:197-281).
+        hit_group_offset/miss_group_offset: TraceRays group indices,
+        added to the configured SBT hit offset / miss index.
         """
         sbt = self.sbt
         effective_depth = 1 if debug else depth
+        hit_offset = self.hit_offset + hit_group_offset
+        miss_index = self.miss_index + miss_group_offset
 
-        def trace_occlusion(scene, origin, direction, tmin, tmax):
-            rec = traversal.trace_rays(scene, origin, direction, tmin, tmax,
-                                       any_hit_terminate=True)
+        def trace_occlusion(scene, origin, direction, tmin, tmax,
+                            resources=None, active=None):
+            # custom any-hit programs (alpha test etc.) registered at the
+            # shadow offset ride into the traversal; the canonical
+            # terminate-on-first anyShadow compiles to the cheap flag
+            prog = sbt.make_any_hit_program(self.shadow_hit_offset,
+                                            resources)
+            kw = dict(any_hit_terminate=(prog is None),
+                      any_hit_program=prog)
+            if active is None:
+                rec = traversal.trace_rays(scene, origin, direction,
+                                           tmin, tmax, **kw)
+            else:
+                rec = _traced_wavefront(scene, origin, direction,
+                                        tmin, tmax, active, **kw)
             return rec.hit
 
         def one_sample(scene, resources, pixel_index, frame_id, total_samples0):
@@ -115,12 +197,16 @@ class WavefrontPathTracer:
             ], axis=-1)
             origin, direction = self.ray_generator(resources, pixel_index, rand_input)
 
-            occl = functools.partial(trace_occlusion, scene)
+            occl = functools.partial(trace_occlusion, scene,
+                                     resources=resources)
             full = functools.partial(traversal.trace_rays, scene)
+            hit_anyhit = sbt.make_any_hit_program(hit_offset, resources)
 
             def bounce(b, st):
                 color, contribution, alive, o, d = st
-                hits = traversal.trace_rays(scene, o, d, self.tmin, self.tmax)
+                hits = _traced_wavefront(scene, o, d, self.tmin, self.tmax,
+                                         alive,
+                                         any_hit_program=hit_anyhit)
                 ctx = _make_context(
                     scene, hits, o, d, pixel_index, frame_id, b,
                     resources, debug, occl, full)
@@ -131,9 +217,9 @@ class WavefrontPathTracer:
                     next_origin=o,
                     next_dir=d,
                 )
-                payload = sbt.call_hit(self.hit_offset, ctx, payload,
+                payload = sbt.call_hit(hit_offset, ctx, payload,
                                        alive & hits.hit)
-                payload = sbt.call_miss(self.miss_index, ctx, payload,
+                payload = sbt.call_miss(miss_index, ctx, payload,
                                         alive & (~hits.hit))
 
                 hit = payload.hit
@@ -154,7 +240,19 @@ class WavefrontPathTracer:
             init = (jnp.zeros((n, 3), jnp.float32),
                     jnp.ones((n, 3), jnp.float32),
                     jnp.ones(n, bool), origin, direction)
-            color, *_ = jax.lax.fori_loop(0, effective_depth, bounce, init)
+            # bounce loop with early exit: when every path has died, the
+            # remaining bounces are skipped entirely (the reference's
+            # per-ray `if !hit break`, shader.cl:243-252, in bulk)
+            def bounce_cond(bs):
+                b, st = bs
+                return (b < effective_depth) & jnp.any(st[2])
+
+            def bounce_body(bs):
+                b, st = bs
+                return b + 1, bounce(b, st)
+
+            _, (color, *_rest) = jax.lax.while_loop(
+                bounce_cond, bounce_body, (jnp.int32(0), init))
             return color
 
         def sample_sum(scene, resources, pixel_index, first_frame_id,
@@ -189,8 +287,12 @@ class WavefrontPathTracer:
         return frame
 
     @functools.lru_cache(maxsize=None)
-    def _jitted(self, batch: int, depth: int, debug: int):
-        return jax.jit(self.frame_fn(batch=batch, depth=depth, debug=debug))
+    def _jitted(self, batch: int, depth: int, debug: int,
+                hit_group_offset: int = 0, miss_group_offset: int = 0):
+        return jax.jit(self.frame_fn(
+            batch=batch, depth=depth, debug=debug,
+            hit_group_offset=hit_group_offset,
+            miss_group_offset=miss_group_offset))
 
     # Max samples executed per device dispatch: keeps single device
     # programs bounded (very long dispatches can trip runtime watchdogs),
@@ -199,7 +301,8 @@ class WavefrontPathTracer:
 
     def render(self, scene: DeviceScene, resources: Dict, accum,
                total_samples: int, width: int, height: int,
-               *, batch: int, depth: int, debug: int = 0):
+               *, batch: int, depth: int, debug: int = 0,
+               hit_group_offset: int = 0, miss_group_offset: int = 0):
         """Run one frame: returns (accum', image u8 [H, W, 4]).
 
         The reference host loop updates totalSamples += batchSize between
@@ -212,7 +315,8 @@ class WavefrontPathTracer:
         image = None
         while remaining > 0:
             sub = min(remaining, self.max_batch_per_dispatch)
-            fn = self._jitted(sub, int(depth), int(debug))
+            fn = self._jitted(sub, int(depth), int(debug),
+                              int(hit_group_offset), int(miss_group_offset))
             accum, image = fn(scene, resources, accum,
                               jnp.uint32(ts), pixel_index)
             ts += sub

@@ -6,10 +6,11 @@ importance-sampled GI with transmission), `environment`, `shadow`,
 `shadowMiss`, `anyShadow`.  Registered into a ShaderBindingTable under the
 same names so the reference's sbt.json drives the same dispatch.
 
-Debug render modes 1..10 follow the reference's probe set
+Debug render modes 1..17 follow the reference's probe set
 (shader2.cl:333-372 live / shader.cl:607-714): 1 normal, 2 L, 3 V,
 4 NdotL, 5 BRDF, 6 shadow, 7 barycentrics, 8 albedo, 9 metallic,
-10 roughness.
+10 roughness, 11 diffuse term, 12 Fresnel, 13 GGX D, 14 Smith-Disney G,
+15 Schlick-Smith G, 16 height-correlated Smith G, 17 pbrt G.
 """
 
 from __future__ import annotations
@@ -39,8 +40,10 @@ def material(ctx: ShadeContext, payload: Payload) -> Payload:
     transmission, ior = mat[:, 2], mat[:, 3]
     albedo = ctx_mod.get_albedo(ctx, res)
 
-    # shadow ray (shader.cl:499-501): occlusion query with any-hit terminate
-    occluded = ctx.trace_occlusion(hit_pos, l, 0.001, 1000.0)
+    # shadow ray (shader.cl:499-501): occlusion query with any-hit
+    # terminate; dead dispatch lanes park instead of tracing
+    occluded = ctx.trace_occlusion(hit_pos, l, 0.001, 1000.0,
+                                   active=ctx.active)
 
     radiance = res["light_color"][0, :3]
     direct = pbr.microfacet_brdf(l, v, nrm, albedo, metallic, roughness,
@@ -99,6 +102,34 @@ def _debug_color(ctx, res, color, nrm, l, v, albedo, metallic, roughness,
         return jnp.broadcast_to(metallic[:, None], albedo.shape)
     if d == 10:
         return jnp.broadcast_to(roughness[:, None], albedo.shape)
+    # BRDF term probes (reference: shader.cl:663-714)
+    h = rmath.normalize(v + l, eps=1e-30)
+    dot_vh = jnp.clip(rmath.dot(v, h), 0.0, 1.0)
+    dot_nh = jnp.clip(rmath.dot(nrm, h), 0.0, 1.0)
+    dot_nv = jnp.clip(rmath.dot(nrm, v), 0.0, 1.0)
+    dot_nl = jnp.clip(rmath.dot(nrm, l), 0.0, 1.0)
+    if d == 11:  # diffuse component
+        f = pbr.f_schlick(dot_vh, metallic, albedo)
+        c_diff = albedo * (1.0 - metallic[:, None])
+        return (1.0 - f) * (1.0 / 3.1415) * c_diff
+    if d == 12:  # Fresnel reflection
+        return pbr.f_schlick(dot_vh, metallic, albedo)
+    if d == 13:  # GGX NDF
+        dd = jnp.clip(pbr.d_ggx(dot_nh, roughness), 0.0, 1.0)
+        return jnp.broadcast_to(dd[:, None], albedo.shape)
+    if d == 14:  # Smith-Disney geometry
+        g = pbr.g_smith_disney(dot_nl, dot_nv, roughness)
+        return jnp.broadcast_to(g[:, None], albedo.shape)
+    if d == 15:  # Schlick-Smith GGX geometry
+        g = pbr.g_schlick_smith_ggx(dot_nl, dot_nv, roughness)
+        return jnp.broadcast_to(g[:, None], albedo.shape)
+    if d == 16:  # height-correlated Smith (displayed via x/(x+1))
+        g = pbr.g_smith_ggx_correlated(dot_nl, dot_nv, roughness)
+        x = 1.0 / g
+        return jnp.broadcast_to((x / (x + 1.0))[:, None], albedo.shape)
+    if d == 17:  # pbrt Smith-Lambda geometry
+        g = pbr.g_pbrt(v, l, nrm, roughness)
+        return jnp.broadcast_to(g[:, None], albedo.shape)
     return color
 
 
@@ -123,11 +154,16 @@ def shadow_miss(ctx: ShadeContext, payload: Payload) -> Payload:
                            hit=jnp.zeros(n, bool))
 
 
-def any_shadow(ctx: ShadeContext, payload: Payload) -> Payload:
-    """anyShadow terminates traversal (shader.cl:567-572); the engine's
-    occlusion queries already run with any-hit terminate, so this is a
-    registration placeholder keeping sbt.json name parity."""
-    return payload
+def any_shadow(cand, res):
+    """anyShadow: accept every candidate and stop the walk at the first
+    (reference: shader.cl:567-572, cont=false).  Marked canonical so the
+    SBT routes occlusion traces through the traversal's built-in
+    any_hit_terminate flag (identical semantics, no shader evaluation)."""
+    accept = jnp.ones_like(cand.valid)
+    return accept, accept
+
+
+any_shadow.terminate_on_first = True
 
 
 SHADER_REGISTRY = {

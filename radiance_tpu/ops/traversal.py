@@ -70,6 +70,34 @@ class HitRecord:
         return self.t < FLT_MAX
 
 
+@struct.dataclass
+class AnyHitCandidates:
+    """Batch of candidate hits handed to a custom any-hit program.
+
+    The reference calls the user's callAnyHit once per candidate triangle
+    inside BLAS traversal, letting it accept/reject the hit and stop the
+    walk via the `cont` flag (reference: radiance.cl:90-102, dispatch
+    shader.cl:574-583).  The wavefront equivalent batches one leaf
+    bundle's candidates: arrays are [N, W] (W = leaf bundle width), with
+    `valid` marking real in-window candidates.  A program returns
+    (accept [N, W] bool, terminate [N, W] bool):
+      accept=False  -> ignore the candidate (alpha-test semantics;
+                       traversal continues as if it never hit)
+      terminate     -> accepted candidates with terminate=True stop the
+                       ray's traversal after this leaf (the reference's
+                       anyShadow cont=false)
+    """
+    t: jnp.ndarray            # [N, W] candidate hit distance
+    prim: jnp.ndarray         # [N, W] primitiveIndex
+    b1: jnp.ndarray           # [N, W]
+    b2: jnp.ndarray           # [N, W]
+    valid: jnp.ndarray        # [N, W] bool -- in-window candidate mask
+    slot: jnp.ndarray         # [N] instance slot (scene.inst_* index)
+    sbt_offset: jnp.ndarray   # [N] instanceSBTOffset of that slot
+    ray_origin: jnp.ndarray   # [N, 3] world-space ray
+    ray_dir: jnp.ndarray      # [N, 3]
+
+
 def _unpack_node(scene: DeviceScene, idx):
     """One packed gather -> (bmin, bmax, a, count, kind, esc)."""
     row = scene.node_packed[idx]                      # [N, 8] f32
@@ -84,7 +112,7 @@ def _unpack_node(scene: DeviceScene, idx):
 
 
 def _trace_chunk(scene: DeviceScene, origin, direction, tmin, tmax,
-                 any_hit_terminate: bool):
+                 any_hit_terminate: bool, any_hit_program=None):
     n = origin.shape[0]
     f32, i32 = jnp.float32, jnp.int32
     w = scene.bundle_prim.shape[1]
@@ -199,6 +227,20 @@ def _trace_chunk(scene: DeviceScene, origin, direction, tmin, tmax,
               & (tt > tmin) & (tt < tmax)
               & (tt < s["t"][:, None])
               & parked[:, None])
+        if any_hit_program is not None:
+            # custom any-hit: accept/ignore each candidate, optionally
+            # terminate the ray (reference: radiance.cl:90-102)
+            slot_idx = jnp.clip(s["pending"], 0, scene.inst_sbt.shape[0] - 1)
+            cand = AnyHitCandidates(
+                t=tt, prim=pid, b1=tb1, b2=tb2, valid=ok,
+                slot=s["pending"],
+                sbt_offset=scene.inst_sbt[slot_idx],
+                ray_origin=world_o, ray_dir=world_d)
+            accept, term = any_hit_program(cand)
+            ok = ok & accept
+            term_ray = jnp.any(ok & term, axis=1)
+        else:
+            term_ray = jnp.zeros(n, bool)
         tm = jnp.where(ok, tt, FLT_MAX)
         j = jnp.argmin(tm, axis=1)
         tj = tm[rows, j]
@@ -211,7 +253,7 @@ def _trace_chunk(scene: DeviceScene, origin, direction, tmin, tmax,
             slot=jnp.where(improved, s["pending"], s["slot"]),
             b1=jnp.where(improved, tb1[rows, j], s["b1"]),
             b2=jnp.where(improved, tb2[rows, j], s["b2"]),
-            done=s["done"] | (improved & any_hit_terminate),
+            done=s["done"] | (improved & any_hit_terminate) | term_ray,
             parked_a=jnp.full(n, -1, i32),
         )
 
@@ -238,7 +280,8 @@ def trace_rays(scene: DeviceScene,
                tmin,
                tmax,
                any_hit_terminate: bool = False,
-               chunk_size: Optional[int] = None) -> HitRecord:
+               chunk_size: Optional[int] = None,
+               any_hit_program=None) -> HitRecord:
     """Trace a wavefront of N rays against the two-level scene.
 
     origin/direction: [N, 3] float32 (direction need not be normalized; the
@@ -249,12 +292,19 @@ def trace_rays(scene: DeviceScene,
     accepted hit (the reference's anyShadow cont=false, shader.cl:567-572).
     chunk_size: process rays in bounded chunks via lax.map (default: one
     chunk if N <= DEFAULT_RAY_CHUNK, else DEFAULT_RAY_CHUNK).
+    any_hit_program: optional custom any-hit shader
+    (AnyHitCandidates) -> (accept [N, W] bool, terminate [N, W] bool),
+    evaluated per leaf visit (the reference's callAnyHit contract,
+    radiance.cl:90-102); see AnyHitCandidates for semantics.  Unlike the
+    reference (which evaluates candidates one at a time), termination
+    granularity is one leaf bundle -- within a bundle every candidate is
+    still offered.
     """
     n = origin.shape[0]
     chunk = chunk_size or config.DEFAULT_RAY_CHUNK
     if n <= chunk:
         return _trace_chunk(scene, origin, direction, tmin, tmax,
-                            any_hit_terminate)
+                            any_hit_terminate, any_hit_program)
 
     pad = (-n) % chunk
     if pad:
@@ -265,7 +315,8 @@ def trace_rays(scene: DeviceScene,
 
     def body(args):
         o, d = args
-        return _trace_chunk(scene, o, d, tmin, tmax, any_hit_terminate)
+        return _trace_chunk(scene, o, d, tmin, tmax, any_hit_terminate,
+                            any_hit_program)
 
     rec = jax.lax.map(body, (origin.reshape(nc, chunk, 3),
                              direction.reshape(nc, chunk, 3)))

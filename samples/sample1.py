@@ -36,7 +36,11 @@ def main():
     ap.add_argument("--glb", type=str, default=None)
     ap.add_argument("--out", type=str, default=None)
     ap.add_argument("--interactive", action="store_true",
-                    help="progressive viewer loop (renderLoop analog)")
+                    help="progressive viewer loop (renderLoop analog); "
+                         "edit camera/light/debug live via stdin lines "
+                         "like 'camera.x 1.5' or a --controls-file")
+    ap.add_argument("--controls-file", type=str, default=None,
+                    help="JSON file watched for parameter edits")
     args = ap.parse_args()
 
     plt = platform.Platform.GetPlatform()
@@ -125,9 +129,52 @@ def main():
 
     if args.interactive:
         from radiance_tpu.tools import viewer
+
+        def apply_controls(updates):
+            """RenderSceneConfigUI analog (sample1.cpp:501-548): mutate
+            camera/light/rtprop buffers from the edits and reset
+            totalSamples so accumulation restarts (sample1.cpp:482)."""
+            cam_arr = np.frombuffer(
+                platform.ReadBuffer(plt, rd_cam, rd_cam.size),
+                dtype=types.PHYSICAL_CAMERA_DTYPE).copy()
+            props_arr = np.frombuffer(
+                platform.ReadBuffer(plt, rd_props, rd_props.size),
+                dtype=types.SCENE_PROPERTIES_DTYPE).copy()
+            rt = np.frombuffer(platform.ReadBuffer(plt, rd_rtprop, 16),
+                               dtype=types.RAY_TRACE_PROPERTIES_DTYPE).copy()
+            cam_dirty = props_dirty = False
+            for key, val in updates.items():
+                scope, _, field = key.partition(".")
+                if scope == "camera" and field in cam_arr.dtype.names:
+                    cam_arr[field] = float(val)
+                    cam_dirty = True
+                elif scope == "light" and field == "dir":
+                    props_arr["lights"]["direction"][0, 0, :3] = val
+                    props_dirty = True
+                elif scope == "light" and field == "color":
+                    props_arr["lights"]["color"][0, 0, :3] = val
+                    props_dirty = True
+                elif scope in ("debug", "batch", "depth"):
+                    name = {"debug": "debug", "batch": "batchSize",
+                            "depth": "depth"}[scope]
+                    rt[name] = int(val)
+                else:
+                    print(f"(ignored control {key!r})")
+                    continue
+                print(f"set {key} = {val}")
+            if cam_dirty:
+                platform.WriteBuffer(plt, rd_cam, rd_cam.size, cam_arr)
+            if props_dirty:
+                platform.WriteBuffer(plt, rd_props, rd_props.size, props_arr)
+            rt["totalSamples"] = 0  # restart accumulation on any edit
+            platform.WriteBuffer(plt, rd_rtprop, 16, rt)
+
         out = args.out or "sample1_progressive.png"
-        viewer.render_loop(render_frame, None, frames=args.frames or 0,
-                           out_path=out)
+        viewer.render_loop(
+            render_frame, None, frames=args.frames or 0, out_path=out,
+            controls=viewer.ControlChannel(
+                use_stdin=True, watch_file=args.controls_file),
+            on_change=apply_controls)
         return
 
     for frame in range(args.frames):

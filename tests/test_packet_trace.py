@@ -1,0 +1,155 @@
+"""Pallas packet-traversal kernel vs oracle (interpret mode on CPU).
+
+The kernel's Pluecker leaf formulation is validated two ways: the raw
+leaf-matrix math against the Moller-Trumbore oracle, and the full
+packet walk against both the XLA traversal and the brute-force soup.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from radiance_tpu.api import accel
+from radiance_tpu.bvh import kernel_pack
+from radiance_tpu.core import types
+from radiance_tpu.ops import packet_trace, traversal
+from radiance_tpu.ops.intersect import (
+    FLT_MAX, intersect_triangle, intersect_triangle_soup)
+
+from test_bvh import random_mesh
+from test_traversal import gen_rays
+
+
+def test_leaf_matrix_matches_moller_trumbore():
+    rng = np.random.default_rng(0)
+    T = kernel_pack.KERNEL_MAX_TRIS
+    v0 = rng.uniform(-2, 2, (T, 3)).astype(np.float32)
+    v1 = v0 + rng.uniform(-1, 1, (T, 3)).astype(np.float32)
+    v2 = v0 + rng.uniform(-1, 1, (T, 3)).astype(np.float32)
+    w = kernel_pack.leaf_matrix(v0, v1, v2, np.ones(T, bool))
+
+    o, d = gen_rays(rng, 64, spread=4.0)
+    feats = np.concatenate(
+        [d, np.cross(o, d), o, np.ones((64, 1), np.float32),
+         np.zeros((64, 6), np.float32)], axis=1)
+    m = (feats.astype(np.float64) @ w.astype(np.float64)).astype(np.float32)
+    s0, s1, s2, num = m[:, :T], m[:, T:2*T], m[:, 2*T:3*T], m[:, 3*T:4*T]
+    ssum = s0 + s1 + s2
+    inside = ((np.minimum(np.minimum(s0, s1), s2) >= 0)
+              | (np.maximum(np.maximum(s0, s1), s2) <= 0))
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t = -num / ssum
+        b1 = s2 / ssum
+        b2 = s0 / ssum
+    ok = inside & (t > 1e-3) & (t < 1e3)
+
+    valid, t_mt, b1_mt, b2_mt = map(np.asarray, intersect_triangle(
+        jnp.asarray(o)[:, None], jnp.asarray(d)[:, None],
+        jnp.asarray(v0)[None], jnp.asarray(v1 - v0)[None],
+        jnp.asarray(v2 - v0)[None]))
+    ok_mt = valid & (t_mt > 1e-3) & (t_mt < 1e3)
+
+    agree = ok == ok_mt
+    assert agree.mean() > 0.999, f"accept disagreement {1-agree.mean():.4%}"
+    both = ok & ok_mt
+    np.testing.assert_allclose(t[both], t_mt[both], rtol=2e-3, atol=1e-4)
+    np.testing.assert_allclose(b1[both], b1_mt[both], rtol=0, atol=2e-3)
+    np.testing.assert_allclose(b2[both], b2_mt[both], rtol=0, atol=2e-3)
+
+
+def _single_instance_scene(n_tris=300, seed=10, transform=None):
+    rng = np.random.default_rng(seed)
+    mesh = random_mesh(rng, n_tris, spread=5.0)
+    blas = accel.BuildBottomAccelStruct(mesh)
+    tf = np.eye(4, dtype=np.float32) if transform is None else transform
+    inst = types.Instance(transform=tf, sbt_offset=0,
+                          custom_instance_id=0, bottom_accel_struct=blas)
+    return accel.BuildTopAccelStruct([inst]).device_scene()
+
+
+def test_packet_vs_xla_traversal_identity():
+    ds = _single_instance_scene()
+    assert packet_trace.supports(ds)
+    rng = np.random.default_rng(1)
+    o, d = gen_rays(rng, 600, spread=8.0)   # non-multiple of PACKET
+    o, d = jnp.asarray(o), jnp.asarray(d)
+
+    ref = traversal.trace_rays(ds, o, d, 1e-3, 1e3)
+    tracer = packet_trace.build_tracer(ds)
+    got = tracer(o, d, jnp.float32(1e-3), jnp.float32(1e3))
+
+    t_ref, t_got = np.asarray(ref.t), np.asarray(got.t)
+    hit_ref, hit_got = t_ref < FLT_MAX, t_got < FLT_MAX
+    assert (hit_ref == hit_got).mean() > 0.995
+    both = hit_ref & hit_got
+    np.testing.assert_allclose(t_got[both], t_ref[both], rtol=2e-3, atol=1e-4)
+    same = both & (np.abs(t_got - t_ref) < 1e-5)
+    assert (np.asarray(got.prim)[same] == np.asarray(ref.prim)[same]).mean() > 0.98
+    assert np.all(np.asarray(got.slot)[same] == 0)
+    np.testing.assert_allclose(np.asarray(got.b1)[same],
+                               np.asarray(ref.b1)[same], atol=3e-3)
+    np.testing.assert_allclose(np.asarray(got.b2)[same],
+                               np.asarray(ref.b2)[same], atol=3e-3)
+
+
+def test_packet_transformed_instance():
+    c, s = np.cos(0.6), np.sin(0.6)
+    tf = np.array([[c * 2, 0, s * 2, 1.0],
+                   [0, 2, 0, -2.0],
+                   [-s * 2, 0, c * 2, 3.0],
+                   [0, 0, 0, 1]], np.float32)
+    ds = _single_instance_scene(n_tris=150, seed=11, transform=tf)
+    assert packet_trace.supports(ds)
+    rng = np.random.default_rng(2)
+    o, d = gen_rays(rng, 256, spread=10.0)
+    o, d = jnp.asarray(o), jnp.asarray(d)
+
+    ref = traversal.trace_rays(ds, o, d, 1e-3, 1e3)
+    got = packet_trace.build_tracer(ds)(o, d, jnp.float32(1e-3),
+                                        jnp.float32(1e3))
+    t_ref, t_got = np.asarray(ref.t), np.asarray(got.t)
+    hit_ref, hit_got = t_ref < FLT_MAX, t_got < FLT_MAX
+    assert (hit_ref == hit_got).mean() > 0.99
+    both = hit_ref & hit_got
+    np.testing.assert_allclose(t_got[both], t_ref[both], rtol=3e-3, atol=2e-4)
+
+
+def test_packet_any_hit():
+    ds = _single_instance_scene(n_tris=200, seed=12)
+    rng = np.random.default_rng(3)
+    o, d = gen_rays(rng, 256, spread=6.0)
+    o, d = jnp.asarray(o), jnp.asarray(d)
+    closest = packet_trace.build_tracer(ds)(o, d, jnp.float32(1e-3),
+                                            jnp.float32(1e3))
+    anyhit = packet_trace.build_tracer(ds, any_hit=True)(
+        o, d, jnp.float32(1e-3), jnp.float32(1e3))
+    # occlusion mode must agree on hit/miss; its t is *a* valid hit
+    np.testing.assert_array_equal(np.asarray(closest.hit),
+                                  np.asarray(anyhit.hit))
+    both = np.asarray(closest.hit)
+    assert np.all(np.asarray(anyhit.t)[both]
+                  >= np.asarray(closest.t)[both] - 1e-5)
+
+
+def test_packet_miss_everything():
+    ds = _single_instance_scene(n_tris=50, seed=13)
+    o = jnp.asarray(np.tile([[100.0, 100.0, 100.0]], (8, 1)).astype(np.float32))
+    d = jnp.asarray(np.tile([[0.0, 0.0, 1.0]], (8, 1)).astype(np.float32))
+    got = packet_trace.build_tracer(ds)(o, d, jnp.float32(1e-3),
+                                        jnp.float32(1e3))
+    assert not np.asarray(got.hit).any()
+    assert np.all(np.asarray(got.prim) == -1)
+    assert np.all(np.asarray(got.slot) == -1)
+
+
+def test_multi_instance_not_supported():
+    rng = np.random.default_rng(14)
+    mesh = random_mesh(rng, 40, spread=1.0)
+    blas = accel.BuildBottomAccelStruct(mesh)
+    insts = []
+    for i in range(3):
+        m = np.eye(4, dtype=np.float32)
+        m[0, 3] = 3.0 * i
+        insts.append(types.Instance(m, 0, i, blas))
+    ds = accel.BuildTopAccelStruct(insts).device_scene()
+    assert not packet_trace.supports(ds)
