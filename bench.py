@@ -130,9 +130,15 @@ def main():
     scene = build_or_load_scene()
     n = WIDTH * HEIGHT
 
-    # camera rays looking into the cloud
-    xs = (np.arange(n, dtype=np.int64) % WIDTH) / WIDTH - 0.5
-    ys = (np.arange(n, dtype=np.int64) // WIDTH) / HEIGHT - 0.5
+    # camera rays looking into the cloud, in 16x16-pixel-tile order so
+    # each 256-ray packet is a tight screen tile (a 2x128 row strip has a
+    # much wider frustum -> more node/leaf visits per packet)
+    px = np.arange(n, dtype=np.int64) % WIDTH
+    py = np.arange(n, dtype=np.int64) // WIDTH
+    tile = (py // 16) * (WIDTH // 16) + (px // 16)
+    order = np.argsort(tile * 256 + (py % 16) * 16 + (px % 16))
+    xs = px[order] / WIDTH - 0.5
+    ys = py[order] / HEIGHT - 0.5
     o = np.zeros((n, 3), np.float32)
     o[:, 2] = 140.0
     d = np.stack([xs * 1.2, ys * 0.7, np.full(n, -1.0)], axis=-1).astype(np.float32)

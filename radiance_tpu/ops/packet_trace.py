@@ -272,11 +272,14 @@ def _run(origin, direction, tmin, tmax, nodef, nodei, kleaf, kprim,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((PACKET, PACKET), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            # node tables: SHAPELESS full-array specs -- giving an
-            # explicit (Nk, 8) block shape makes Mosaic lane-pad the
-            # narrow block to 128 wide (16x the VMEM footprint)
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
+            # node tables: full-array blocks with constant index maps
+            # (fetched once, resident).  NOTE: shapeless BlockSpecs here
+            # flip the whole pallas_call into non-streaming mode, which
+            # scope-allocates the full OUTPUT in VMEM (45MB at 1080p)
+            pl.BlockSpec(nodef.shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(nodei.shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0),
