@@ -293,7 +293,12 @@ def _run(origin, direction, tmin, tmax, nodef, nodei, kleaf, kprim,
             pltpu.VMEM((PACKET, T), i32),
             pltpu.SemaphoreType.DMA,
         ],
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        # raise the scoped-VMEM stack budget from its 16MB default: XLA
+        # stages this kernel's resident tables + operand copies on the
+        # scoped stack (~45MB at 90k nodes, independent of ray count)
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True,
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(lim, planes, feats, eye, nodef, nodei, kleaf)
 
