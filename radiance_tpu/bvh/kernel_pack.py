@@ -29,13 +29,21 @@ a compact VMEM tree plus matmul-shaped leaves):
      all 32 leaf triangles; no per-triangle scalar broadcasts.
 
 Tables (numpy, converted to jax by the DeviceScene assembly):
-  knode_f [Nk, 8]    f32: bounds min.xyz, max.xyz, 2 pad words
-  knode_i [Nk, 4]    i32: (a, esc, ntri, tri_start); ntri == 0 => inner
-                          node with a = left-child row, ntri > 0 => leaf
-                          with a = kleaf row; esc == -1 exits the walk;
-                          tri_start = row of the leaf's first face in
-                          the BLAS face array (faces are contiguous per
-                          collapsed leaf)
+  knode_f [8*Nk, 16] f32: ONE merged row per node -- words 0-5 bounds
+                          min.xyz/max.xyz, words 8-11 the meta
+                          (a, esc, ntri, tri_start) stored as exact f32
+                          integer values (< 2^24; Mosaic pads every
+                          narrow VMEM row the kernel vector-reads to
+                          128 lanes, so splitting bounds/meta into two
+                          tables doubles the padded footprint).  8 node
+                          tables concatenated, one preorder threading
+                          per ray-direction octant (near child first).
+                          ntri == 0 => inner node with a = left-child
+                          row; ntri > 0 => leaf with a = kleaf row;
+                          esc == -1 exits the walk; tri_start = row of
+                          the leaf's first face (contiguous per leaf)
+  knode_i [8*Nk, 4]  i32: the same meta as integers (kept for host-side
+                          tooling/tests; not shipped to the kernel)
   kleaf   [Nl, 16, 4T] f32: the W matrices (lanes [0:T) s0-edges,
                           [T:2T) s1, [2T:3T) s2, [3T:4T) plane num);
                           invalid lanes are all-zero => s = 0, d.n = 0,
@@ -53,13 +61,14 @@ import numpy as np
 
 # Triangles per kernel leaf.  4 * KERNEL_MAX_TRIS must be a multiple of
 # the TPU lane width (128) so each leaf matrix is exactly tile-aligned.
-KERNEL_MAX_TRIS = 32
+KERNEL_MAX_TRIS = 128
 KERNEL_LEAF_LANES = 4 * KERNEL_MAX_TRIS
 
-# VMEM node-table budget: [N, 8] f32 + [N, 4] i32 tables lay out reliably
-# packed below ~200k rows on v5e Mosaic (measured; larger tables trip the
-# compiler into a lane-padded layout that overflows VMEM).
-KERNEL_MAX_NODES = 150_000
+# VMEM node-table budget per octant: the 8 octant-ordered threadings
+# replicate the [N, 8] f32 + [N, 4] i32 node tables (48 B/node each), so
+# the cap keeps 8 * N * 48 B well inside the raised scoped-VMEM budget
+# (ops/packet_trace.py).  1M tris at KERNEL_MAX_TRIS=128 needs ~25k.
+KERNEL_MAX_NODES = 60_000
 
 
 def leaf_matrix(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray,
@@ -147,32 +156,58 @@ def build_kernel_tables(kind, a, b, bot, top, faces, verts3) -> Optional[dict]:
     if nk > KERNEL_MAX_NODES:
         return None
 
-    # --- 2. preorder emission with escape threading ---
-    kb = np.zeros((nk, 8), np.float32)
-    km = np.zeros((nk, 4), np.int32)
+    # --- 2. preorder emission with escape threading, once per ray
+    # direction octant.  A fixed child order makes the packet's t-clip
+    # almost useless (far subtrees are often visited first); emitting 8
+    # threadings -- each descending into the child nearer along the
+    # octant's signs first -- restores near-to-far ordering for the
+    # price of 8 small node tables (the leaf matrices are SHARED: leaf
+    # ids and tri_start are octant-invariant).  Classical technique for
+    # stackless/threaded BVHs; the reference's stack walk gets ordering
+    # for free by pushing the far child (radiance.cl:66-67).
+    centroid = (bot + top) * 0.5
+    leaf_id_of_node = np.full(n, -1, np.int64)
     leaf_rows = []
     leaf_start = []
     leaf_ntri = []
-    stack = [(0, -1)]
-    pos = 0
-    while stack:
-        node, esc = stack.pop()
-        my = pos
-        pos += 1
-        kb[my, 0:3] = bot[node]
-        kb[my, 3:6] = top[node]
-        if is_kleaf[node] or not eff_inner[node]:
-            km[my] = (len(leaf_rows), esc, max(int(ntri[node]), 1),
-                      int(start[node]))
-            leaf_rows.append(my)
-            leaf_start.append(int(start[node]))
-            leaf_ntri.append(int(ntri[node]))
-        else:
-            left, right = int(a[node]), int(b[node])
-            km[my] = (my + 1, esc, 0, 0)
-            stack.append((right, esc))
-            stack.append((left, my + 1 + int(size[left])))
-    assert pos == nk, "kernel tree emission size mismatch"
+
+    kb = np.zeros((8, nk, 16), np.float32)
+    km = np.zeros((8, nk, 4), np.int32)
+    for octant in range(8):
+        sgn = np.array([1 if octant & (1 << k) == 0 else -1
+                        for k in range(3)], np.float32)
+        stack = [(0, -1)]
+        pos = 0
+        while stack:
+            node, esc = stack.pop()
+            my = pos
+            pos += 1
+            kb[octant, my, 0:3] = bot[node]
+            kb[octant, my, 3:6] = top[node]
+            if is_kleaf[node] or not eff_inner[node]:
+                if leaf_id_of_node[node] < 0:
+                    leaf_id_of_node[node] = len(leaf_rows)
+                    leaf_rows.append(node)
+                    leaf_start.append(int(start[node]))
+                    leaf_ntri.append(int(ntri[node]))
+                meta = (int(leaf_id_of_node[node]), esc,
+                        max(int(ntri[node]), 1), int(start[node]))
+                km[octant, my] = meta
+                kb[octant, my, 8:12] = meta
+            else:
+                left, right = int(a[node]), int(b[node])
+                # near child first: larger signed centroid separation
+                delta = (centroid[right] - centroid[left]) * sgn
+                axis = int(np.argmax(np.abs(delta)))
+                near, far = ((left, right) if delta[axis] >= 0
+                             else (right, left))
+                km[octant, my] = (my + 1, esc, 0, 0)
+                kb[octant, my, 8:12] = (my + 1, esc, 0, 0)
+                stack.append((far, esc))
+                stack.append((near, my + 1 + int(size[near])))
+        assert pos == nk, "kernel tree emission size mismatch"
+    kb = kb.reshape(8 * nk, 16)
+    km = km.reshape(8 * nk, 4)
 
     # --- 3. Pluecker leaf matrices ---
     T = KERNEL_MAX_TRIS

@@ -60,13 +60,17 @@ def supports(scene) -> bool:
             and scene.inst_inv.shape[0] == 1)
 
 
-def _kernel(lim_ref, planes_ref, x_ref, eye_ref, nodef_ref, nodei_ref,
+def _kernel(base_ref, lim_ref, planes_ref, x_ref, eye_ref, nodef_ref,
             kleaf_ref, outf_ref,
             w_s, best_t, best_b1, best_b2, best_tri, sem,
             *, any_hit: bool):
     f32, i32 = jnp.float32, jnp.int32
     tmin = lim_ref[0, 0]
     tmax = lim_ref[0, 1]
+    # row base of this packet's direction-octant node table (the 8
+    # near-child-first threadings are concatenated, kernel_pack step 2);
+    # delivered via scalar prefetch (base_ref is the full [npk] array)
+    base = base_ref[pl.program_id(0)]
 
     # ray planes: [SUB, 128] per component (block leading dim is 1)
     ox = planes_ref[0, 0 * SUB:1 * SUB, :]
@@ -84,43 +88,79 @@ def _kernel(lim_ref, planes_ref, x_ref, eye_ref, nodef_ref, nodei_ref,
 
     lanes_t = jax.lax.broadcasted_iota(i32, (PACKET, T), 1)
 
-    def leaf_visit(args):
-        clip, leaf_row, ntri, tri_start = args
-        dma = pltpu.make_async_copy(kleaf_ref.at[leaf_row], w_s, sem)
-        dma.start()
-        dma.wait()
-        m = jnp.dot(x, w_s[:], preferred_element_type=f32,
+    def process_leaf(clip, slot, tri_start, do_clip):
+        """Intersect one staged leaf matrix against the packet (MXU).
+
+        Padding lanes need no explicit mask: their all-zero columns give
+        ssum == 0 -> t = nan -> every window comparison is False."""
+        m = jnp.dot(x, w_s[slot], preferred_element_type=f32,
                     precision=jax.lax.Precision.HIGHEST)   # [PACKET, 4T]
         s0 = m[:, 0 * T:1 * T]
         s1 = m[:, 1 * T:2 * T]
         s2 = m[:, 2 * T:3 * T]
         num = m[:, 3 * T:4 * T]
         ssum = s0 + s1 + s2                         # == d.n exactly
-        smin = jnp.minimum(jnp.minimum(s0, s1), s2)
-        smax = jnp.maximum(jnp.maximum(s0, s1), s2)
-        inside = (smin >= 0.0) | (smax <= 0.0)      # double-sided
+        # inside test via sign bits: all three side products share a
+        # sign (xor of sign bits is 0 pairwise).  Cheaper than the
+        # min/max formulation; boundary hits (s == +-0) are accepted
+        # either way because -0 == +0 in the arithmetic that follows.
+        b0 = jax.lax.bitcast_convert_type(s0, i32)
+        b1_ = jax.lax.bitcast_convert_type(s1, i32)
+        b2_ = jax.lax.bitcast_convert_type(s2, i32)
+        inside = ((b0 ^ b1_) | (b1_ ^ b2_)) >= 0
         rs = 1.0 / ssum
         t = -num * rs                               # ssum==0 -> nan -> miss
-        ok = (inside & (lanes_t < ntri)
-              & (t > tmin) & (t < jnp.minimum(clip, tmax)))
+        ok = inside & (t > tmin) & (t < jnp.minimum(clip, tmax))
         tt = jnp.where(ok, t, _FMAX)
         improve = tt < best_t[:]
         best_t[:] = jnp.where(improve, tt, best_t[:])
         best_b1[:] = jnp.where(improve, s2 * rs, best_b1[:])
         best_b2[:] = jnp.where(improve, s0 * rs, best_b2[:])
         best_tri[:] = jnp.where(improve, tri_start + lanes_t, best_tri[:])
-        # packet interval: max over rays of each ray's best t
-        return jnp.max(jnp.min(best_t[:], axis=1))
+
+        # Packet interval: max over rays of each ray's best t.  The
+        # cross-lane reduction + vector->scalar sync costs ~1us, so it
+        # runs on every 4th leaf only (do_clip); a stale clip loses a
+        # little pruning, never correctness (acceptance also re-checks
+        # against best_t cell-wise).
+        def upd(cl):
+            return jnp.minimum(cl, jnp.max(jnp.min(best_t[:], axis=1)))
+
+        return jax.lax.cond(do_clip, upd, lambda cl: cl, clip)
+
+    # Two-slot leaf pipeline: discovering leaf k starts its DMA into
+    # slot k%2 and only then processes leaf k-1 (whose DMA has been in
+    # flight across the intervening node steps), so HBM latency hides
+    # behind the walk + the previous leaf's MXU work.  The carry holds
+    # the pending leaf's metadata; cnt counts staged leaves.
+    def _leaf_dma(row, slot):
+        return pltpu.make_async_copy(kleaf_ref.at[row], w_s.at[slot],
+                                     sem.at[slot])
+
+    def stage_leaf(args):
+        clip, row, tri_start, p_row, p_start, cnt = args
+        slot = cnt & 1
+        _leaf_dma(row, slot).start()
+
+        def proc(cl):
+            pslot = (cnt - 1) & 1
+            _leaf_dma(p_row, pslot).wait()
+            return process_leaf(cl, pslot, p_start, (cnt & 1) == 1)
+
+        clip = jax.lax.cond(cnt > 0, proc, lambda cl: cl, clip)
+        return clip, row, tri_start, cnt + 1
 
     def body(carry):
-        idx, clip = carry
-        # dynamic *sublane* indexing only: Mosaic forbids dynamic lane
-        # offsets, so each node is one narrow row (8 f32 / 4 i32 wide)
-        bf = nodef_ref[idx, :]                      # [8] f32 node row
-        a_ = nodei_ref[idx, 0]
-        esc = nodei_ref[idx, 1]
-        ntri = nodei_ref[idx, 2]
-        tri_start = nodei_ref[idx, 3]
+        idx, clip, p_row, p_start, cnt = carry
+        # ONE merged 16-word row per node (dynamic *sublane* indexing
+        # only -- Mosaic forbids dynamic lane offsets -- and every
+        # vector-read narrow row is padded to 128 lanes, so bounds and
+        # meta share a row; meta rides as exact f32 integers)
+        bf = nodef_ref[base + idx, :]               # [16] f32 node row
+        a_ = bf[8].astype(i32)
+        esc = bf[9].astype(i32)
+        ntri = bf[10].astype(i32)
+        tri_start = bf[11].astype(i32)
 
         clip_eff = jnp.minimum(clip, tmax)
         t0x = (bf[0] - ox) * ix
@@ -139,18 +179,29 @@ def _kernel(lim_ref, planes_ref, x_ref, eye_ref, nodef_ref, nodei_ref,
         box_hit = jnp.sum(hit.astype(i32)) > 0
 
         is_leaf = ntri > 0
-        clip = jax.lax.cond(is_leaf & box_hit,
-                            leaf_visit,
-                            lambda args: args[0],
-                            (clip, a_, ntri, tri_start))
+        clip, p_row, p_start, cnt = jax.lax.cond(
+            is_leaf & box_hit,
+            stage_leaf,
+            lambda args: (args[0], args[3], args[4], args[5]),
+            (clip, a_, tri_start, p_row, p_start, cnt))
         nxt = jnp.where(is_leaf, esc, jnp.where(box_hit, a_, esc))
         if any_hit:
             # every ray (incl. padding dupes) has a hit -> packet done
             nxt = jnp.where(clip < _FMAX * 0.5, -1, nxt)
-        return nxt, clip
+        return nxt, clip, p_row, p_start, cnt
 
-    jax.lax.while_loop(lambda c: c[0] >= 0, body,
-                       (jnp.int32(0), jnp.float32(_FMAX)))
+    _, clip_f, p_row_f, p_start_f, cnt_f = jax.lax.while_loop(
+        lambda c: c[0] >= 0, body,
+        (jnp.int32(0), jnp.float32(_FMAX), jnp.int32(0), jnp.int32(0),
+         jnp.int32(0)))
+
+    # drain: the last staged leaf is still unprocessed
+    def drain(cl):
+        pslot = (cnt_f - 1) & 1
+        _leaf_dma(p_row_f, pslot).wait()
+        return process_leaf(cl, pslot, p_start_f, jnp.bool_(False))
+
+    jax.lax.cond(cnt_f > 0, drain, lambda cl: cl, clip_f)
 
     # per-ray reduction: min over lanes with first-lane tie-break
     bt = best_t[:]
@@ -260,47 +311,59 @@ def _run(origin, direction, tmin, tmax, nodef, nodei, kleaf, kprim,
                      jnp.float32(tmax)]).reshape(1, 2)
     eye = jnp.eye(PACKET, dtype=f32)
 
+    # per-packet direction octant -> row base into the concatenated
+    # near-child-first node tables (octant from the packet-mean
+    # direction; mixed packets just get a suboptimal-but-correct order)
+    dsum = d.reshape(npk, PACKET, 3).sum(axis=1)
+    oct_ = ((dsum[:, 0] < 0).astype(jnp.int32)
+            + 2 * (dsum[:, 1] < 0).astype(jnp.int32)
+            + 4 * (dsum[:, 2] < 0).astype(jnp.int32))
+    nk_local = nodef.shape[0] // 8
+    base = (oct_ * nk_local).astype(jnp.int32)      # [npk], scalar prefetch
+
     outf = pl.pallas_call(
         kern,
-        grid=(npk,),
-        in_specs=[
-            pl.BlockSpec((1, 2), lambda i: (0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 16, 128), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((PACKET, 16), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((PACKET, PACKET), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            # node tables: full-array blocks with constant index maps
-            # (fetched once, resident).  NOTE: shapeless BlockSpecs here
-            # flip the whole pallas_call into non-streaming mode, which
-            # scope-allocates the full OUTPUT in VMEM (45MB at 1080p)
-            pl.BlockSpec(nodef.shape, lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(nodei.shape, lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
-        out_specs=pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0),
-                               memory_space=pltpu.VMEM),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(npk,),
+            in_specs=[
+                pl.BlockSpec((1, 2), lambda i, b: (0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 16, 128), lambda i, b: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((PACKET, 16), lambda i, b: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((PACKET, PACKET), lambda i, b: (0, 0),
+                             memory_space=pltpu.VMEM),
+                # node tables: full-array blocks with constant index
+                # maps (fetched once, resident).  NOTE: shapeless
+                # BlockSpecs here flip the whole pallas_call into
+                # non-streaming mode, which scope-allocates the full
+                # OUTPUT in VMEM (45MB at 1080p)
+                pl.BlockSpec(nodef.shape, lambda i, b: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=pl.BlockSpec((1, 8, 128), lambda i, b: (i, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((2, 16, KERNEL_LEAF_LANES), f32),  # leaf slots
+                pltpu.VMEM((PACKET, T), f32),
+                pltpu.VMEM((PACKET, T), f32),
+                pltpu.VMEM((PACKET, T), f32),
+                pltpu.VMEM((PACKET, T), i32),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+        ),
         out_shape=jax.ShapeDtypeStruct((npk, 8, 128), f32),
-        scratch_shapes=[
-            pltpu.VMEM((16, KERNEL_LEAF_LANES), f32),
-            pltpu.VMEM((PACKET, T), f32),
-            pltpu.VMEM((PACKET, T), f32),
-            pltpu.VMEM((PACKET, T), f32),
-            pltpu.VMEM((PACKET, T), i32),
-            pltpu.SemaphoreType.DMA,
-        ],
         # raise the scoped-VMEM stack budget from its 16MB default: XLA
         # stages this kernel's resident tables + operand copies on the
         # scoped stack (~45MB at 90k nodes, independent of ray count)
         compiler_params=pltpu.CompilerParams(
             has_side_effects=True,
-            vmem_limit_bytes=100 * 1024 * 1024),
+            vmem_limit_bytes=112 * 1024 * 1024),
         interpret=interpret,
-    )(lim, planes, feats, eye, nodef, nodei, kleaf)
+    )(base, lim, planes, feats, eye, nodef, kleaf)
 
     # decode the [npk, 8, 128] blocks: rows (0,4)=t (1,5)=b1 (2,6)=b2
     # (3,7)=tri; ray i of packet p sits at (p, i // 128, i % 128)
