@@ -130,13 +130,15 @@ def main():
     scene = build_or_load_scene()
     n = WIDTH * HEIGHT
 
-    # camera rays looking into the cloud, in 16x16-pixel-tile order so
-    # each 256-ray packet is a tight screen tile (a 2x128 row strip has a
-    # much wider frustum -> more node/leaf visits per packet)
+    # camera rays looking into the cloud, in square-pixel-tile order so
+    # each packet is a tight screen tile (a row strip has a much wider
+    # frustum -> more node/leaf visits per packet)
+    from radiance_tpu.ops.packet_trace import PACKET
+    ts = max(int(PACKET ** 0.5), 1)
     px = np.arange(n, dtype=np.int64) % WIDTH
     py = np.arange(n, dtype=np.int64) // WIDTH
-    tile = (py // 16) * (WIDTH // 16) + (px // 16)
-    order = np.argsort(tile * 256 + (py % 16) * 16 + (px % 16))
+    tile = (py // ts) * (WIDTH // ts) + (px // ts)
+    order = np.argsort(tile * PACKET + (py % ts) * ts + (px % ts))
     xs = px[order] / WIDTH - 0.5
     ys = py[order] / HEIGHT - 0.5
     o = np.zeros((n, 3), np.float32)

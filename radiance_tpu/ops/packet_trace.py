@@ -49,8 +49,10 @@ from radiance_tpu.ops.intersect import FLT_MAX
 _FMAX = 3.4028235e38  # python float: jnp scalars would be captured consts in the kernel
 from radiance_tpu.ops.traversal import HitRecord
 
-SUB = 2                     # sublanes per ray plane
+SUB = 8                     # sublanes per ray plane
 PACKET = SUB * 128          # rays per packet
+PLANE_ROWS = -(-6 * SUB // 8) * 8   # o.xyz + 1/d.xyz planes, 8-aligned
+OUT_ROWS = 4 * (PACKET // 128)      # t/b1/b2/tri per 128-ray group
 T = KERNEL_MAX_TRIS         # triangles per leaf
 
 
@@ -78,7 +80,7 @@ def _kernel(base_ref, lim_ref, planes_ref, x_ref, eye_ref, nodef_ref,
     oz = planes_ref[0, 2 * SUB:3 * SUB, :]
     ix = planes_ref[0, 3 * SUB:4 * SUB, :]
     iy = planes_ref[0, 4 * SUB:5 * SUB, :]
-    iz = planes_ref[0, 5 * SUB:6 * SUB, :]
+    iz = planes_ref[0, 5 * SUB:6 * SUB, :]  # noqa: E221
     x = x_ref[:]                                    # [PACKET, 16]
 
     best_t[:] = jnp.full((PACKET, T), _FMAX, f32)
@@ -228,14 +230,12 @@ def _kernel(base_ref, lim_ref, planes_ref, x_ref, eye_ref, nodef_ref,
         [pr[:, None], b1[:, None], b2[:, None],
          tri.astype(f32)[:, None]], axis=1)             # [PACKET, 4]
     dn = (((0,), (0,)), ((), ()))
-    half0 = jax.lax.dot_general(
-        prs, eye_ref[:, 0:128], dn, preferred_element_type=f32,
-        precision=jax.lax.Precision.HIGHEST)            # [4, 128]
-    half1 = jax.lax.dot_general(
-        prs, eye_ref[:, 128:256], dn, preferred_element_type=f32,
-        precision=jax.lax.Precision.HIGHEST)
-    outf_ref[0, 0:4, :] = half0
-    outf_ref[0, 4:8, :] = half1
+    for j in range(PACKET // 128):
+        blk = jax.lax.dot_general(
+            prs, eye_ref[:, j * 128:(j + 1) * 128], dn,
+            preferred_element_type=f32,
+            precision=jax.lax.Precision.HIGHEST)        # [4, 128]
+        outf_ref[0, 4 * j:4 * j + 4, :] = blk
 
 
 def trace_rays_packet(scene, origin, direction, tmin, tmax,
@@ -303,10 +303,11 @@ def _run(origin, direction, tmin, tmax, nodef, nodei, kleaf, kprim,
     def plane(c):
         return c.reshape(npk, SUB, 128)
 
-    planes = jnp.concatenate(
-        [plane(o[:, 0]), plane(o[:, 1]), plane(o[:, 2]),
-         plane(invd[:, 0]), plane(invd[:, 1]), plane(invd[:, 2]),
-         jnp.zeros((npk, 16 - 6 * SUB, 128), f32)], axis=1)
+    comps = [plane(o[:, 0]), plane(o[:, 1]), plane(o[:, 2]),
+             plane(invd[:, 0]), plane(invd[:, 1]), plane(invd[:, 2])]
+    if PLANE_ROWS > 6 * SUB:
+        comps.append(jnp.zeros((npk, PLANE_ROWS - 6 * SUB, 128), f32))
+    planes = jnp.concatenate(comps, axis=1)
     lim = jnp.stack([jnp.float32(tmin),
                      jnp.float32(tmax)]).reshape(1, 2)
     eye = jnp.eye(PACKET, dtype=f32)
@@ -329,7 +330,7 @@ def _run(origin, direction, tmin, tmax, nodef, nodei, kleaf, kprim,
             in_specs=[
                 pl.BlockSpec((1, 2), lambda i, b: (0, 0),
                              memory_space=pltpu.SMEM),
-                pl.BlockSpec((1, 16, 128), lambda i, b: (i, 0, 0),
+                pl.BlockSpec((1, PLANE_ROWS, 128), lambda i, b: (i, 0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((PACKET, 16), lambda i, b: (i, 0),
                              memory_space=pltpu.VMEM),
@@ -344,7 +345,8 @@ def _run(origin, direction, tmin, tmax, nodef, nodei, kleaf, kprim,
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec(memory_space=pl.ANY),
             ],
-            out_specs=pl.BlockSpec((1, 8, 128), lambda i, b: (i, 0, 0),
+            out_specs=pl.BlockSpec((1, OUT_ROWS, 128),
+                                   lambda i, b: (i, 0, 0),
                                    memory_space=pltpu.VMEM),
             scratch_shapes=[
                 pltpu.VMEM((2, 16, KERNEL_LEAF_LANES), f32),  # leaf slots
@@ -355,7 +357,7 @@ def _run(origin, direction, tmin, tmax, nodef, nodei, kleaf, kprim,
                 pltpu.SemaphoreType.DMA((2,)),
             ],
         ),
-        out_shape=jax.ShapeDtypeStruct((npk, 8, 128), f32),
+        out_shape=jax.ShapeDtypeStruct((npk, OUT_ROWS, 128), f32),
         # raise the scoped-VMEM stack budget from its 16MB default: XLA
         # stages this kernel's resident tables + operand copies on the
         # scoped stack (~45MB at 90k nodes, independent of ray count)
@@ -365,10 +367,10 @@ def _run(origin, direction, tmin, tmax, nodef, nodei, kleaf, kprim,
         interpret=interpret,
     )(base, lim, planes, feats, eye, nodef, kleaf)
 
-    # decode the [npk, 8, 128] blocks: rows (0,4)=t (1,5)=b1 (2,6)=b2
-    # (3,7)=tri; ray i of packet p sits at (p, i // 128, i % 128)
+    # decode the [npk, OUT_ROWS, 128] blocks: ray i of packet p carries
+    # field r at (p, 4 * (i // 128) + r, i % 128)
     def field(r):
-        return outf[:, (r, r + 4), :].reshape(-1)[:n]
+        return outf[:, r::4, :].reshape(-1)[:n]
 
     t = field(0)
     hit = t < FLT_MAX
