@@ -37,6 +37,11 @@ KIND_INNER = 0
 KIND_TRI_LEAF = 1
 KIND_INST_LEAF = 2
 
+# Scenes with at most this many instances get per-BLAS packet-kernel
+# tables for instance-sequential sweeps (each sweep retraces the whole
+# wavefront against one BLAS, so the cost is linear in instance count).
+MAX_KERNEL_INSTANCES = 16
+
 
 @struct.dataclass
 class DeviceScene:
@@ -71,11 +76,17 @@ class DeviceScene:
     bundle_packed: jnp.ndarray   # [Nb, W, 12] f32
 
     # --- optional Pallas packet-kernel tables (bvh/kernel_pack.py);
-    # present for single-instance/single-BLAS scenes within kernel limits
-    knode_f: Optional[jnp.ndarray] = None   # [Nk, 8] f32
-    knode_i: Optional[jnp.ndarray] = None   # [Nk, 4] i32
+    # singleton fields for the single-instance fast path, kblas for
+    # instance-sequential sweeps over few-instance scenes
+    knode_f: Optional[jnp.ndarray] = None   # [8*Nk, 16] f32 merged rows
+    knode_i: Optional[jnp.ndarray] = None   # [8*Nk, 4] i32
     kleaf: Optional[jnp.ndarray] = None     # [Nl, 16, 4T] f32
     kprim: Optional[jnp.ndarray] = None     # [Nf + T] i32
+    # per unique BLAS: (knode_f, kleaf, kprim); inst_kblas maps each
+    # instance slot to its kblas entry (static python tuple)
+    kblas: Optional[tuple] = None
+    inst_kblas: Optional[tuple] = struct.field(
+        pytree_node=False, default=None)
 
 META_A_MASK = (1 << 26) - 1
 META_COUNT_SHIFT = 26
@@ -302,17 +313,28 @@ def build_device_scene(tlas_nodes: np.ndarray,
     node_base = len(tlas.kind)
     bundle_base = 0
     ktables = None
+    kblas_by_offset = {}
+    # packet-kernel tables are built per unique BLAS when the instance
+    # count is small enough for instance-sequential kernel sweeps
+    # (ops/packet_trace.trace_rays_packet_multi)
+    want_ktables = (len(device_instances) == 1
+                    or len(device_instances) <= MAX_KERNEL_INSTANCES)
     for off in sorted(blas_by_offset.keys()):
         nodes, faces, verts = blas_by_offset[off]
         verts3 = np.ascontiguousarray(np.asarray(verts, np.float32)[:, :3])
         t = _decode_nodes(nodes, KIND_TRI_LEAF)
         _split_oversized_leaves(t, leaf_width)
-        if len(blas_by_offset) == 1 and len(device_instances) == 1:
-            # single-instance fast path: derive the Pallas packet-kernel
-            # tables before _bundle_triangles rewrites leaf start indices
+        if want_ktables:
+            # derive the Pallas packet-kernel tables before
+            # _bundle_triangles rewrites leaf start indices
             from radiance_tpu.bvh import kernel_pack
-            ktables = kernel_pack.build_kernel_tables(
+            kt = kernel_pack.build_kernel_tables(
                 t.kind, t.a, t.b, t.bot, t.top, faces, verts3)
+            kblas_by_offset[off] = kt
+            if kt is None:
+                want_ktables = False  # one oversized BLAS disables all
+            elif len(blas_by_offset) == 1 and len(device_instances) == 1:
+                ktables = kt
         v0, e1, e2, prim = _bundle_triangles(t, faces, verts3, leaf_width,
                                              bundle_base)
         bundle_base += len(v0)
@@ -410,6 +432,15 @@ def build_device_scene(tlas_nodes: np.ndarray,
         knode_i=None if ktables is None else jnp.asarray(ktables["knode_i"]),
         kleaf=None if ktables is None else jnp.asarray(ktables["kleaf"]),
         kprim=None if ktables is None else jnp.asarray(ktables["kprim"]),
+        kblas=(None if not want_ktables else tuple(
+            (jnp.asarray(kblas_by_offset[off]["knode_f"]),
+             jnp.asarray(kblas_by_offset[off]["kleaf"]),
+             jnp.asarray(kblas_by_offset[off]["kprim"]))
+            for off in sorted(blas_by_offset.keys()))),
+        inst_kblas=(None if not want_ktables else tuple(
+            sorted(blas_by_offset.keys()).index(
+                int(r["bottomAccelStructOffset"]))
+            for r in device_instances)),
     )
 
 

@@ -55,10 +55,13 @@ def _trace_dispatch(scene, o, d, tmin, tmax, *, any_hit_terminate=False,
     import jax as _jax
     from radiance_tpu.ops import packet_trace
 
-    if (any_hit_program is None and packet_trace.supports(scene)
-            and _jax.default_backend() == "tpu"):
-        return packet_trace.trace_rays_packet(
-            scene, o, d, tmin, tmax, any_hit=any_hit_terminate)
+    if any_hit_program is None and _jax.default_backend() == "tpu":
+        if packet_trace.supports(scene):
+            return packet_trace.trace_rays_packet(
+                scene, o, d, tmin, tmax, any_hit=any_hit_terminate)
+        if packet_trace.supports_multi(scene):
+            return packet_trace.trace_rays_packet_multi(
+                scene, o, d, tmin, tmax, any_hit=any_hit_terminate)
     return traversal.trace_rays(scene, o, d, tmin, tmax,
                                 any_hit_terminate=any_hit_terminate,
                                 any_hit_program=any_hit_program)

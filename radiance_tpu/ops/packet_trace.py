@@ -57,9 +57,53 @@ T = KERNEL_MAX_TRIS         # triangles per leaf
 
 
 def supports(scene) -> bool:
-    """True when the packet kernel can trace this DeviceScene."""
+    """True when the single-instance packet fast path applies."""
     return (getattr(scene, "knode_f", None) is not None
             and scene.inst_inv.shape[0] == 1)
+
+
+def supports_multi(scene) -> bool:
+    """True when instance-sequential packet sweeps apply: every unique
+    BLAS has kernel tables and the instance count is small (the cost is
+    one full-wavefront sweep per instance)."""
+    return (getattr(scene, "kblas", None) is not None
+            and scene.inst_kblas is not None
+            and len(scene.inst_kblas) >= 1)
+
+
+def trace_rays_packet_multi(scene, origin, direction, tmin, tmax,
+                            any_hit: bool = False,
+                            interpret=None) -> HitRecord:
+    """Multi-instance packet tracing: one kernel sweep per instance in
+    its object space, hits min-combined across instances.
+
+    The reference walks a TLAS per ray (radiance.cl:110-192); with few
+    instances a TLAS prunes almost nothing, so the TPU-shaped plan is
+    instance-sequential whole-wavefront sweeps (each one MXU/VPU dense),
+    keeping per-ray state to a running (t, prim, slot)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    n = origin.shape[0]
+    best = None
+    for slot, bi in enumerate(scene.inst_kblas):
+        nodef, kleaf, kprim = scene.kblas[bi]
+        rec = _run(origin, direction, tmin, tmax, nodef, None, kleaf,
+                   kprim, scene.inst_inv[slot], any_hit=any_hit,
+                   interpret=interpret)
+        rec = HitRecord(t=rec.t, prim=rec.prim,
+                        slot=jnp.where(rec.hit, slot, -1),
+                        b1=rec.b1, b2=rec.b2)
+        if best is None:
+            best = rec
+        else:
+            take = rec.t < best.t
+            best = HitRecord(
+                t=jnp.where(take, rec.t, best.t),
+                prim=jnp.where(take, rec.prim, best.prim),
+                slot=jnp.where(take, rec.slot, best.slot),
+                b1=jnp.where(take, rec.b1, best.b1),
+                b2=jnp.where(take, rec.b2, best.b2))
+    return best
 
 
 def _kernel(base_ref, lim_ref, planes_ref, x_ref, eye_ref, nodef_ref,

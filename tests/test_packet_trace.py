@@ -153,3 +153,55 @@ def test_multi_instance_not_supported():
         insts.append(types.Instance(m, 0, i, blas))
     ds = accel.BuildTopAccelStruct(insts).device_scene()
     assert not packet_trace.supports(ds)
+    assert packet_trace.supports_multi(ds)  # few instances: sweep path
+
+
+def test_multi_instance_packet_sweeps():
+    """Instance-sequential kernel sweeps vs the XLA two-level walk."""
+    rng = np.random.default_rng(31)
+    mesh1 = random_mesh(rng, 120, spread=2.0)
+    mesh2 = random_mesh(rng, 80, spread=2.0)
+    blas1 = accel.BuildBottomAccelStruct(mesh1)
+    blas2 = accel.BuildBottomAccelStruct(mesh2)
+
+    def tf(tx, ty, tz, ry=0.0, s=1.0):
+        c, si = np.cos(ry), np.sin(ry)
+        return np.array([
+            [c * s, 0, si * s, tx],
+            [0, s, 0, ty],
+            [-si * s, 0, c * s, tz],
+            [0, 0, 0, 1]], np.float32)
+
+    instances = [
+        types.Instance(tf(0, 0, 0), 0, 0, blas1),
+        types.Instance(tf(6, 1, -2, ry=0.7), 0, 1, blas2),
+        types.Instance(tf(-6, -1, 3, ry=1.9, s=1.5), 2, 2, blas1),
+    ]
+    ds = accel.BuildTopAccelStruct(instances).device_scene()
+    assert not packet_trace.supports(ds)
+    assert packet_trace.supports_multi(ds)
+    assert ds.inst_kblas == (0, 1, 0)  # blas1 shared by slots 0 and 2
+
+    rng2 = np.random.default_rng(5)
+    o, d = gen_rays(rng2, 300, spread=9.0)
+    o, d = jnp.asarray(o), jnp.asarray(d)
+    ref = traversal.trace_rays(ds, o, d, 1e-3, 1e3)
+    got = packet_trace.trace_rays_packet_multi(
+        ds, o, d, jnp.float32(1e-3), jnp.float32(1e3))
+
+    t_ref, t_got = np.asarray(ref.t), np.asarray(got.t)
+    hit_ref, hit_got = t_ref < FLT_MAX, t_got < FLT_MAX
+    assert (hit_ref == hit_got).mean() > 0.99
+    both = hit_ref & hit_got
+    np.testing.assert_allclose(t_got[both], t_ref[both], rtol=3e-3,
+                               atol=2e-4)
+    same = both & (np.abs(t_got - t_ref) < 1e-5)
+    assert (np.asarray(got.slot)[same]
+            == np.asarray(ref.slot)[same]).mean() > 0.98
+    assert (np.asarray(got.prim)[same]
+            == np.asarray(ref.prim)[same]).mean() > 0.98
+
+    # occlusion mode agrees on hit/miss
+    occ = packet_trace.trace_rays_packet_multi(
+        ds, o, d, jnp.float32(1e-3), jnp.float32(1e3), any_hit=True)
+    np.testing.assert_array_equal(np.asarray(occ.hit), hit_got)
