@@ -6,31 +6,39 @@ A GPU hides divergent pointer-chasing with thousands of threads; a TPU
 core has one scalar unit + one vector unit, so per-ray traversal is
 restructured as *packet* traversal:
 
-  - Rays are grouped into packets of PACKET=256 (a [2, 128] VPU tile per
-    scalar component).  Each packet walks the escape-threaded BVH with a
-    SINGLE scalar node cursor; a node is entered when ANY ray in the
-    packet hits its AABB (conservative union -- classical packet
-    traversal).  Measured on v5e: ~14 ns per packet step (scalar node
-    row read + 6-plane slab test over 256 rays + any() reduce).
-  - The collapsed node table (bvh/kernel_pack.py) lives fully in VMEM,
-    so node visits never touch HBM.
-  - Leaf intersection runs on the MXU: each leaf is a [16, 128] Pluecker
-    matrix W (kernel_pack.leaf_matrix) DMA'd from HBM, and one
-    [256, 16] @ [16, 128] matmul produces the three edge side-products
-    and the plane numerator for all 256 rays x 32 triangles at once.
-    t, hit mask, and barycentrics follow from ~20 elementwise VPU ops
-    on [256, 32] tiles; no per-triangle scalar broadcasts.
-  - Per-(ray, lane) running best hit is kept in VMEM scratch and
-    reduced to per-ray answers once per packet.
+  - Rays are grouped into packets of PACKET = SUB*128 (an [SUB, 128]
+    VPU tile per scalar component; a 32x32 pixel tile at SUB=8).  Each
+    packet walks an escape-threaded BVH with a SINGLE scalar node
+    cursor; a node is entered when ANY ray in the packet hits its AABB
+    (conservative union -- classical packet traversal).
+  - The collapsed node table (bvh/kernel_pack.py) lives fully in VMEM
+    as merged 16-word rows, replicated per ray-direction octant with
+    near-child-first threading; the packet's octant is chosen per grid
+    step via scalar prefetch.
+  - Leaf intersection runs on the MXU: each leaf is a [16, 4T] Pluecker
+    matrix W (kernel_pack.leaf_matrix); one [PACKET, 16] @ [16, 4T]
+    matmul produces the three edge side-products and the plane
+    numerator for all rays x T triangles at once.  t, hit mask, and
+    barycentrics follow from ~20 elementwise VPU ops; no per-triangle
+    scalar broadcasts.  Leaf matrices are DMA'd from HBM through a
+    two-slot pipeline (leaf k's DMA flies while leaf k-1 computes).
+  - Per-(ray, lane) running best hit lives in VMEM scratch, reduced to
+    per-ray answers once per packet; results leave as tile-aligned
+    [OUT_ROWS, 128] blocks, transposed sublane->lane with exact
+    identity matmuls.
   - The packet's t-clip is the max over rays of each ray's best t
-    (the classical packet interval), recomputed after each leaf visit;
-    it both prunes AABBs and terminates any-hit packets early.
+    (the classical packet interval), refreshed every 2nd leaf (the
+    cross-lane reduce + scalar sync is the priciest leaf op); it both
+    prunes AABBs and terminates any-hit packets early.
 
-The kernel handles a single-BLAS scene in object space; the wrapper
-transforms world rays by the (single) instance inverse before the call,
-which is exact because the traversal parameter t is invariant under the
-affine instance map.  Multi-instance scenes fall back to
-ops/traversal.trace_rays (the XLA wavefront path).
+Single-instance scenes trace in the instance's object space (the
+wrapper applies the inverse transform; the traversal parameter t is
+invariant under affine maps).  Few-instance scenes run one kernel sweep
+per instance (trace_rays_packet_multi); everything else falls back to
+ops/traversal.trace_rays (the XLA wavefront walk).
+
+Measured on v5e (1M tris, 1080p, tile-ordered): 6.9 Mrays/s sustained
+over primary+bounce+shadow waves; pure node stepping ~30-38 Mrays/s.
 """
 
 from __future__ import annotations
