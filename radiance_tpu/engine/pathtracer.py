@@ -78,11 +78,14 @@ def _traced_wavefront(scene, o, d, tmin, tmax, alive, sort_key=None,
     (ops/traversal lax.map) trailing all-dead chunks retire in one
     iteration; within a chunk, parked lanes never gate convergence.
     """
-    key = jnp.where(alive, 0, 1).astype(jnp.int32)
-    if sort_key is not None:
-        # live rays grouped by material/shader key (the reference's SBT
-        # switch becomes contiguous runs, shader.cl:574-605)
-        key = key * (sort_key.max() + 2) + jnp.where(alive, sort_key, 0)
+    if sort_key is None:
+        # default: group live rays into traversal-coherent packets
+        # (direction octant + origin Morton); dead lanes sort last.
+        # GGX-sampled bounce directions are incoherent in pixel order,
+        # which is the worst case for packet-union traversal.
+        from radiance_tpu.ops import packet_trace
+        sort_key = packet_trace.coherence_key(o, d)
+    key = jnp.where(alive, sort_key, jnp.int32(2 ** 31 - 1))
     perm = jnp.argsort(key, stable=True).astype(jnp.int32)
     o_c = o[perm]
     d_c = d[perm]

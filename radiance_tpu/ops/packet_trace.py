@@ -95,7 +95,7 @@ def trace_rays_packet_multi(scene, origin, direction, tmin, tmax,
     best = None
     for slot, bi in enumerate(scene.inst_kblas):
         nodef, kleaf, kprim = scene.kblas[bi]
-        rec = _run(origin, direction, tmin, tmax, nodef, None, kleaf,
+        rec = _run(origin, direction, tmin, tmax, nodef, kleaf,
                    kprim, scene.inst_inv[slot], any_hit=any_hit,
                    interpret=interpret)
         rec = HitRecord(t=rec.t, prim=rec.prim,
@@ -290,6 +290,50 @@ def _kernel(base_ref, lim_ref, planes_ref, x_ref, eye_ref, nodef_ref,
         outf_ref[0, 4 * j:4 * j + 4, :] = blk
 
 
+def _part1by2(v):
+    """Spread 10 bits to every 3rd bit (Morton interleave helper)."""
+    v = v & 0x3FF
+    v = (v | (v << 16)) & 0x30000FF
+    v = (v | (v << 8)) & 0x300F00F
+    v = (v | (v << 4)) & 0x30C30C3
+    v = (v | (v << 2)) & 0x9249249
+    return v
+
+
+def coherence_key(origin, direction):
+    """Sort key grouping rays into traversal-coherent packets: direction
+    octant (major) then a 30-bit Morton code of the origin.  Secondary
+    waves (bounce/shadow) arrive in pixel order with scattered origins
+    and directions; packets of union-frustum traversal degrade badly on
+    them, and a cheap global sort restores most of the coherence (the
+    ray-reordering idea of the wavefront literature, PAPERS.md)."""
+    oct_ = ((direction[:, 0] < 0).astype(jnp.int32)
+            + 2 * (direction[:, 1] < 0).astype(jnp.int32)
+            + 4 * (direction[:, 2] < 0).astype(jnp.int32))
+    lo = jnp.min(origin, axis=0)
+    hi = jnp.max(origin, axis=0)
+    q = ((origin - lo) / jnp.maximum(hi - lo, 1e-20) * 1023.0)
+    q = jnp.clip(q, 0.0, 1023.0).astype(jnp.int32)
+    morton = (_part1by2(q[:, 0]) | (_part1by2(q[:, 1]) << 1)
+              | (_part1by2(q[:, 2]) << 2))
+    # (oct << 28) + (morton >> 2) stays inside int32
+    return (oct_ << 28) + (morton >> 2)
+
+
+def trace_rays_packet_sorted(scene, origin, direction, tmin, tmax,
+                             any_hit: bool = False,
+                             interpret=None) -> HitRecord:
+    """trace_rays_packet over coherence-sorted rays (results unsorted
+    back to caller order)."""
+    perm = jnp.argsort(coherence_key(origin, direction)).astype(jnp.int32)
+    rec = trace_rays_packet(scene, origin[perm], direction[perm],
+                            tmin, tmax, any_hit=any_hit,
+                            interpret=interpret)
+    inv = jnp.zeros_like(perm).at[perm].set(
+        jnp.arange(perm.shape[0], dtype=jnp.int32))
+    return jax.tree_util.tree_map(lambda x: x[inv], rec)
+
+
 def trace_rays_packet(scene, origin, direction, tmin, tmax,
                       any_hit: bool = False, interpret=None) -> HitRecord:
     """Trace a wavefront through the packet kernel, traceable under an
@@ -303,7 +347,7 @@ def trace_rays_packet(scene, origin, direction, tmin, tmax,
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     return _run(origin, direction, tmin, tmax,
-                scene.knode_f, scene.knode_i, scene.kleaf, scene.kprim,
+                scene.knode_f, scene.kleaf, scene.kprim,
                 scene.inst_inv[0], any_hit=any_hit, interpret=interpret)
 
 
@@ -321,8 +365,7 @@ def build_tracer(scene, any_hit: bool = False, interpret=None):
                          "with kernel tables (see kernel_pack.py)")
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    tables = (scene.knode_f, scene.knode_i, scene.kleaf, scene.kprim,
-              scene.inst_inv[0])
+    tables = (scene.knode_f, scene.kleaf, scene.kprim, scene.inst_inv[0])
     jrun = jax.jit(functools.partial(_run, any_hit=any_hit,
                                      interpret=interpret))
 
@@ -332,7 +375,7 @@ def build_tracer(scene, any_hit: bool = False, interpret=None):
     return run
 
 
-def _run(origin, direction, tmin, tmax, nodef, nodei, kleaf, kprim,
+def _run(origin, direction, tmin, tmax, nodef, kleaf, kprim,
          inv0, *, any_hit: bool, interpret: bool):
     f32, i32 = jnp.float32, jnp.int32
     inst_slot = jnp.int32(0)
