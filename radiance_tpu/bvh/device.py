@@ -82,6 +82,7 @@ class DeviceScene:
     knode_i: Optional[jnp.ndarray] = None   # [8*Nk, 4] i32
     kleaf: Optional[jnp.ndarray] = None     # [Nl, 16, 4T] f32
     kprim: Optional[jnp.ndarray] = None     # [Nf + T] i32
+    ktri_geo: Optional[jnp.ndarray] = None  # [Nf + T, 9] f32 (v0,e1,e2)
     # per unique BLAS: (knode_f, kleaf, kprim); inst_kblas maps each
     # instance slot to its kblas entry (static python tuple)
     kblas: Optional[tuple] = None
@@ -432,10 +433,13 @@ def build_device_scene(tlas_nodes: np.ndarray,
         knode_i=None if ktables is None else jnp.asarray(ktables["knode_i"]),
         kleaf=None if ktables is None else jnp.asarray(ktables["kleaf"]),
         kprim=None if ktables is None else jnp.asarray(ktables["kprim"]),
+        ktri_geo=(None if ktables is None
+                  else jnp.asarray(ktables["ktri_geo"])),
         kblas=(None if not want_ktables else tuple(
             (jnp.asarray(kblas_by_offset[off]["knode_f"]),
              jnp.asarray(kblas_by_offset[off]["kleaf"]),
-             jnp.asarray(kblas_by_offset[off]["kprim"]))
+             jnp.asarray(kblas_by_offset[off]["kprim"]),
+             jnp.asarray(kblas_by_offset[off]["ktri_geo"]))
             for off in sorted(blas_by_offset.keys()))),
         inst_kblas=(None if not want_ktables else tuple(
             sorted(blas_by_offset.keys()).index(

@@ -51,6 +51,11 @@ Tables (numpy, converted to jax by the DeviceScene assembly):
   kprim   [Nf + T]   i32: face-order primID (what HitRecord.prim wants),
                           padded with -1 so tri_start+lane never reads
                           out of bounds
+  ktri_geo [Nf + T, 9] f32: per-face (v0, e1, e2) in face order, used by
+                          the wrapper to recompute barycentrics for the
+                          winning triangle only (the kernel tracks just
+                          t + face id, halving its per-leaf scratch
+                          read-modify-writes)
 """
 
 from __future__ import annotations
@@ -240,4 +245,13 @@ def build_kernel_tables(kind, a, b, bot, top, faces, verts3) -> Optional[dict]:
     kprim = np.full(len(faces) + T, -1, np.int32)
     kprim[:len(faces)] = faces["primID"].astype(np.int32)
 
-    return dict(knode_f=kb, knode_i=km, kleaf=kleaf, kprim=kprim)
+    ktri_geo = np.zeros((len(faces) + T, 9), np.float32)
+    fv0 = verts3[faces["idx0"].astype(np.int64)]
+    ktri_geo[:len(faces), 0:3] = fv0
+    ktri_geo[:len(faces), 3:6] = (
+        verts3[faces["idx1"].astype(np.int64)] - fv0)
+    ktri_geo[:len(faces), 6:9] = (
+        verts3[faces["idx2"].astype(np.int64)] - fv0)
+
+    return dict(knode_f=kb, knode_i=km, kleaf=kleaf, kprim=kprim,
+                ktri_geo=ktri_geo)

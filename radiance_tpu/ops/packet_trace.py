@@ -60,7 +60,7 @@ from radiance_tpu.ops.traversal import HitRecord
 SUB = 8                     # sublanes per ray plane
 PACKET = SUB * 128          # rays per packet
 PLANE_ROWS = -(-6 * SUB // 8) * 8   # o.xyz + 1/d.xyz planes, 8-aligned
-OUT_ROWS = 4 * (PACKET // 128)      # t/b1/b2/tri per 128-ray group
+OUT_ROWS = 2 * (PACKET // 128)      # t/tri per 128-ray group
 T = KERNEL_MAX_TRIS         # triangles per leaf
 
 
@@ -94,10 +94,10 @@ def trace_rays_packet_multi(scene, origin, direction, tmin, tmax,
     n = origin.shape[0]
     best = None
     for slot, bi in enumerate(scene.inst_kblas):
-        nodef, kleaf, kprim = scene.kblas[bi]
+        nodef, kleaf, kprim, ktri_geo = scene.kblas[bi]
         rec = _run(origin, direction, tmin, tmax, nodef, kleaf,
-                   kprim, scene.inst_inv[slot], any_hit=any_hit,
-                   interpret=interpret)
+                   kprim, ktri_geo, scene.inst_inv[slot],
+                   any_hit=any_hit, interpret=interpret)
         rec = HitRecord(t=rec.t, prim=rec.prim,
                         slot=jnp.where(rec.hit, slot, -1),
                         b1=rec.b1, b2=rec.b2)
@@ -116,7 +116,7 @@ def trace_rays_packet_multi(scene, origin, direction, tmin, tmax,
 
 def _kernel(base_ref, lim_ref, planes_ref, x_ref, eye_ref, nodef_ref,
             kleaf_ref, outf_ref,
-            w_s, best_t, best_b1, best_b2, best_tri, sem,
+            w_s, best_t, best_tri, sem,
             *, any_hit: bool):
     f32, i32 = jnp.float32, jnp.int32
     tmin = lim_ref[0, 0]
@@ -136,8 +136,6 @@ def _kernel(base_ref, lim_ref, planes_ref, x_ref, eye_ref, nodef_ref,
     x = x_ref[:]                                    # [PACKET, 16]
 
     best_t[:] = jnp.full((PACKET, T), _FMAX, f32)
-    best_b1[:] = jnp.zeros((PACKET, T), f32)
-    best_b2[:] = jnp.zeros((PACKET, T), f32)
     best_tri[:] = jnp.full((PACKET, T), -1, i32)
 
     lanes_t = jax.lax.broadcasted_iota(i32, (PACKET, T), 1)
@@ -162,14 +160,14 @@ def _kernel(base_ref, lim_ref, planes_ref, x_ref, eye_ref, nodef_ref,
         b1_ = jax.lax.bitcast_convert_type(s1, i32)
         b2_ = jax.lax.bitcast_convert_type(s2, i32)
         inside = ((b0 ^ b1_) | (b1_ ^ b2_)) >= 0
-        rs = 1.0 / ssum
-        t = -num * rs                               # ssum==0 -> nan -> miss
+        t = -num / ssum                             # ssum==0 -> nan -> miss
         ok = inside & (t > tmin) & (t < jnp.minimum(clip, tmax))
         tt = jnp.where(ok, t, _FMAX)
         improve = tt < best_t[:]
+        # only (t, face id) are tracked per (ray, lane); barycentrics of
+        # the single winning triangle are recomputed by the wrapper from
+        # ktri_geo, saving two [PACKET, T] read-modify-writes per leaf
         best_t[:] = jnp.where(improve, tt, best_t[:])
-        best_b1[:] = jnp.where(improve, s2 * rs, best_b1[:])
-        best_b2[:] = jnp.where(improve, s0 * rs, best_b2[:])
         best_tri[:] = jnp.where(improve, tri_start + lanes_t, best_tri[:])
 
         # Packet interval: max over rays of each ray's best t.  The
@@ -263,11 +261,7 @@ def _kernel(base_ref, lim_ref, planes_ref, x_ref, eye_ref, nodef_ref,
     match = bt == pr[:, None]
     jmin = jnp.min(jnp.where(match, lanes_t, T), axis=1)
     first = lanes_t == jmin[:, None]
-    ff = first.astype(f32)
-    fi = first.astype(i32)
-    b1 = jnp.sum(best_b1[:] * ff, axis=1)
-    b2 = jnp.sum(best_b2[:] * ff, axis=1)
-    tri = jnp.sum(best_tri[:] * fi, axis=1)
+    tri = jnp.sum(best_tri[:] * first.astype(i32), axis=1)
     # Results leave as ONE tile-aligned [8, 128] block per packet
     # through the normal streamed-output path.  Two constraints force
     # this shape: narrow [PACKET, 4] output blocks make XLA
@@ -279,15 +273,14 @@ def _kernel(base_ref, lim_ref, planes_ref, x_ref, eye_ref, nodef_ref,
     # 0-127, then the same for rays 128-255; tri rides as f32 (exact
     # for |tri| < 2^24).
     prs = jnp.concatenate(
-        [pr[:, None], b1[:, None], b2[:, None],
-         tri.astype(f32)[:, None]], axis=1)             # [PACKET, 4]
+        [pr[:, None], tri.astype(f32)[:, None]], axis=1)  # [PACKET, 2]
     dn = (((0,), (0,)), ((), ()))
     for j in range(PACKET // 128):
         blk = jax.lax.dot_general(
             prs, eye_ref[:, j * 128:(j + 1) * 128], dn,
             preferred_element_type=f32,
-            precision=jax.lax.Precision.HIGHEST)        # [4, 128]
-        outf_ref[0, 4 * j:4 * j + 4, :] = blk
+            precision=jax.lax.Precision.HIGHEST)        # [2, 128]
+        outf_ref[0, 2 * j:2 * j + 2, :] = blk
 
 
 def _part1by2(v):
@@ -347,7 +340,7 @@ def trace_rays_packet(scene, origin, direction, tmin, tmax,
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     return _run(origin, direction, tmin, tmax,
-                scene.knode_f, scene.kleaf, scene.kprim,
+                scene.knode_f, scene.kleaf, scene.kprim, scene.ktri_geo,
                 scene.inst_inv[0], any_hit=any_hit, interpret=interpret)
 
 
@@ -365,7 +358,8 @@ def build_tracer(scene, any_hit: bool = False, interpret=None):
                          "with kernel tables (see kernel_pack.py)")
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    tables = (scene.knode_f, scene.kleaf, scene.kprim, scene.inst_inv[0])
+    tables = (scene.knode_f, scene.kleaf, scene.kprim, scene.ktri_geo,
+              scene.inst_inv[0])
     jrun = jax.jit(functools.partial(_run, any_hit=any_hit,
                                      interpret=interpret))
 
@@ -375,7 +369,7 @@ def build_tracer(scene, any_hit: bool = False, interpret=None):
     return run
 
 
-def _run(origin, direction, tmin, tmax, nodef, kleaf, kprim,
+def _run(origin, direction, tmin, tmax, nodef, kleaf, kprim, ktri_geo,
          inv0, *, any_hit: bool, interpret: bool):
     f32, i32 = jnp.float32, jnp.int32
     inst_slot = jnp.int32(0)
@@ -446,8 +440,6 @@ def _run(origin, direction, tmin, tmax, nodef, kleaf, kprim,
             scratch_shapes=[
                 pltpu.VMEM((2, 16, KERNEL_LEAF_LANES), f32),  # leaf slots
                 pltpu.VMEM((PACKET, T), f32),
-                pltpu.VMEM((PACKET, T), f32),
-                pltpu.VMEM((PACKET, T), f32),
                 pltpu.VMEM((PACKET, T), i32),
                 pltpu.SemaphoreType.DMA((2,)),
             ],
@@ -463,15 +455,23 @@ def _run(origin, direction, tmin, tmax, nodef, kleaf, kprim,
     )(base, lim, planes, feats, eye, nodef, kleaf)
 
     # decode the [npk, OUT_ROWS, 128] blocks: ray i of packet p carries
-    # field r at (p, 4 * (i // 128) + r, i % 128)
+    # field r at (p, 2 * (i // 128) + r, i % 128)
     def field(r):
-        return outf[:, r::4, :].reshape(-1)[:n]
+        return outf[:, r::2, :].reshape(-1)[:n]
 
     t = field(0)
     hit = t < FLT_MAX
-    tri = field(3).astype(jnp.int32)
-    prim = jnp.where(
-        hit, kprim[jnp.clip(tri, 0, kprim.shape[0] - 1)], -1)
+    tri = field(1).astype(jnp.int32)
+    tri_c = jnp.clip(tri, 0, kprim.shape[0] - 1)
+    prim = jnp.where(hit, kprim[tri_c], -1)
     slot = jnp.where(hit, inst_slot, -1)
-    return HitRecord(t=t, prim=prim, slot=slot,
-                     b1=field(1), b2=field(2))
+    # barycentrics of the single winning triangle, recomputed in XLA
+    # from the per-face geometry table (object-space ray; cheaper than
+    # tracking them per (ray, lane) inside the kernel)
+    geo = ktri_geo[tri_c]                               # [n, 9]
+    from radiance_tpu.ops.intersect import intersect_triangle
+    _, _, b1, b2 = intersect_triangle(
+        o[:n], d[:n], geo[:, 0:3], geo[:, 3:6], geo[:, 6:9])
+    b1 = jnp.where(hit, b1, 0.0)
+    b2 = jnp.where(hit, b2, 0.0)
+    return HitRecord(t=t, prim=prim, slot=slot, b1=b1, b2=b2)
