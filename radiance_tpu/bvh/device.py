@@ -83,8 +83,8 @@ class DeviceScene:
     kleaf: Optional[jnp.ndarray] = None     # [Nl, 16, 4T] f32
     kprim: Optional[jnp.ndarray] = None     # [Nf + T] i32
     ktri_geo: Optional[jnp.ndarray] = None  # [Nf + T, 9] f32 (v0,e1,e2)
-    # per unique BLAS: (knode_f, kleaf, kprim); inst_kblas maps each
-    # instance slot to its kblas entry (static python tuple)
+    # per unique BLAS: (knode_f, kleaf, kprim, ktri_geo); inst_kblas
+    # maps each instance slot to its kblas entry (static python tuple)
     kblas: Optional[tuple] = None
     inst_kblas: Optional[tuple] = struct.field(
         pytree_node=False, default=None)

@@ -25,8 +25,8 @@ a compact VMEM tree plus matmul-shaped leaves):
                                       telescope to zero over a cycle)
        t = -(n.o + dp) / (d.n)       (dp = -n.v0)
        b1 = s2 / (s0+s1+s2), b2 = s0 / (s0+s1+s2)
-     so one [R,16]x[16,128] matmul intersects a 256-ray packet against
-     all 32 leaf triangles; no per-triangle scalar broadcasts.
+     so one [R,16]x[16,4T] matmul intersects a whole ray packet against
+     all T leaf triangles; no per-triangle scalar broadcasts.
 
 Tables (numpy, converted to jax by the DeviceScene assembly):
   knode_f [8*Nk, 16] f32: ONE merged row per node -- words 0-5 bounds
@@ -78,7 +78,8 @@ KERNEL_MAX_NODES = 60_000
 
 def leaf_matrix(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray,
                 valid: np.ndarray) -> np.ndarray:
-    """Build one [16, 4T] Pluecker leaf matrix from T triangles.
+    """Build one [16, 4T] Pluecker leaf matrix from T triangles
+    (T need not equal KERNEL_MAX_TRIS; tests use it standalone).
 
     v0/v1/v2: [T, 3] f32 vertex positions; valid: [T] bool.
     Column blocks (T wide each): s0 (edge v0->v1), s1 (v1->v2),

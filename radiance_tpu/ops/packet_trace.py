@@ -172,7 +172,7 @@ def _kernel(base_ref, lim_ref, planes_ref, x_ref, eye_ref, nodef_ref,
 
         # Packet interval: max over rays of each ray's best t.  The
         # cross-lane reduction + vector->scalar sync costs ~1us, so it
-        # runs on every 4th leaf only (do_clip); a stale clip loses a
+        # runs on every 2nd leaf only (do_clip); a stale clip loses a
         # little pruning, never correctness (acceptance also re-checks
         # against best_t cell-wise).
         def upd(cl):

@@ -205,3 +205,28 @@ def test_multi_instance_packet_sweeps():
     occ = packet_trace.trace_rays_packet_multi(
         ds, o, d, jnp.float32(1e-3), jnp.float32(1e3), any_hit=True)
     np.testing.assert_array_equal(np.asarray(occ.hit), hit_got)
+
+
+def test_sorted_trace_matches_unsorted():
+    """Coherence-sorted tracing must return identical per-ray results
+    (the sort is an internal permutation, scattered back)."""
+    ds = _single_instance_scene(n_tris=200, seed=15)
+    rng = np.random.default_rng(6)
+    o, d = gen_rays(rng, 300, spread=6.0)
+    o, d = jnp.asarray(o), jnp.asarray(d)
+    a = packet_trace.trace_rays_packet(ds, o, d, jnp.float32(1e-3),
+                                       jnp.float32(1e3))
+    b = packet_trace.trace_rays_packet_sorted(ds, o, d, jnp.float32(1e-3),
+                                              jnp.float32(1e3))
+    for f in ("t", "prim", "slot", "b1", "b2"):
+        np.testing.assert_array_equal(np.asarray(getattr(a, f)),
+                                      np.asarray(getattr(b, f)), err_msg=f)
+
+
+def test_coherence_key_groups_octants():
+    o = jnp.zeros((4, 3), jnp.float32)
+    d = jnp.asarray(np.array([
+        [1, 1, 1], [-1, 1, 1], [1, -1, 1], [1, 1, -1]], np.float32))
+    k = np.asarray(packet_trace.coherence_key(o, d))
+    assert len(set(k >> 28)) == 4  # four distinct octants
+    assert (k >= 0).all()          # no int32 overflow
