@@ -91,7 +91,6 @@ def trace_rays_packet_multi(scene, origin, direction, tmin, tmax,
     keeping per-ray state to a running (t, prim, slot)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    n = origin.shape[0]
     best = None
     for slot, bi in enumerate(scene.inst_kblas):
         nodef, kleaf, kprim, ktri_geo = scene.kblas[bi]
