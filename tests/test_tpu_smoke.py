@@ -70,7 +70,21 @@ assert pagree > 0.995, f"packet kernel hit agreement {pagree}"
 pboth = (pg < FLT_MAX) & (t_got < FLT_MAX)
 assert np.allclose(pg[pboth], t_got[pboth], rtol=2e-3, atol=1e-4)
 
-print("TPU_SMOKE_OK", dev.platform, float(agree), float(pagree))
+# compiled multi-instance kernel sweeps vs the XLA two-level walk
+m = np.eye(4, dtype=np.float32); m[0, 3] = 14.0
+ds2 = accel.BuildTopAccelStruct([
+    types.Instance(np.eye(4, dtype=np.float32), 0, 0, blas),
+    types.Instance(m, 0, 1, blas)]).device_scene()
+assert packet_trace.supports_multi(ds2)
+r_m = packet_trace.trace_rays_packet_multi(
+    ds2, o, d, jnp.float32(1e-3), jnp.float32(1e3))
+r_x = jax.jit(lambda o, d: traversal.trace_rays(ds2, o, d, 1e-3, 1e3))(o, d)
+tm, tx = np.asarray(r_m.t), np.asarray(r_x.t)
+magree = ((tm < FLT_MAX) == (tx < FLT_MAX)).mean()
+assert magree > 0.995, f"multi-instance sweep hit agreement {magree}"
+
+print("TPU_SMOKE_OK", dev.platform, float(agree), float(pagree),
+      float(magree))
 """
 
 
