@@ -20,7 +20,7 @@ import jax.numpy as jnp
 def main():
     import bench
     from radiance_tpu.core import math as rmath
-    from radiance_tpu.ops import packet_trace, frustum_trace
+    from radiance_tpu.ops import packet_trace, frustum_trace, stream_trace
 
     scene = bench.build_or_load_scene()
     W, H = bench.WIDTH, bench.HEIGHT
@@ -57,6 +57,9 @@ def main():
         try:
             if v == "gen1":
                 fn = packet_trace.build_tracer(scene)
+            elif v.startswith("stream:"):
+                sub = int(v.split(":")[1])
+                fn = stream_trace.build_tracer(scene, sub=sub)
             else:
                 sub = int(v.split(":")[1])
                 fn = frustum_trace.build_tracer(scene, sub=sub)

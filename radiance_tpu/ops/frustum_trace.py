@@ -373,14 +373,13 @@ def trace_rays_frustum(scene, origin, direction, tmin, tmax,
                 interpret=interpret)
 
 
-def _run(origin, direction, tmin, tmax, nodef, kleaf, kprim, ktri_geo,
-         inv0, *, any_hit: bool, sub: int, interpret: bool,
-         stats: bool = False, leaf_mode: str = "full",
-         raw: bool = False):
-    f32, i32 = jnp.float32, jnp.int32
+def prepare_packets(origin, direction, inv0, sub, nodef):
+    """Object-space ray prep shared by the frustum and stream tracers.
+
+    Returns (o, d, npk, feats [N',16], planes [npk, plane_rows, 128],
+    pkt [npk8, 16] frustum-scalar rows) where N' = npk * sub * 128."""
+    f32 = jnp.float32
     packet = sub * 128
-    kern = functools.partial(_kernel, sub=sub, any_hit=any_hit,
-                             stats=stats, leaf_mode=leaf_mode)
     n = origin.shape[0]
     o = rmath.mat4_transform_point(inv0, origin.astype(f32))
     d = rmath.mat4_transform_dir(inv0, direction.astype(f32))
@@ -405,12 +404,27 @@ def _run(origin, direction, tmin, tmax, nodef, kleaf, kprim, ktri_geo,
     if plane_rows > 6 * sub:
         comps.append(jnp.zeros((npk, plane_rows - 6 * sub, 128), f32))
     planes = jnp.concatenate(comps, axis=1)
-    lim = jnp.stack([jnp.float32(tmin),
-                     jnp.float32(tmax)]).reshape(1, 2)
     pkt = _packet_scalars(o, d, npk, packet, nodef.shape[0] // 8)
     rpad = (-npk) % 8
     if rpad:
         pkt = jnp.concatenate([pkt, jnp.zeros((rpad, 16), f32)])
+    return o, d, npk, feats, planes, pkt
+
+
+def _run(origin, direction, tmin, tmax, nodef, kleaf, kprim, ktri_geo,
+         inv0, *, any_hit: bool, sub: int, interpret: bool,
+         stats: bool = False, leaf_mode: str = "full",
+         raw: bool = False):
+    f32, i32 = jnp.float32, jnp.int32
+    packet = sub * 128
+    kern = functools.partial(_kernel, sub=sub, any_hit=any_hit,
+                             stats=stats, leaf_mode=leaf_mode)
+    n = origin.shape[0]
+    o, d, npk, feats, planes, pkt = prepare_packets(
+        origin, direction, inv0, sub, nodef)
+    plane_rows = -(-6 * sub // 8) * 8
+    lim = jnp.stack([jnp.float32(tmin),
+                     jnp.float32(tmax)]).reshape(1, 2)
 
     outf = pl.pallas_call(
         kern,
