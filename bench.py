@@ -75,6 +75,31 @@ def make_tracer(scene, probe_rays=None):
     import jax.numpy as jnp
     from radiance_tpu.ops import traversal
 
+    # The two-phase stream tracer (ops/stream_trace.py) is kept out of
+    # the bench engine for now: its end-to-end wave time (~250 ms) has
+    # not yet beaten the gen-1 packet kernel, and on this platform its
+    # emit/refine stages trip their runtime integrity checks in some
+    # process contexts (see the module docstring).  Opt in explicitly:
+    if os.environ.get("RADIANCE_BENCH_ENGINE") == "stream":
+        try:
+            from radiance_tpu.ops import stream_trace
+            if stream_trace.supports(scene):
+                closest_s = stream_trace.build_tracer(scene, raw=True)
+
+                def run_stream(o, d, tmax, any_hit_terminate):
+                    return closest_s(o, d, jnp.float32(1e-3),
+                                     jnp.float32(tmax)).t
+
+                if probe_rays is not None:
+                    jax.block_until_ready(
+                        run_stream(probe_rays[0], probe_rays[1], 1e4,
+                                   False))
+                return "pallas_stream", run_stream
+        except Exception as e:  # pragma: no cover - fallback path
+            print(f"# stream tracer unavailable ({type(e).__name__}: "
+                  f"{str(e)[:200]}); trying packet kernel",
+                  file=sys.stderr)
+
     try:
         from radiance_tpu.ops import packet_trace
         if packet_trace.supports(scene):
@@ -177,12 +202,19 @@ def main():
         t3 = trace(o2, light, 1e4, True)
         return t1, t2, t3
 
+    def run_wave():
+        # a small dependent readback serialises iterations honestly:
+        # block_until_ready alone under-reports on the axon backend
+        r = wave(o, d)
+        float(jnp.sum(r[0][::65536]) + jnp.sum(r[2][::65536]))
+        return r
+
     # warmup / compile
-    r = jax.block_until_ready(wave(o, d))
-    iters = 3 if name == "pallas_packet" else 1
+    r = run_wave()
+    iters = 1 if name == "xla_chunked" else 3
     t0 = time.time()
     for _ in range(iters):
-        r = jax.block_until_ready(wave(o, d))
+        r = run_wave()
     dt = (time.time() - t0) / iters
 
     rays = 3 * n  # three full-wavefront traversals per call

@@ -50,7 +50,7 @@ def main():
         o2 = jnp.where(hit[:, None], hit_p + nrm * 1e-3, o)
         return o2, d2
 
-    variants = sys.argv[1:] or ["gen1", "frustum:8", "frustum:4",
+    variants = ["stream"] or [
                                 "frustum:2", "frustum:1"]
     results = {}
     for v in variants:

@@ -10,6 +10,21 @@ TPU-first: SoA ray/scene arrays, vectorized two-level BVH traversal under
 `jax.jit`, and device-resident progressive accumulation.
 """
 
+import jax as _jax
+
+# Strip source-location metadata from lowered HLO.  JAX embeds the
+# CALLER's file path and traceback frames into Pallas kernel payloads
+# (MLIR loc info), so byte-identical kernels lower to different
+# serialized modules depending on which script invoked them -- and the
+# Mosaic compiler was observed (v5e, 2026-08) to miscompile the stream
+# tracer's emit walk for some of those location strings while compiling
+# the same kernel correctly for others (deterministically per string:
+# identical inputs, identical stripped HLO, wrong leaf lists).
+# Canonicalizing the locations makes every caller produce the same
+# module bytes, so one validated compile serves all entry points.
+_jax.config.update("jax_traceback_in_locations_limit", 0)
+_jax.config.update("jax_hlo_source_file_canonicalization_regex", ".*")
+
 from radiance_tpu import config
 from radiance_tpu.core import math as rmath
 from radiance_tpu.core import types

@@ -30,16 +30,25 @@ def _check_match(ref, got, hit_frac=0.995):
             == np.asarray(ref.prim)[same]).mean() > 0.98
 
 
-@pytest.mark.parametrize("sub", [1, 2, 8])
-def test_stream_vs_xla_traversal(sub):
+@pytest.mark.parametrize("precision", ["f32", "bf16"])
+def test_stream_vs_xla_traversal(precision):
     ds = _single_instance_scene()
     assert stream_trace.supports(ds)
     rng = np.random.default_rng(1)
-    o, d = gen_rays(rng, 600, spread=8.0)   # not a multiple of packet
+    o, d = gen_rays(rng, 600, spread=8.0)   # not a multiple of a chunk
     o, d = jnp.asarray(o), jnp.asarray(d)
     ref = traversal.trace_rays(ds, o, d, 1e-3, 1e3)
-    got = stream_trace.build_tracer(ds, sub=sub)(
+    got = stream_trace.build_tracer(ds, precision=precision)(
         o, d, jnp.float32(1e-3), jnp.float32(1e3))
+    if precision == "bf16":
+        # statistical agreement only: bf16 flips edge-grazing rays
+        t_ref, t_got = np.asarray(ref.t), np.asarray(got.t)
+        hit_ref, hit_got = t_ref < FLT_MAX, t_got < FLT_MAX
+        assert (hit_ref == hit_got).mean() > 0.98
+        both = hit_ref & hit_got
+        np.testing.assert_allclose(t_got[both], t_ref[both], rtol=2e-2,
+                                   atol=3e-2)
+        return
     _check_match(ref, got)
     same = (np.abs(np.asarray(got.t) - np.asarray(ref.t)) < 1e-5) \
         & (np.asarray(ref.t) < FLT_MAX)
@@ -62,7 +71,7 @@ def test_stream_coherent_tile_rays():
     o, d = jnp.asarray(o), jnp.asarray(d)
     ref = traversal.trace_rays(ds, o, d, 1e-3, 1e3)
     got = stream_trace.trace_rays_stream(
-        ds, o, d, jnp.float32(1e-3), jnp.float32(1e3), sub=2)
+        ds, o, d, jnp.float32(1e-3), jnp.float32(1e3))
     t_ref, t_got = np.asarray(ref.t), np.asarray(got.t)
     assert ((t_ref < FLT_MAX) == (t_got < FLT_MAX)).all()
     both = (t_ref < FLT_MAX) & (t_got < FLT_MAX)
@@ -81,27 +90,32 @@ def test_stream_transformed_instance():
     o, d = gen_rays(rng, 256, spread=10.0)
     o, d = jnp.asarray(o), jnp.asarray(d)
     ref = traversal.trace_rays(ds, o, d, 1e-3, 1e3)
-    got = stream_trace.build_tracer(ds, sub=2)(
+    got = stream_trace.build_tracer(ds)(
         o, d, jnp.float32(1e-3), jnp.float32(1e3))
     _check_match(ref, got, hit_frac=0.99)
 
 
 def test_stream_diag_counts():
-    """Diagnostics: every live packet emits bounded leaf lists and the
-    pair totals are consistent."""
+    """Diagnostics: bounded leaf lists, no capacity overflow, and the
+    refine stage only ever drops candidates (block pair counts bounded
+    by the packet's emitted leaf count)."""
     ds = _single_instance_scene(n_tris=300, seed=5)
     rng = np.random.default_rng(7)
     o, d = gen_rays(rng, 512, spread=8.0)
-    tstart = stream_trace.leaf_tri_starts(ds.knode_f, ds.kleaf.shape[0])
+    tstart, aabb = stream_trace.leaf_tables(ds.knode_f,
+                                            ds.kleaf.shape[0])
     rec, diag = stream_trace._run(
         jnp.asarray(o), jnp.asarray(d), 1e-3, 1e3,
         ds.knode_f, ds.kleaf, ds.kprim, ds.ktri_geo, ds.inst_inv[0],
-        tstart, any_hit=False, sub=2, interpret=True, with_diag=True)
+        tstart, aabb, any_hit=False, precision="f32", interpret=True,
+        with_diag=True)
     assert int(diag["walk_overflow"]) == 0
     assert int(diag["pair_overflow"]) == 0
     counts = np.asarray(diag["counts"])
     assert counts.max() <= stream_trace.MAXL
-    assert int(diag["total_pairs"]) == np.maximum(counts, 1).sum()
+    count_blk = np.asarray(diag["count_blk"]).reshape(len(counts), 8)
+    assert (count_blk.max(axis=1) <= counts).all()
+    assert int(diag["total_pairs"]) == count_blk.sum()
 
 
 def test_stream_miss_everything():
