@@ -80,6 +80,39 @@ def make_tracer(scene, probe_rays=None):
     # not yet beaten the gen-1 packet kernel, and on this platform its
     # emit/refine stages trip their runtime integrity checks in some
     # process contexts (see the module docstring).  Opt in explicitly:
+    if os.environ.get("RADIANCE_BENCH_ENGINE", "stream3") == "stream3":
+        try:
+            from radiance_tpu.ops import stream3
+            if stream3.supports(scene):
+                # the jittable entry: in-jit residual for truncated
+                # packets, no per-wave host sync.  (build_tracer's
+                # probe check compiles the chunked XLA-walk oracle for
+                # minutes; correctness is covered by the test suite +
+                # benchmarks/verify_stream3.py)
+                prec = os.environ.get("RADIANCE_BENCH_PRECISION",
+                                      "default")
+                j_entry = jax.jit(
+                    lambda scn, rows, tmn, tmx:
+                    stream3.trace_rows_stream3(
+                        scn, rows, tmn, tmx, precision=prec,
+                        interpret=False))
+
+                def run_stream3(o, d, tmax, any_hit_terminate):
+                    rows = tuple(o) if isinstance(o, (tuple, list)) \
+                        else stream3.rows_from_aos(o, d)
+                    return j_entry(scene, rows, jnp.float32(1e-3),
+                                   jnp.float32(tmax)).t
+
+                if probe_rays is not None:
+                    jax.block_until_ready(
+                        run_stream3(probe_rays[0], probe_rays[1], 1e4,
+                                    False))
+                return "pallas_stream3", run_stream3
+        except Exception as e:  # pragma: no cover - fallback path
+            print(f"# stream3 tracer unavailable ({type(e).__name__}: "
+                  f"{str(e)[:200]}); trying packet kernel",
+                  file=sys.stderr)
+
     if os.environ.get("RADIANCE_BENCH_ENGINE") == "stream":
         try:
             from radiance_tpu.ops import stream_trace
@@ -147,6 +180,58 @@ def make_tracer(scene, probe_rays=None):
     return "xla_chunked", run_xla
 
 
+def run_bench_stream3(scene, trace, o, d, light, n, bounce_rays):
+    """Hybrid wave loop around the v6 stream tracer:
+
+      t1 primary  -- stream3 (tile-coherent, its best case)
+      t2 bounce   -- gen-1 packet kernel (blocks mix live scattered
+                     reflections with parked rays; packet-union
+                     traversal tolerates that, conservative stream
+                     frusta do not: ~800/2032 packets blow the cap)
+      t3 shadow   -- gen-1 any-hit kernel (one direction but origins
+                     mix camera and wall points WITHIN blocks, so
+                     stream frusta span the scene; measured 2.6x
+                     slower through stream3 even with the presort)
+    """
+    import jax
+    import jax.numpy as jnp
+    from radiance_tpu.ops import packet_trace, stream3
+    FLT_MAX = np.float32(3.402823466e38)
+    rows0 = tuple(jax.block_until_ready(
+        tuple(o[:, k] for k in range(3))
+        + tuple(d[:, k] for k in range(3))))
+
+    closest = packet_trace.build_tracer(scene, any_hit=False)
+    anyhit = packet_trace.build_tracer(scene, any_hit=True)
+
+    def wave():
+        t1 = trace(rows0, None, 1e4, False)
+        o2, d2 = bounce_rays(o, d, t1)
+        t2 = closest(o2, d2, jnp.float32(1e-3), jnp.float32(1e4)).t
+        t3 = anyhit(o2, light, jnp.float32(1e-3), jnp.float32(1e4)).t
+        return t1, t2, t3
+
+    def run_wave():
+        r = wave()
+        float(jnp.sum(r[0][::65536]) + jnp.sum(r[2][::65536]))
+        return r
+
+    r = run_wave()
+    iters = 3
+    t0 = time.time()
+    for _ in range(iters):
+        r = run_wave()
+    dt = (time.time() - t0) / iters
+    rays = 3 * n
+    mrays = rays / dt / 1e6
+    print(json.dumps({
+        "metric": "traversal_mrays_per_sec_1Mtri_1080p",
+        "value": round(mrays, 3),
+        "unit": "Mrays/s",
+        "vs_baseline": round(mrays / 100.0, 4),
+    }))
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -179,6 +264,8 @@ def main():
     name, trace = make_tracer(scene, probe_rays=(o, d))
     print(f"# engine: {name}", file=sys.stderr)
 
+    _STREAM3 = name == "pallas_stream3"
+
     @jax.jit
     def bounce_rays(o, d, t1):
         hit = t1 < FLT_MAX
@@ -187,6 +274,10 @@ def main():
         d2 = rmath.reflect(-d, nrm)
         o2 = jnp.where(hit[:, None], hit_p + nrm * 1e-3, o)
         return o2, d2
+
+    if _STREAM3:
+        run_bench_stream3(scene, trace, o, d, light, n, bounce_rays)
+        return
 
     def wave(o, d):
         """primary + 1 bounce + 1 shadow: 3 ray waves over all pixels.

@@ -35,6 +35,24 @@ def timed(fn, *args, iters=3):
     return (time.time() - t0) / iters, r
 
 
+def timed_chain(fn, *args, iters=8):
+    """Amortize the per-call tunnel round trip: submit `iters` calls
+    back-to-back with NO intermediate readback, then one dependent
+    readback.  On a single-core TPU the programs execute serially, so
+    total/iters approaches true device time (the one RTT amortizes)."""
+    r = fn(*args)
+    leaf = jax.tree_util.tree_leaves(r)[0]
+    float(jnp.sum(leaf[..., ::257].astype(jnp.float32)))   # warm + sync
+    t0 = time.time()
+    outs = [fn(*args) for _ in range(iters)]
+    acc = 0.0
+    for r in outs:
+        leaf = jax.tree_util.tree_leaves(r)[0]
+        acc = acc + jnp.sum(leaf[..., ::1025].astype(jnp.float32))
+    float(acc)
+    return (time.time() - t0) / iters, outs[-1]
+
+
 def bench_rays():
     import bench
     W, H = bench.WIDTH, bench.HEIGHT

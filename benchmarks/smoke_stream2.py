@@ -2,13 +2,16 @@
 traversal oracle, on a small single-instance scene, coherent tile rays
 (sign-pure packets) then random rays (mixed packets)."""
 import os, sys
-if os.environ.get("SMOKE_CPU", "1") == "1":
-    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_CPU = os.environ.get("SMOKE_CPU", "1") == "1"
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))), "tests"))
 import numpy as np
 import jax
+
+if _CPU:
+    # the axon plugin ignores JAX_PLATFORMS; config update is required
+    jax.config.update("jax_platforms", "cpu")
 import jax.numpy as jnp
 from radiance_tpu.ops import stream2, traversal
 from radiance_tpu.ops.intersect import FLT_MAX

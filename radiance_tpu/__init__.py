@@ -22,8 +22,18 @@ import jax as _jax
 # identical inputs, identical stripped HLO, wrong leaf lists).
 # Canonicalizing the locations makes every caller produce the same
 # module bytes, so one validated compile serves all entry points.
-_jax.config.update("jax_traceback_in_locations_limit", 0)
-_jax.config.update("jax_hlo_source_file_canonicalization_regex", ".*")
+#
+# This is a PROCESS-GLOBAL side effect (it also strips source
+# attribution from the host app's own HLO and profiles); set
+# RADIANCE_KEEP_HLO_LOCATIONS=1 before import to opt out -- at the
+# cost of per-caller kernel module bytes (see ops/stream_trace.py for
+# why that historically mattered on this platform).
+import os as _os
+
+if not _os.environ.get("RADIANCE_KEEP_HLO_LOCATIONS"):
+    _jax.config.update("jax_traceback_in_locations_limit", 0)
+    _jax.config.update(
+        "jax_hlo_source_file_canonicalization_regex", ".*")
 
 from radiance_tpu import config
 from radiance_tpu.core import math as rmath

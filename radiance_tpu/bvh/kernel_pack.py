@@ -242,6 +242,13 @@ def build_kernel_tables(kind, a, b, bot, top, faces, verts3) -> Optional[dict]:
         kleaf[:, 3:6, k * T:(k + 1) * T] = (q - p).transpose(0, 2, 1)
     kleaf[:, 6:9, 3 * T:4 * T] = nrm.transpose(0, 2, 1)
     kleaf[:, 9, 3 * T:4 * T] = -np.sum(nrm * pa, axis=-1)
+    # row 10, quarter 0: the lane's face-order primID as f32 (exact:
+    # < 2^24).  Rows 10-15 are zero in every quarter otherwise; the
+    # stream tracer's pair kernel reads this row to carry the winner's
+    # primID through its scratch, which deletes the wave-sized
+    # kprim gather from its epilogue.  Invalid lanes carry -1.
+    prim_lane = np.where(valid, faces["primID"][face_idx], -1)
+    kleaf[:, 10, 0 * T:1 * T] = prim_lane.astype(np.float32)
 
     kprim = np.full(len(faces) + T, -1, np.int32)
     kprim[:len(faces)] = faces["primID"].astype(np.int32)

@@ -191,8 +191,8 @@ class WavefrontPathTracer:
             kw = dict(any_hit_terminate=(prog is None),
                       any_hit_program=prog)
             if active is None:
-                rec = traversal.trace_rays(scene, origin, direction,
-                                           tmin, tmax, **kw)
+                rec = _trace_dispatch(scene, origin, direction,
+                                      tmin, tmax, **kw)
             else:
                 rec = _traced_wavefront(scene, origin, direction,
                                         tmin, tmax, active, **kw)
@@ -209,7 +209,10 @@ class WavefrontPathTracer:
 
             occl = functools.partial(trace_occlusion, scene,
                                      resources=resources)
-            full = functools.partial(traversal.trace_rays, scene)
+            # user shaders' closest-hit handle goes through the same
+            # backend dispatch as the engine's own waves, so sample2-
+            # style recursive traces get the packet/stream fast path
+            full = functools.partial(_trace_dispatch, scene)
             hit_anyhit = sbt.make_any_hit_program(hit_offset, resources)
 
             def bounce(b, st):

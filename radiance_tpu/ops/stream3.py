@@ -1,0 +1,1368 @@
+"""Stream tracer v6: SoA waves, octant sub-walk slots, scalar-append
+emission, slot-direct pair intersection.
+
+Sixth-generation single-instance traversal (the dispatcher routes
+multi-instance scenes elsewhere), same capability contract as the
+reference's traversal entry (`traceRay` -> `intersectTop`/
+`intersectBot`, /root/reference/radiance/shader/radiance.cl:41-192).
+
+The v5 ledger (benchmarks/phase_ledger2.py) measured prep 97 / emit
+146 / mid 96 / isect 205 ms on the 1M-tri 1080p wave; every number was
+structural, and v6 removes the structures:
+
+  * **SoA wave format.**  Rays enter as six component rows [N] f32
+    (world space).  The [N, 3] layout pays a measured ~45 ms/array
+    relayout tax on TPU (42x lane padding); all v6 stages consume
+    reshapes/reductions of rows, and the [N, 3] API entry pays the
+    transpose exactly once.
+  * **Per-octant sub-walk slots.**  Sign-mixed packets made the v5
+    walk catastrophically loose (a screen-center packet walks ALL
+    22561 nodes: near-axis rays have 1/|d| ~ 1e4 and their slabs never
+    reject).  v6 walks SLOTS: a sign-pure packet is one slot; a mixed
+    packet becomes up to 8 per-octant slots (tight sign-pure interval
+    frusta over just that octant's rays) drawn from a static extra
+    pool.  Degenerate slots that still walk too far hit a step cap and
+    flag their packet for the exact XLA residual walk.
+  * **Scalar-append emission, no event buffer.**  v5 wrote a 67 MB
+    [ngrp, EMAX, G, 16] event stream and re-read it in an 8-lane-minor
+    XLA mid stage (96 ms of relayout).  v6's walk packs each emission
+    into ONE i32 word -- (leaf+1) << 17 | keepmask << 9 | tq -- and
+    appends it to the slot's SMEM list with one predicated scalar
+    store.  The whole phase-1 -> phase-2 interface is [NSLOT, PCAP]
+    i32 (~2 MB); there is no mid stage at all.
+  * **Fused block refine in the walk.**  The emitted keepmask holds
+    one bit per 128-ray phase-2 block from an interval test against
+    that block's frustum, computed where the leaf box is already in
+    registers.
+  * **Slot-direct phase 2.**  The pair kernel's grid is slots; each
+    grid step walks the slot's word list (DMA-pipelined leaf
+    matrices), and for each set keep bit runs a statically-sliced
+    [128, 16] x [16, 512] Pluecker matmul against the packet's rays,
+    accumulating per-(ray, lane) minima in per-packet scratch.  Pair
+    lists need no chunk compaction, no sort, and no cross-slot order.
+
+Self-verification mirrors stream_trace.build_tracer (the platform has
+miscompiled structurally-similar kernels per process context; see that
+module's docstring): compiled kernels are validated against exact
+XLA/NumPy oracles on a probe wave, with salted recompiles.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from radiance_tpu.bvh.kernel_pack import KERNEL_MAX_TRIS, KERNEL_LEAF_LANES
+from radiance_tpu.ops.intersect import FLT_MAX
+from radiance_tpu.ops.traversal import HitRecord
+from radiance_tpu.ops.stream_trace import TQ_BIAS, S_SLOTS, leaf_tables
+RES_CAP = 8             # packets exactly re-walked in-jit per wave
+
+_FMAX = 3.4028235e38
+_BIG = 1e30
+T = KERNEL_MAX_TRIS
+G = 8                   # walk slots per emit grid step
+PKT = 1024              # rays per packet (= walk slot granularity)
+BLK = 128               # rays per phase-2 block (8 per packet)
+PCAP = 1024             # emitted words per slot (p95 ~60; central
+                        # beams legitimately cross hundreds of leaves)
+EXTRA = 256             # sub-walk slot pool (multiple of G)
+STEP_CAP = 2048         # walk iterations per group before flagging
+W_LEAF_SHIFT = 17       # word = (leaf+1) << 17 | keepmask << 9 | tq
+W_KEEP_SHIFT = 9
+W_TQ_MASK = 511
+
+
+def supports(scene) -> bool:
+    """True when the single-instance v6 fast path applies."""
+    return (getattr(scene, "knode_f", None) is not None
+            and scene.inst_inv.shape[0] == 1
+            and scene.kleaf.shape[0] + 1 < (1 << 14))
+
+
+def rows_from_aos(origin, direction):
+    """[N, 3] -> six [N] component rows (the one-time transpose tax)."""
+    o = origin.astype(jnp.float32)
+    d = direction.astype(jnp.float32)
+    return (o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2])
+
+
+# ---------------------------------------------------------------- prep
+
+def _interval_scalars(oc, dc, mask=None):
+    """Interval-frustum scalars for one axis over a ray-group axis:
+    oc, dc [ngrp, g].  Returns (sgn, olo, ohi, ilo, ihi) [ngrp].
+    With `mask`, rays outside the subset are ignored (empty subsets
+    produce harmless all-pass rows; callers gate on presence)."""
+    f32 = jnp.float32
+    if mask is not None:
+        big = jnp.float32(_BIG)
+        dmin = jnp.min(jnp.where(mask, dc, big), axis=1)
+        dmax = jnp.max(jnp.where(mask, dc, -big), axis=1)
+    else:
+        dmin = jnp.min(dc, axis=1)
+        dmax = jnp.max(dc, axis=1)
+    pos = dmin > 0.0
+    neg = dmax < 0.0
+    sgn = jnp.where(pos, 1.0, jnp.where(neg, -1.0, 0.0)).astype(f32)
+    osn = oc * jnp.where(neg, -1.0, 1.0)[:, None]
+    if mask is not None:
+        olo = jnp.min(jnp.where(mask, osn, _BIG), axis=1)
+        ohi = jnp.max(jnp.where(mask, osn, -_BIG), axis=1)
+    else:
+        olo = jnp.min(osn, axis=1)
+        ohi = jnp.max(osn, axis=1)
+    inv = jnp.minimum(1.0 / jnp.maximum(jnp.abs(dc), 1e-30), _BIG)
+    if mask is not None:
+        ilo = jnp.min(jnp.where(mask, inv, _BIG), axis=1)
+        ihi = jnp.max(jnp.where(mask, inv, 0.0), axis=1)
+    else:
+        ilo = jnp.min(inv, axis=1)
+        ihi = jnp.max(inv, axis=1)
+    return sgn, olo, ohi, ilo, ihi
+
+
+def _group_scalars(rows, group, mask=None):
+    """[ngrp, 16] scalar rows (sgn3, olo3, ohi3, ilo3, ihi3, pad) for
+    every `group`-ray window of the wave."""
+    ox, oy, oz, dx, dy, dz = rows
+    ngrp = ox.shape[0] // group
+    cols = [[], [], [], [], []]
+    for oc, dc in ((ox, dx), (oy, dy), (oz, dz)):
+        vals = _interval_scalars(oc.reshape(ngrp, group),
+                                 dc.reshape(ngrp, group), mask)
+        for lst, v in zip(cols, vals):
+            lst.append(v)
+    flat = [v for lst in cols for v in lst]         # sgn3 olo3 ...
+    flat.append(jnp.zeros(ngrp, jnp.float32))
+    return jnp.stack(flat, axis=1)                  # [ngrp, 16]
+
+
+def _block_sort(rows_w):
+    """Group 128-ray blocks by majority direction octant (stable, so
+    tile order survives within an octant).  Returns (sorted rows,
+    inverse block permutation).  Incoherent waves (GGX/mirror bounces)
+    otherwise make most packets sign-mixed, which defeats packet-level
+    traversal; the engine sorts at ray level (coherence_key), this is
+    the cheap in-pipeline equivalent at block granularity (row-sized
+    gathers, no element scatter)."""
+    i32 = jnp.int32
+    npad = rows_w[0].shape[0]
+    nb = npad // BLK
+    dx = rows_w[3].reshape(nb, BLK)
+    dy = rows_w[4].reshape(nb, BLK)
+    dz = rows_w[5].reshape(nb, BLK)
+    oct_b = ((jnp.mean(dx, 1) < 0).astype(i32)
+             + 2 * (jnp.mean(dy, 1) < 0).astype(i32)
+             + 4 * (jnp.mean(dz, 1) < 0).astype(i32))
+    # Hierarchical key: sign octant, then Morton of the block-mean
+    # DIRECTION (4 bits/axis -- separates e.g. dead parked rays from
+    # live bounces sharing an octant), then Morton of the block-mean
+    # ORIGIN (5 bits/axis -- a frustum over scattered origins visits
+    # everything).  Stable, so a tile-ordered primary wave (constant
+    # origin, smooth directions) keeps its order within each cell.
+    dmean = [jnp.mean(rows_w[3 + k].reshape(nb, BLK), 1)
+             for k in range(3)]
+    omean = [jnp.mean(rows_w[k].reshape(nb, BLK), 1) for k in range(3)]
+
+    def _norm_q(ms, bits):
+        lo = [jnp.min(m) for m in ms]
+        hi = [jnp.max(m) for m in ms]
+        top = (1 << bits) - 1
+        return [jnp.clip(((m - l) / jnp.maximum(h - l, 1e-6)
+                          * top).astype(i32), 0, top)
+                for m, l, h in zip(ms, lo, hi)]
+
+    def _spread2(v):
+        # interleave 8 bits with 2-bit gaps (morton component)
+        v = (v | (v << 8)) & 0x0F00F
+        v = (v | (v << 4)) & 0xC30C3
+        v = (v | (v << 2)) & 0x249249
+        return v
+
+    dq = _norm_q(dmean, 4)
+    oq = _norm_q(omean, 5)
+    dmorton = (_spread2(dq[0]) | (_spread2(dq[1]) << 1)
+               | (_spread2(dq[2]) << 2)) & 0xFFF
+    omorton = (_spread2(oq[0]) | (_spread2(oq[1]) << 1)
+               | (_spread2(oq[2]) << 2)) & 0x7FFF
+    key = (oct_b << 27) | (dmorton << 15) | omorton
+    perm = jnp.argsort(key, stable=True).astype(i32)
+    inv = jnp.zeros_like(perm).at[perm].set(
+        jnp.arange(nb, dtype=i32))
+    rows_s = tuple(r.reshape(nb, BLK)[perm].reshape(-1) for r in rows_w)
+    return rows_s, inv
+
+
+def _stage_prep(rows_w, tmin, tmax, nodef, inv0):
+    """Stage 0 (XLA): object-space rows, phase-2 features [16, Npad],
+    sub-block scalars, and the slot tables (pure packets 1:1; mixed
+    packets expand to per-octant sub-walk slots from a static pool).
+
+    Returns (rows, feats_t, scal [NSLOT,16] f32, smeta [NSLOT,8] i32,
+    bscal [npk*8, 16], lim, pool_overflow [npk] i32)."""
+    f32, i32 = jnp.float32, jnp.int32
+    n = rows_w[0].shape[0]
+    pad = (-n) % (G * PKT)
+    if pad:
+        rows_w = tuple(
+            jnp.concatenate([r, jnp.broadcast_to(r[:1], (pad,))])
+            for r in rows_w)
+    ox_w, oy_w, oz_w, dx_w, dy_w, dz_w = (r.astype(f32) for r in rows_w)
+    m = inv0
+    ox = m[0, 0] * ox_w + m[0, 1] * oy_w + m[0, 2] * oz_w + m[0, 3]
+    oy = m[1, 0] * ox_w + m[1, 1] * oy_w + m[1, 2] * oz_w + m[1, 3]
+    oz = m[2, 0] * ox_w + m[2, 1] * oy_w + m[2, 2] * oz_w + m[2, 3]
+    dx = m[0, 0] * dx_w + m[0, 1] * dy_w + m[0, 2] * dz_w
+    dy = m[1, 0] * dx_w + m[1, 1] * dy_w + m[1, 2] * dz_w
+    dz = m[2, 0] * dx_w + m[2, 1] * dy_w + m[2, 2] * dz_w
+    rows = (ox, oy, oz, dx, dy, dz)
+    npad = ox.shape[0]
+    npk = npad // PKT
+    nk_local = nodef.shape[0] // 8
+
+    mx = oy * dz - oz * dy
+    my = oz * dx - ox * dz
+    mz = ox * dy - oy * dx
+    ones = jnp.ones(npad, f32)
+    zeros = jnp.zeros(npad, f32)
+    feats_t = jnp.stack([dx, dy, dz, mx, my, mz, ox, oy, oz, ones,
+                         zeros, zeros, zeros, zeros, zeros, zeros])
+
+    bscal = _group_scalars(rows, BLK)               # [npk*8, 16]
+
+    # ----- slot construction -----
+    # per-(packet, octant) interval scalars, vectorized over octants
+    # in ONE op set (the 8x-unrolled form compiled for minutes)
+    oct_of = ((dx < 0).astype(i32) + 2 * (dy < 0).astype(i32)
+              + 4 * (dz < 0).astype(i32)).reshape(npk, PKT)
+    omask = oct_of[:, None, :] == jax.lax.broadcasted_iota(
+        i32, (npk, 8, PKT), 1)                      # [npk, 8, PKT]
+    present = jnp.any(omask, axis=2)
+    pure = jnp.sum(present.astype(i32), axis=1) == 1
+
+    cols = []
+    for oc, dc in ((ox, dx), (oy, dy), (oz, dz)):
+        ocp = oc.reshape(npk, 1, PKT)
+        dcp = dc.reshape(npk, 1, PKT)
+        dmin = jnp.min(jnp.where(omask, dcp, _BIG), axis=2)
+        dmax = jnp.max(jnp.where(omask, dcp, -_BIG), axis=2)
+        sgn_o = jnp.where(dmin > 0.0, 1.0,
+                          jnp.where(dmax < 0.0, -1.0, 0.0)
+                          ).astype(f32)             # [npk, 8]
+        osn = ocp * jnp.where(dmax < 0.0, -1.0, 1.0)[:, :, None]
+        olo_o = jnp.min(jnp.where(omask, osn, _BIG), axis=2)
+        ohi_o = jnp.max(jnp.where(omask, osn, -_BIG), axis=2)
+        inv = jnp.minimum(1.0 / jnp.maximum(jnp.abs(dcp), 1e-30),
+                          _BIG)
+        ilo_o = jnp.min(jnp.where(omask, inv, _BIG), axis=2)
+        ihi_o = jnp.max(jnp.where(omask, inv, 0.0), axis=2)
+        cols.append((sgn_o, olo_o, ohi_o, ilo_o, ihi_o))
+    cand = jnp.stack(
+        [cols[k][0] for k in range(3)] + [cols[k][1] for k in range(3)]
+        + [cols[k][2] for k in range(3)]
+        + [cols[k][3] for k in range(3)]
+        + [cols[k][4] for k in range(3)]
+        + [jnp.zeros((npk, 8), f32)], axis=2)       # [npk, 8, 16]
+
+    # a pure packet's slot row IS its single octant's row
+    oct_idx = jnp.argmax(present, axis=1).astype(i32)   # [npk]
+    full = cand[jnp.arange(npk), oct_idx]           # [npk, 16]
+    base_full = oct_idx * nk_local
+
+    nslot = npk + EXTRA
+    scal = jnp.zeros((nslot, 16), f32).at[:npk].set(
+        jnp.where(pure[:, None], full, 0.0))
+    # smeta lanes: 0 pkt, 1 alive, 2 base-row, rest 0
+    smeta = jnp.zeros((nslot, 8), i32)
+    smeta = smeta.at[:npk, 0].set(jnp.arange(npk, dtype=i32))
+    smeta = smeta.at[:npk, 1].set(pure.astype(i32))
+    smeta = smeta.at[:npk, 2].set(base_full)
+
+    # octant sub-slot assignment: a mixed packet takes sub-slots only
+    # if ALL its octants fit in the pool; otherwise it keeps its base
+    # slot and walks conservatively (sign-mixed axes always pass, v5
+    # semantics) -- incoherent waves overflow any fixed pool, and the
+    # exact-walk residual is far too slow to absorb them.
+    valid0 = (~pure)[:, None] & present             # [npk, 8]
+    rank0 = jnp.cumsum(valid0.reshape(-1).astype(i32)) - 1
+    pkt_ids = jnp.broadcast_to(
+        jnp.arange(npk, dtype=i32)[:, None], (npk, 8)).reshape(-1)
+    maxrank = jnp.full(npk, -1, i32).at[pkt_ids].max(
+        jnp.where(valid0.reshape(-1), rank0, -1), mode="drop")
+    fits = (~pure) & (maxrank < EXTRA)
+    vflat = valid0.reshape(-1) & fits[pkt_ids]
+    rank = jnp.cumsum(vflat.astype(i32)) - 1
+    fit = vflat & (rank < EXTRA)
+    slot_of = jnp.where(fit, npk + rank, nslot)     # nslot = dropped
+    oct_ids = jnp.broadcast_to(
+        jnp.arange(8, dtype=i32)[None, :], (npk, 8)).reshape(-1)
+    scal = scal.at[slot_of].set(cand.reshape(-1, 16), mode="drop")
+    smeta = smeta.at[slot_of, 0].set(pkt_ids, mode="drop")
+    smeta = smeta.at[slot_of, 1].set(1, mode="drop")
+    smeta = smeta.at[slot_of, 2].set(oct_ids * nk_local, mode="drop")
+
+    # non-fitting mixed packets: activate the base slot with the
+    # full-packet (conservative) scalars
+    conserv = (~pure) & (~fits)
+    scal = scal.at[:npk].set(
+        jnp.where(conserv[:, None], full, scal[:npk]))
+    smeta = smeta.at[:npk, 1].set(
+        jnp.maximum(smeta[:npk, 1], conserv.astype(i32)))
+    pool_overflow = jnp.zeros(npk, i32)             # no longer flags
+
+    # sort slots by a walk-length proxy so each lockstep group of 8
+    # walks runs similar lengths (the unsorted layout measured a 2.3x
+    # sum-of-group-max tax).  Near-axis slots (huge 1/|d|) and wide
+    # frusta walk longest.  Dead slots sort last.
+    ihi_s = scal[:, 12:15]
+    spread = scal[:, 6:9] - scal[:, 3:6]
+    score = jnp.sum(jnp.log2(jnp.clip(ihi_s, 1.0, 1e8)), axis=1) \
+        + jnp.sum(jnp.log2(jnp.clip(spread, 1e-3, 1e4)), axis=1)
+    score = jnp.where(smeta[:, 1] > 0, score, -jnp.float32(_BIG))
+    order = jnp.argsort(-score).astype(i32)         # heavy first
+    scal = scal[order]
+    smeta = smeta[order]
+
+    lim = jnp.stack([jnp.float32(tmin),
+                     jnp.float32(tmax)]).reshape(1, 2)
+    return rows, feats_t, scal, smeta, bscal, lim, pool_overflow, order
+
+
+# ---------------------------------------------------------------- emit
+
+def _emit3_kernel(lim_ref, smeta_ref, scal_ref, bscal_ref, nodef_ref,
+                  words_ref, emeta_ref, ptr_i, *, salt: int = 0):
+    """G=8 slot walks per grid step: vector-domain packet interval
+    tests, 32-ray sub-block refine, one packed i32 word per emission
+    appended to the slot's SMEM list by a predicated scalar store."""
+    f32, i32 = jnp.float32, jnp.int32
+    tmax = lim_ref[0, 1]
+
+    pk = scal_ref[:, :]                             # (8, 16)
+    sgn = pk[:, 0:3]
+    olo = pk[:, 3:6]
+    ohi = pk[:, 6:9]
+    ilo = pk[:, 9:12]
+    ihi = pk[:, 12:15]
+    mixed = sgn == 0.0
+    base = [smeta_ref[w, 2] for w in range(G)]
+    alive0 = [smeta_ref[w, 1] for w in range(G)]
+    pkts = [smeta_ref[w, 0] for w in range(G)]
+
+    # block scalars: 8 rows per walk's packet -> (8, 8) refine tiles
+    b32 = jnp.concatenate(
+        [bscal_ref[pl.ds(pkts[w] * (PKT // BLK), PKT // BLK), :]
+         for w in range(G)], axis=0)                # (64, 16)
+    nsub = PKT // BLK
+
+    def col(k):
+        return b32[:, k:k + 1].reshape(G, nsub)
+
+    bsgn = [col(k) for k in range(3)]
+    bolo = [col(3 + k) for k in range(3)]
+    bohi = [col(6 + k) for k in range(3)]
+    bilo = [col(9 + k) for k in range(3)]
+    bihi = [col(12 + k) for k in range(3)]
+    bmixed = [s == 0.0 for s in bsgn]
+    # keepmask weights: block j contributes bit j (sum <= 255,
+    # exact); Mosaic rejects f32 iota, so shift in the integer domain
+    pow2 = jnp.broadcast_to(
+        (1 << jax.lax.broadcasted_iota(i32, (1, nsub), 1)
+         ).astype(f32), (G, nsub))
+
+    def step(carry):
+        idxv, idxs, cnts, steps = carry
+        rows = [base[w] + jnp.maximum(idxs[w], 0) for w in range(G)]
+        tile = jnp.concatenate(
+            [nodef_ref[pl.ds(rows[w], 1), :] for w in range(G)],
+            axis=0)                                 # (8, 16)
+        alive = idxv >= 0.0                         # (8, 1)
+        a_f = tile[:, 8:9]
+        esc = tile[:, 9:10]
+        ntri = tile[:, 10:11]
+        is_leaf = ntri > 0.0
+
+        tn = jnp.zeros((G, 1), f32)
+        tf = jnp.full((G, 1), tmax, f32)
+        for k in range(3):
+            bmn = tile[:, k:k + 1]
+            bmx = tile[:, 3 + k:4 + k]
+            sk = sgn[:, k:k + 1]
+            m0 = sk * bmn
+            m1 = sk * bmx
+            near = jnp.minimum(m0, m1)
+            far = jnp.maximum(m0, m1)
+            lo = near - ohi[:, k:k + 1]
+            hi = far - olo[:, k:k + 1]
+            tnk = lo * jnp.where(lo >= 0.0, ilo[:, k:k + 1],
+                                 ihi[:, k:k + 1])
+            tfk = hi * jnp.where(hi >= 0.0, ihi[:, k:k + 1],
+                                 ilo[:, k:k + 1])
+            mk = mixed[:, k:k + 1]
+            tn = jnp.maximum(tn, jnp.where(mk, 0.0, tnk))
+            tf = jnp.minimum(tf, jnp.where(mk, _FMAX, tfk))
+        box_hit = (tf >= tn) & (tn < tmax)
+        emit = alive & is_leaf & box_hit            # (8, 1)
+
+        # per-block (128-ray) interval refine -> keep bits
+        tn_b = jnp.zeros((G, nsub), f32)
+        tf_b = jnp.full((G, nsub), _FMAX, f32)
+        for k in range(3):
+            bmn = jnp.broadcast_to(tile[:, k:k + 1], (G, nsub))
+            bmx = jnp.broadcast_to(tile[:, 3 + k:4 + k], (G, nsub))
+            m0 = bsgn[k] * bmn
+            m1 = bsgn[k] * bmx
+            near = jnp.minimum(m0, m1)
+            far = jnp.maximum(m0, m1)
+            lo = near - bohi[k]
+            hi = far - bolo[k]
+            tnk = lo * jnp.where(lo >= 0.0, bilo[k], bihi[k])
+            tfk = hi * jnp.where(hi >= 0.0, bihi[k], bilo[k])
+            tn_b = jnp.maximum(tn_b, jnp.where(bmixed[k], 0.0, tnk))
+            tf_b = jnp.minimum(tf_b, jnp.where(bmixed[k], _FMAX, tfk))
+        keep = (tf_b >= tn_b) & (tn_b < tmax)       # (8, 32)
+        kmask = jnp.sum(jnp.where(keep, pow2, 0.0), axis=1,
+                        keepdims=True)              # (8, 1) 0..255
+        kmask_i = kmask.astype(i32)
+
+        tnc = jnp.maximum(tn, 0.0)
+        tq = jnp.clip(
+            (jax.lax.bitcast_convert_type(tnc, i32) >> 18) - TQ_BIAS,
+            0, 511)
+        word = ((a_f.astype(i32) + 1) << W_LEAF_SHIFT) \
+            | (kmask_i << W_KEEP_SHIFT) | tq        # (8, 1) i32
+
+        nxt = jnp.where(is_leaf, esc, jnp.where(box_hit, a_f, esc))
+        idx_new = jnp.where(alive, nxt, idxv)       # (8, 1) f32
+        ptr_i[:, 0:3] = jnp.concatenate(
+            [idx_new.astype(i32), emit.astype(i32), word], axis=1)
+
+        new_idxs = []
+        new_cnts = []
+        for w in range(G):
+            em = ptr_i[w, 1]
+            cw = cnts[w]
+
+            @pl.when((em > 0) & (cw < PCAP))
+            def _(w=w, cw=cw):
+                words_ref[w, cw] = ptr_i[w, 2]
+            new_idxs.append(ptr_i[w, 0])
+            new_cnts.append(cw + em)
+        return (idx_new, tuple(new_idxs), tuple(new_cnts), steps + 1)
+
+    def cond(carry):
+        _, idxs, _, steps = carry
+        alive = idxs[0] >= 0
+        for w in range(1, G):
+            alive = alive | (idxs[w] >= 0)
+        return alive & (steps < STEP_CAP)
+
+    init_idx = tuple(jnp.where(alive0[w] > 0, 0, -1) for w in range(G))
+    # vector mirror of the initial indices: alive -> 0.0, dead -> -1.0
+    # (the emit gate reads idxv; SMEM is scalar-only, so broadcast the
+    # per-walk alive flags into a (G, 1) tile)
+    idxv0 = jnp.concatenate(
+        [jnp.full((1, 1), jnp.where(alive0[w] > 0, 0.0, -1.0),
+                  jnp.float32) for w in range(G)], axis=0)
+    init = (idxv0, init_idx, tuple(jnp.int32(0) for _ in range(G)),
+            jnp.int32(0))
+    idxv_f, idxs_f, cnts_f, steps_f = jax.lax.while_loop(cond, step,
+                                                         init)
+    for w in range(G):
+        emeta_ref[w, 0] = cnts_f[w]
+        emeta_ref[w, 1] = (idxs_f[w] >= 0).astype(jnp.int32)
+        emeta_ref[w, 2] = steps_f
+        emeta_ref[w, 3] = jnp.int32(salt)
+
+
+def _emit3t_kernel(lim_ref, smeta_ref, scal_ref, bscal_ref, nodef_ref,
+                   words_ref, emeta_ref, ptr_i, *, salt: int = 0):
+    """Treelet emit walk: each iteration loads one ALIGNED 8-row node
+    window per walk and advances the walk through every in-window node
+    (measured 3.2 nodes per load on the bench scene), with the node
+    tests, the in-window path-follow, and the per-block refine all in
+    the vector domain.  Emissions append packed words exactly like
+    _emit3_kernel; scalar work per iteration is 8 next-index reads +
+    8 emit-mask reads + the (rare) per-emission append stores."""
+    f32, i32 = jnp.float32, jnp.int32
+    tmax = lim_ref[0, 1]
+
+    pk = scal_ref[:, :]                             # (8, 16)
+    sgn = pk[:, 0:3]
+    olo = pk[:, 3:6]
+    ohi = pk[:, 6:9]
+    ilo = pk[:, 9:12]
+    ihi = pk[:, 12:15]
+    mixed = sgn == 0.0
+    base = [smeta_ref[w, 2] for w in range(G)]
+    alive0 = [smeta_ref[w, 1] for w in range(G)]
+    pkts = [smeta_ref[w, 0] for w in range(G)]
+
+    b32 = jnp.concatenate(
+        [bscal_ref[pl.ds(pkts[w] * (PKT // BLK), PKT // BLK), :]
+         for w in range(G)], axis=0)                # (64, 16)
+    nsub = PKT // BLK
+
+    def col(k):
+        return b32[:, k:k + 1].reshape(G, nsub)
+
+    # per-(walk-row, block) tiles: each walk's 8 block rows repeated
+    # for its 8 window rows -> (64, 8)
+    def rep(a):
+        return jnp.broadcast_to(a.reshape(G, 1, nsub),
+                                (G, 8, nsub)).reshape(G * 8, nsub)
+
+    bsgn = [rep(col(k)) for k in range(3)]
+    bolo = [rep(col(3 + k)) for k in range(3)]
+    bohi = [rep(col(6 + k)) for k in range(3)]
+    bilo = [rep(col(9 + k)) for k in range(3)]
+    bihi = [rep(col(12 + k)) for k in range(3)]
+    bmixed = [s == 0.0 for s in bsgn]
+    pow2 = jnp.broadcast_to(
+        (1 << jax.lax.broadcasted_iota(i32, (1, nsub), 1)
+         ).astype(f32), (G * 8, nsub))
+
+    # packet scalars widened to (64, 1): walk w's row repeated 8x
+    def repw(a):                                    # (8, 3) -> (64, 3)
+        return jnp.broadcast_to(a.reshape(G, 1, 3),
+                                (G, 8, 3)).reshape(G * 8, 3)
+
+    sgn_r = repw(sgn)
+    olo_r = repw(olo)
+    ohi_r = repw(ohi)
+    ilo_r = repw(ilo)
+    ihi_r = repw(ihi)
+    mixed_r = sgn_r == 0.0
+    iota8 = jax.lax.broadcasted_iota(i32, (G, 8), 1)
+
+    nk_local = nodef_ref.shape[0] // 8     # static octant table rows
+
+    def step(carry):
+        idxs, cnts, steps = carry
+        # aligned-down window start, clamped so the 8-row load never
+        # crosses the octant table end (entry stays in [0, 8))
+        base8 = [jnp.clip((jnp.maximum(idxs[w], 0) // 8) * 8,
+                          0, max(nk_local - 8, 0)) for w in range(G)]
+        tile = jnp.concatenate(
+            [nodef_ref[pl.ds(base[w] + base8[w], 8), :]
+             for w in range(G)], axis=0)            # (64, 16)
+        a_f = tile[:, 8:9]
+        esc = tile[:, 9:10]
+        ntri = tile[:, 10:11]
+        is_leaf = ntri > 0.0
+
+        tn = jnp.zeros((G * 8, 1), f32)
+        tf = jnp.full((G * 8, 1), tmax, f32)
+        for k in range(3):
+            bmn = tile[:, k:k + 1]
+            bmx = tile[:, 3 + k:4 + k]
+            sk = sgn_r[:, k:k + 1]
+            m0 = sk * bmn
+            m1 = sk * bmx
+            near = jnp.minimum(m0, m1)
+            far = jnp.maximum(m0, m1)
+            lo = near - ohi_r[:, k:k + 1]
+            hi = far - olo_r[:, k:k + 1]
+            tnk = lo * jnp.where(lo >= 0.0, ilo_r[:, k:k + 1],
+                                 ihi_r[:, k:k + 1])
+            tfk = hi * jnp.where(hi >= 0.0, ihi_r[:, k:k + 1],
+                                 ilo_r[:, k:k + 1])
+            mk = mixed_r[:, k:k + 1]
+            tn = jnp.maximum(tn, jnp.where(mk, 0.0, tnk))
+            tf = jnp.minimum(tf, jnp.where(mk, _FMAX, tfk))
+        box_hit = (tf >= tn) & (tn < tmax)          # (64, 1)
+
+        # next row (GLOBAL, table-local) per window row
+        nxt_row = jnp.where(is_leaf, esc,
+                            jnp.where(box_hit, a_f, esc))  # (64,1) f32
+
+        # in-window path-follow in (8 window rows, 8 walks-in-lanes)
+        # orientation: Mosaic rejects the (8,8)->(64,1) sublane-merge
+        # reshape, but static width-1 lane slices + concats convert
+        # both ways for free.  Rows are preorder so next strictly
+        # increases; <= 8 hops.
+        nxt_l = jnp.concatenate(
+            [nxt_row[w * 8:(w + 1) * 8] for w in range(G)],
+            axis=1)                                 # (8 rows, 8 walks)
+        base8_l = jnp.concatenate(
+            [jnp.full((1, 1), base8[w], i32) for w in range(G)],
+            axis=1)                                 # (1, 8)
+        entry_l = jnp.concatenate(
+            [jnp.full((1, 1), jnp.maximum(idxs[w], 0) - base8[w], i32)
+             for w in range(G)], axis=1)            # (1, 8)
+        aliv_l = jnp.concatenate(
+            [jnp.full((1, 1), (idxs[w] >= 0).astype(f32))
+             for w in range(G)], axis=1)            # (1, 8)
+        iota_r = jax.lax.broadcasted_iota(i32, (8, G), 0)
+        P = (iota_r == entry_l).astype(f32) * aliv_l    # (8, 8)
+        visited = P
+        exit_acc = jnp.zeros((1, G), f32)
+        for _hop in range(8):
+            nxt_g = jnp.sum(P * nxt_l, axis=0, keepdims=True)  # (1,8)
+            has = jnp.sum(P, axis=0, keepdims=True) > 0.0
+            loc = nxt_g.astype(i32) - base8_l
+            inw = has & (loc > entry_l) & (loc < 8) & (nxt_g >= 0.0)
+            exit_acc = exit_acc + jnp.where(has & ~inw, nxt_g, 0.0)
+            P = jnp.where(inw, (iota_r == loc).astype(f32), 0.0)
+            visited = jnp.maximum(visited, P)
+            entry_l = jnp.where(inw, loc, entry_l)
+        idx_l = jnp.concatenate(
+            [jnp.full((1, 1), idxs[w], i32) for w in range(G)],
+            axis=1).astype(f32)
+        nxt_fin_l = jnp.where(aliv_l > 0.0, exit_acc, idx_l)  # (1, 8)
+        vis64 = jnp.concatenate(
+            [visited[:, w:w + 1] for w in range(G)], axis=0)  # (64, 1)
+
+        emit_rows = (vis64 > 0.0) & is_leaf \
+            & box_hit                               # (64, 1)
+
+        # per-(row, block) refine
+        tn_b = jnp.zeros((G * 8, nsub), f32)
+        tf_b = jnp.full((G * 8, nsub), _FMAX, f32)
+        for k in range(3):
+            bmn = jnp.broadcast_to(tile[:, k:k + 1], (G * 8, nsub))
+            bmx = jnp.broadcast_to(tile[:, 3 + k:4 + k], (G * 8, nsub))
+            m0 = bsgn[k] * bmn
+            m1 = bsgn[k] * bmx
+            near = jnp.minimum(m0, m1)
+            far = jnp.maximum(m0, m1)
+            lo = near - bohi[k]
+            hi = far - bolo[k]
+            tnk = lo * jnp.where(lo >= 0.0, bilo[k], bihi[k])
+            tfk = hi * jnp.where(hi >= 0.0, bihi[k], bilo[k])
+            tn_b = jnp.maximum(tn_b, jnp.where(bmixed[k], 0.0, tnk))
+            tf_b = jnp.minimum(tf_b, jnp.where(bmixed[k], _FMAX, tfk))
+        keep = (tf_b >= tn_b) & (tn_b < tmax)
+        kmask = jnp.sum(jnp.where(keep, pow2, 0.0), axis=1,
+                        keepdims=True).astype(i32)  # (64, 1)
+        tnc = jnp.maximum(tn, 0.0)
+        tq = jnp.clip(
+            (jax.lax.bitcast_convert_type(tnc, i32) >> 18) - TQ_BIAS,
+            0, 511)
+        word = ((a_f.astype(i32) + 1) << W_LEAF_SHIFT) \
+            | (kmask << W_KEEP_SHIFT) | tq          # (64, 1)
+
+        emit_l = jnp.concatenate(
+            [emit_rows[w * 8:(w + 1) * 8] for w in range(G)],
+            axis=1).astype(f32)                     # (8 rows, 8 walks)
+        pw_col = (1 << jax.lax.broadcasted_iota(i32, (8, 1), 0)
+                  ).astype(f32)
+        emask_l = jnp.sum(emit_l * pw_col, axis=0,
+                          keepdims=True)            # (1, 8)
+
+        ptr_i[0:1, 0:G] = nxt_fin_l.astype(i32)
+        ptr_i[1:2, 0:G] = emask_l.astype(i32)
+        ptr_i[:, 8:16] = word.reshape(G, 8)
+
+        new_idxs = []
+        new_cnts = []
+        for w in range(G):
+            em = ptr_i[1, w]
+            cw = cnts[w]
+            nc = [cw]
+
+            @pl.when(em > 0)
+            def _(w=w, em=em):
+                for j in range(8):
+                    c = nc[-1]
+
+                    @pl.when((((em >> j) & 1) > 0) & (c < PCAP))
+                    def _(w=w, j=j, c=c):
+                        words_ref[w, c] = ptr_i[w, 8 + j]
+                    nc.append(c + ((em >> j) & 1))
+            # count outside the when (predicated stores, exact count)
+            total = cw
+            for j in range(8):
+                total = total + ((em >> j) & 1)
+            new_idxs.append(ptr_i[0, w])
+            new_cnts.append(total)
+        return (tuple(new_idxs), tuple(new_cnts), steps + 1)
+
+    def cond(carry):
+        idxs, _, steps = carry
+        alive = idxs[0] >= 0
+        for w in range(1, G):
+            alive = alive | (idxs[w] >= 0)
+        return alive & (steps < STEP_CAP)
+
+    init_idx = tuple(jnp.where(alive0[w] > 0, 0, -1) for w in range(G))
+    init = (init_idx, tuple(jnp.int32(0) for _ in range(G)),
+            jnp.int32(0))
+    idxs_f, cnts_f, steps_f = jax.lax.while_loop(cond, step, init)
+    for w in range(G):
+        emeta_ref[w, 0] = cnts_f[w]
+        emeta_ref[w, 1] = (idxs_f[w] >= 0).astype(jnp.int32)
+        emeta_ref[w, 2] = steps_f
+        emeta_ref[w, 3] = jnp.int32(salt)
+
+
+def _stage_emit(lim, scal, smeta, bscal, nodef, *, interpret: bool,
+                treelet: bool = False, salt: int = 0):
+    # treelet=True is the aligned-window walk (4x fewer iterations,
+    # verified exact in interpret mode); it stays opt-in until its
+    # Mosaic compile is validated on the real chip
+    nslot = scal.shape[0]
+    assert nslot % G == 0, nslot
+    ngrp = nslot // G
+    kern = _emit3t_kernel if treelet else _emit3_kernel
+    return pl.pallas_call(
+        functools.partial(kern, salt=salt),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=0,
+            grid=(ngrp,),
+            in_specs=[
+                pl.BlockSpec((1, 2), lambda i: (0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((G, 8), lambda i: (i, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((G, 16), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(bscal.shape, lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(nodef.shape, lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((G, PCAP), lambda i: (i, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((G, 8), lambda i: (i, 0),
+                             memory_space=pltpu.SMEM),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((G, 128), jnp.int32),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((nslot, PCAP), jnp.int32),
+            jax.ShapeDtypeStruct((nslot, 8), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True,
+            vmem_limit_bytes=112 * 1024 * 1024),
+        interpret=interpret,
+    )(lim, smeta, scal, bscal, nodef)
+
+
+# ---------------------------------------------------- wave transpose
+
+def _transpose_kernel(xt_ref, xm_ref):
+    xm_ref[:, :] = xt_ref[:, :].T
+
+
+def feats_rows_to_major(feats_t):
+    """[16, Npad] -> [Npad, 16] via a tiled Pallas transpose (Mosaic
+    handles the in-register shuffle; the XLA relayout of the same
+    array measured ~45 ms at wave scale)."""
+    npad = feats_t.shape[1]
+    return pl.pallas_call(
+        _transpose_kernel,
+        grid=(npad // PKT,),
+        in_specs=[pl.BlockSpec((16, PKT), lambda i: (0, i),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((PKT, 16), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((npad, 16), jnp.float32),
+    )(feats_t)
+
+
+# --------------------------------------------------------------- phase 2
+
+def _isect3_kernel(slot_pkt, lim_ref, emeta_ref, words_ref,
+                   x_ref, kleaf_any, out_ref,
+                   w_s, sem, best_t, best_prim, best_b1, best_b2, *,
+                   precision: str, orient: str = "major",
+                   cull: bool = True, salt: int = 0):
+    """Slot-direct pair intersection.  One grid step = one slot: walk
+    its word list (leaf matrices DMA-pipelined S_SLOTS deep), and for
+    each set keep bit k run a statically-sliced [BLK, 16] x [16, 4T]
+    Pluecker matmul for the packet's block k, folding per-(ray, lane)
+    minima into whole-packet scratch.  The winner's primID rides in
+    kleaf row 10 (kernel_pack) and its barycentrics fall out of the
+    Pluecker signs (b1 = s2/ssum, b2 = s0/ssum), so the epilogue needs
+    NO wave-sized gathers.  Flush once per slot into [1, PKT, 4]
+    (t, prim, b1, b2)."""
+    f32, i32 = jnp.float32, jnp.int32
+    r = pl.program_id(0) % 8       # slot row within the 8-row block
+    tmin = lim_ref[0, 0]
+    tmax = lim_ref[0, 1]
+    # emit counts PAST the cap to signal overflow; clamp so list reads
+    # stay in bounds (overflowed slots are residual-flagged anyway)
+    cnt = jnp.minimum(emeta_ref[r, 0], PCAP)
+
+    best_t[:, :] = jnp.full((PKT, T), _FMAX, f32)
+    best_prim[:, :] = jnp.full((PKT, T), -1.0, f32)
+    best_b1[:, :] = jnp.zeros((PKT, T), f32)
+    best_b2[:, :] = jnp.zeros((PKT, T), f32)
+
+    def word_at(j):
+        return words_ref[r, j]
+
+    def leaf_of(wd):
+        return jnp.maximum((wd >> W_LEAF_SHIFT) - 1, 0)
+
+    def cp(j, s):
+        return pltpu.make_async_copy(kleaf_any.at[leaf_of(word_at(j))],
+                                     w_s.at[s], sem.at[s])
+
+    for j in range(S_SLOTS - 1):
+        @pl.when(j < cnt)
+        def _(j=j):
+            cp(j, j).start()
+
+    def body(i, _):
+        wd = word_at(i)
+        kmask = (wd >> W_KEEP_SHIFT) & 255
+        tq = wd & W_TQ_MASK
+        cp(i, i % S_SLOTS).wait()
+        lb_bits = jnp.where(tq == 0, 0, (tq + TQ_BIAS) << 18)
+        wf = w_s[i % S_SLOTS]
+        prim_row = wf[10:11, 0:T]                   # [1, T] f32 exact
+        if precision == "bf16":
+            w = wf.astype(jnp.bfloat16)
+        else:
+            w = wf
+
+        for k in range(8):
+            @pl.when(((kmask >> k) & 1) > 0)
+            def _(k=k, w=w, prim_row=prim_row):
+                # occlusion cull per block: positive-f32 bit patterns
+                # are order-isomorphic -> compare in the integer
+                # domain (computed only for kept blocks)
+                if cull:
+                    wbits = jnp.max(jnp.min(
+                        jax.lax.bitcast_convert_type(
+                            best_t[k * BLK:(k + 1) * BLK, :], i32),
+                        axis=1))
+                else:
+                    wbits = jnp.int32(0x7f7fffff)
+
+                @pl.when(lb_bits < wbits)
+                def _inner(k=k, w=w, prim_row=prim_row):
+                    if orient == "major":
+                        # x delivered ray-major [PKT, 16]: standard
+                        # untransposed MXU contraction
+                        x = x_ref[k * BLK:(k + 1) * BLK, :]
+                        dims = (((1,), (0,)), ((), ()))
+                    else:
+                        x = x_ref[:, k * BLK:(k + 1) * BLK]
+                        dims = (((0,), (0,)), ((), ()))
+                    if precision == "bf16":
+                        m = jax.lax.dot_general(
+                            x.astype(jnp.bfloat16), w, dims,
+                            preferred_element_type=f32)     # [BLK, 4T]
+                    elif precision == "default":
+                        m = jax.lax.dot_general(
+                            x, w, dims,
+                            preferred_element_type=f32)
+                    else:
+                        m = jax.lax.dot_general(
+                            x, w, dims,
+                            preferred_element_type=f32,
+                            precision=jax.lax.Precision.HIGHEST)
+                    s0 = m[:, 0 * T:1 * T]
+                    s1 = m[:, 1 * T:2 * T]
+                    s2 = m[:, 2 * T:3 * T]
+                    num = m[:, 3 * T:4 * T]
+                    ssum = s0 + s1 + s2
+                    i0 = jax.lax.bitcast_convert_type(s0, i32)
+                    i1 = jax.lax.bitcast_convert_type(s1, i32)
+                    i2 = jax.lax.bitcast_convert_type(s2, i32)
+                    inside = ((i0 ^ i1) | (i1 ^ i2)) >= 0
+                    rv = 1.0 / ssum         # ssum==0 -> inf/nan -> miss
+                    t = -num * rv
+                    ok = inside & (t > tmin) & (t < tmax)
+                    tt = jnp.where(ok, t, _FMAX)
+                    cur = best_t[k * BLK:(k + 1) * BLK, :]
+                    improve = tt < cur
+                    best_t[k * BLK:(k + 1) * BLK, :] = jnp.where(
+                        improve, tt, cur)
+                    best_prim[k * BLK:(k + 1) * BLK, :] = jnp.where(
+                        improve, jnp.broadcast_to(prim_row, (BLK, T)),
+                        best_prim[k * BLK:(k + 1) * BLK, :])
+                    best_b1[k * BLK:(k + 1) * BLK, :] = jnp.where(
+                        improve, s2 * rv,
+                        best_b1[k * BLK:(k + 1) * BLK, :])
+                    best_b2[k * BLK:(k + 1) * BLK, :] = jnp.where(
+                        improve, s0 * rv,
+                        best_b2[k * BLK:(k + 1) * BLK, :])
+
+        @pl.when(i + S_SLOTS - 1 < cnt)
+        def _():
+            cp(i + S_SLOTS - 1, (i + S_SLOTS - 1) % S_SLOTS).start()
+        return 0
+
+    jax.lax.fori_loop(0, cnt, body, 0)
+
+    bt = best_t[:, :]
+    pr = jnp.min(bt, axis=1, keepdims=True)             # [PKT, 1]
+    lanes_p = jax.lax.broadcasted_iota(jnp.int32, (PKT, T), 1)
+    match = bt == pr
+    jmin = jnp.min(jnp.where(match, lanes_p, T), axis=1, keepdims=True)
+    first = (lanes_p == jmin).astype(f32)
+    prim = jnp.sum(best_prim[:, :] * first, axis=1, keepdims=True)
+    b1w = jnp.sum(best_b1[:, :] * first, axis=1, keepdims=True)
+    b2w = jnp.sum(best_b2[:, :] * first, axis=1, keepdims=True)
+    out_ref[0, :, 0:1] = pr
+    out_ref[0, :, 1:2] = prim
+    out_ref[0, :, 2:3] = b1w
+    out_ref[0, :, 3:4] = b2w
+    # static salt baked into the module bytes
+    @pl.when(cnt < jnp.int32(-1 - salt))
+    def _():
+        out_ref[0, 0:1, 0:1] = jnp.zeros((1, 1), f32)
+
+
+def _stage_isect(words, emeta, slot_pkt, feats, lim, kleaf_k,
+                 *, precision: str, interpret: bool,
+                 orient: str = "major", cull: bool = True,
+                 salt: int = 0):
+    """Run phase 2 over all slots.  Returns out [NSLOT, PKT, 4] f32
+    with lanes (t, prim, b1, b2); dead or empty slots hold
+    (FLT_MAX, -1, 0, 0)."""
+    nslot = words.shape[0]
+    if orient == "major":
+        x_spec = pl.BlockSpec((PKT, 16), lambda i, sp: (sp[i], 0),
+                              memory_space=pltpu.VMEM)
+    else:
+        x_spec = pl.BlockSpec((16, PKT), lambda i, sp: (0, sp[i]),
+                              memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_isect3_kernel, precision=precision,
+                          orient=orient, cull=cull, salt=salt),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(nslot,),
+            in_specs=[
+                pl.BlockSpec((1, 2), lambda i, sp: (0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((8, 8), lambda i, sp: (i // 8, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((8, PCAP), lambda i, sp: (i // 8, 0),
+                             memory_space=pltpu.SMEM),
+                x_spec,
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, PKT, 4), lambda i, sp: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((S_SLOTS, 16, KERNEL_LEAF_LANES),
+                           jnp.float32),
+                pltpu.SemaphoreType.DMA((S_SLOTS,)),
+                pltpu.VMEM((PKT, T), jnp.float32),
+                pltpu.VMEM((PKT, T), jnp.float32),
+                pltpu.VMEM((PKT, T), jnp.float32),
+                pltpu.VMEM((PKT, T), jnp.float32),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((nslot, PKT, 4), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True,
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(slot_pkt, lim, emeta, words, feats, kleaf_k)[0]
+
+
+# ----------------------------------------------------------------- glue
+
+def _stage_glue(out_s, smeta, npk, tmin, tmax, n):
+    """Stage 3 (XLA): fold slot results into per-packet winners.  The
+    kernel already carries (t, prim, b1, b2), so this is pure
+    elementwise work plus a tiny row scatter for the <=EXTRA octant
+    sub-walk slots -- no wave-sized gathers."""
+    f32, i32 = jnp.float32, jnp.int32
+    t_all = out_s[:, :, 0]                          # [nslot, PKT]
+    alive = smeta[:, 1] > 0
+
+    # base slots are packet-ordered (slot p == packet p)
+    tb = jnp.where(alive[:npk, None], t_all[:npk], _FMAX)
+    kb = jax.lax.bitcast_convert_type(tb, i32)      # order-isomorphic
+    ex_pkt = smeta[npk:, 0]
+    ex_alive = alive[npk:]
+    tx = jnp.where(ex_alive[:, None], t_all[npk:], _FMAX)
+    kx = jax.lax.bitcast_convert_type(tx, i32)
+    kmin = kb.at[ex_pkt].min(kx, mode="drop")       # [npk, PKT]
+    t = jax.lax.bitcast_convert_type(kmin, f32)
+
+    # ties between base and extra resolve to the base slot (same t)
+    prim_f = jnp.where(kmin == kb,
+                       jnp.where(alive[:npk, None],
+                                 out_s[:npk, :, 1], -1.0),
+                       jnp.full((npk, PKT), -_FMAX, f32).at[ex_pkt].max(
+                           jnp.where(ex_alive[:, None]
+                                     & (kx == kmin[ex_pkt]),
+                                     out_s[npk:, :, 1], -_FMAX),
+                           mode="drop"))
+    b1_f = jnp.where(kmin == kb,
+                     out_s[:npk, :, 2],
+                     jnp.full((npk, PKT), 0.0, f32).at[ex_pkt].max(
+                         jnp.where(ex_alive[:, None]
+                                   & (kx == kmin[ex_pkt]),
+                                   out_s[npk:, :, 2], 0.0),
+                         mode="drop"))
+    b2_f = jnp.where(kmin == kb,
+                     out_s[:npk, :, 3],
+                     jnp.full((npk, PKT), 0.0, f32).at[ex_pkt].max(
+                         jnp.where(ex_alive[:, None]
+                                   & (kx == kmin[ex_pkt]),
+                                   out_s[npk:, :, 3], 0.0),
+                         mode="drop"))
+
+    t = t.reshape(-1)[:n]
+    prim = prim_f.reshape(-1)[:n]
+    b1 = b1_f.reshape(-1)[:n]
+    b2 = b2_f.reshape(-1)[:n]
+    hit = (t < FLT_MAX) & (prim >= 0.0)
+    t = jnp.where(hit, t, FLT_MAX)
+    prim_i = jnp.where(hit, prim.astype(i32), -1)
+    return HitRecord(t=t, prim=prim_i,
+                     slot=jnp.where(hit, jnp.int32(0), -1),
+                     b1=jnp.where(hit, b1, 0.0),
+                     b2=jnp.where(hit, b2, 0.0))
+
+
+# ----------------------------------------------------------------- run
+
+def _run(rows_w, tmin, tmax, nodef, kleaf_k, kprim, ktri_geo, inv0,
+         tstart, *, precision: str, interpret: bool, raw: bool = False,
+         orient: str = "major", treelet: bool = False,
+         presort: bool = False, with_diag: bool = False):
+    del kprim, ktri_geo, tstart, raw  # attrs ride through the kernel
+    """Full v6 pipeline on world-space component rows.  Returns a
+    HitRecord (+ diagnostics when with_diag): packets flagged in
+    diag['pkt_flag'] were truncated (step cap / word overflow / pool
+    overflow) and MUST be re-traced by the caller's residual path."""
+    n = rows_w[0].shape[0]
+    pad = (-n) % (G * PKT)
+    if pad:
+        rows_w = tuple(
+            jnp.concatenate([r, jnp.broadcast_to(r[:1], (pad,))])
+            for r in rows_w)
+    if presort:
+        rows_w, inv_blk = _block_sort(rows_w)
+    rows, feats_t, scal, smeta, bscal, lim, pool_of, order = \
+        _stage_prep(rows_w, tmin, tmax, nodef, inv0)
+    npk = rows[0].shape[0] // PKT
+    words, emeta = _stage_emit(lim, scal, smeta, bscal, nodef,
+                               interpret=interpret, treelet=treelet)
+    slot_pkt = smeta[:, 0]
+    if orient == "major" and not interpret:
+        feats = feats_rows_to_major(feats_t)
+    elif orient == "major":
+        feats = feats_t.T
+    else:
+        feats = feats_t
+    out_s = _stage_isect(words, emeta, slot_pkt, feats, lim,
+                         kleaf_k, precision=precision,
+                         interpret=interpret, orient=orient)
+    # back to storage order (slot p == packet p for base slots), so
+    # the glue's fold stays a tiny extras-only row scatter
+    inv_order = jnp.zeros_like(order).at[order].set(
+        jnp.arange(order.shape[0], dtype=jnp.int32))
+    out_u = out_s[inv_order]
+    smeta_u = jnp.zeros_like(smeta).at[order].set(smeta)
+    npad2 = rows[0].shape[0]
+    rec = _stage_glue(out_u, smeta_u, npk, tmin, tmax, npad2)
+    if presort:
+        # back to caller ray order (invert the block permutation)
+        nb = npad2 // BLK
+
+        def unblk(x, dt):
+            return x.reshape(nb, BLK)[inv_blk].reshape(-1)
+        rec = HitRecord(t=unblk(rec.t, None), prim=unblk(rec.prim, None),
+                        slot=unblk(rec.slot, None),
+                        b1=unblk(rec.b1, None), b2=unblk(rec.b2, None))
+    rec = HitRecord(t=rec.t[:n], prim=rec.prim[:n], slot=rec.slot[:n],
+                    b1=rec.b1[:n], b2=rec.b2[:n])
+    alive = smeta[:, 1] > 0
+    trunc = alive & ((emeta[:, 1] > 0) | (emeta[:, 0] > PCAP))
+    pkt_flag = jnp.maximum(
+        pool_of,
+        jnp.zeros(npk, jnp.int32).at[smeta[:, 0]].max(
+            trunc.astype(jnp.int32), mode="drop"))
+
+    if with_diag:
+        nb = rows[0].shape[0] // BLK
+        blk_perm = (jnp.zeros(nb, jnp.int32).at[inv_blk].set(
+            jnp.arange(nb, dtype=jnp.int32)) if presort
+            else jnp.arange(nb, dtype=jnp.int32))
+        diag = {"pkt_flag": pkt_flag,    # in SORTED packet space
+                "blk_perm": blk_perm,    # sorted block -> caller block
+                "words": jnp.sum(jnp.minimum(emeta[:, 0], PCAP)
+                                 * alive),
+                "steps": jnp.sum(emeta[::G, 2]),
+                "capped": jnp.sum((emeta[:, 1] > 0) & alive)}
+        return rec, diag
+    return rec
+
+
+def trace_rays_stream3(scene, origin, direction, tmin, tmax,
+                       any_hit: bool = False, precision: str = "f32",
+                       interpret=None) -> HitRecord:
+    """Jit-traceable v6 entry on [N, 3] rays (pays the one-time SoA
+    transpose).  Truncated packets (step cap, word overflow, slot-pool
+    overflow) are POISONED to miss; callers that need the residual
+    re-trace use build_tracer."""
+    del any_hit  # occlusion shares the closest-hit path
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    rows_w = rows_from_aos(origin, direction)
+    return trace_rows_stream3(scene, rows_w, tmin, tmax,
+                              precision=precision, interpret=interpret)
+
+
+def trace_rows_stream3(scene, rows_w, tmin, tmax,
+                       precision: str = "f32",
+                       interpret=None, presort: bool = False
+                       ) -> HitRecord:
+    """Jit-traceable v6 entry on component rows (the fast wave
+    format).  Up to RES_CAP truncated packets (step-capped or
+    word-overflowed) are exactly re-walked IN-JIT by the per-ray XLA
+    traversal; flags beyond that poison their packets to miss (use
+    build_tracer for the unbounded host-side retrace)."""
+    from radiance_tpu.ops import traversal
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    n = rows_w[0].shape[0]
+    tstart, _aabb = leaf_tables(scene.knode_f, scene.kleaf.shape[0])
+    rec, diag = _run(rows_w, tmin, tmax, scene.knode_f, scene.kleaf,
+                     scene.kprim, scene.ktri_geo, scene.inst_inv[0],
+                     tstart, precision=precision, interpret=interpret,
+                     presort=presort, with_diag=True)
+    flag = diag["pkt_flag"]                         # sorted pkt space
+    blk_perm = diag["blk_perm"]
+    nb = blk_perm.shape[0]
+
+    # flagged sorted packets -> caller-order blocks
+    fidx = jnp.nonzero(flag > 0, size=RES_CAP,
+                       fill_value=flag.shape[0])[0].astype(jnp.int32)
+    fvalid = fidx < flag.shape[0]
+    nsub = PKT // BLK
+    fblk_sorted = (jnp.where(fvalid, fidx, 0)[:, None] * nsub
+                   + jnp.arange(nsub, dtype=jnp.int32)[None, :]
+                   ).reshape(-1)                    # [RES_CAP*nsub]
+    fblk = blk_perm[fblk_sorted]                    # caller blocks
+    sel = (fblk[:, None] * BLK
+           + jnp.arange(BLK, dtype=jnp.int32)[None, :]).reshape(-1)
+    smask = jnp.repeat(jnp.repeat(fvalid, nsub), BLK) & (sel < n)
+    sel_g = jnp.minimum(sel, n - 1)                 # gather-safe
+    ow = jnp.stack([rows_w[0][sel_g], rows_w[1][sel_g],
+                    rows_w[2][sel_g]], axis=1)
+    dw = jnp.stack([rows_w[3][sel_g], rows_w[4][sel_g],
+                    rows_w[5][sel_g]], axis=1)
+    sub = traversal.trace_rays(scene, ow, dw, tmin, tmax)
+
+    def patch(dst, src_):
+        return dst.at[jnp.where(smask, sel_g, n)].set(src_,
+                                                      mode="drop")
+
+    rec = HitRecord(t=patch(rec.t, sub.t),
+                    prim=patch(rec.prim, sub.prim),
+                    slot=patch(rec.slot, sub.slot),
+                    b1=patch(rec.b1, sub.b1),
+                    b2=patch(rec.b2, sub.b2))
+
+    # flags beyond RES_CAP poison their packets to miss
+    nflag = jnp.sum((flag > 0).astype(jnp.int32))
+    leftover = nflag > RES_CAP
+    rank = jnp.cumsum((flag > 0).astype(jnp.int32)) - 1
+    late = (flag > 0) & (rank >= RES_CAP)
+    blk_bad_sorted = jnp.repeat(late, nsub)         # [nb] sorted
+    blk_bad = jnp.zeros(nb, bool).at[blk_perm].set(blk_bad_sorted)
+    ray_bad = jnp.repeat(blk_bad, BLK)[:n] & leftover
+    return HitRecord(
+        t=jnp.where(ray_bad, FLT_MAX, rec.t),
+        prim=jnp.where(ray_bad, -1, rec.prim),
+        slot=jnp.where(ray_bad, -1, rec.slot),
+        b1=jnp.where(ray_bad, 0.0, rec.b1),
+        b2=jnp.where(ray_bad, 0.0, rec.b2))
+
+
+# ------------------------------------------------------- build_tracer
+
+@functools.partial(jax.jit, donate_argnums=())
+def _residual_step(scene, rows_w, sel_j, tmin, tmax, rec):
+    """One jitted residual chunk: gather flagged rays, exact XLA walk,
+    patch the HitRecord.  Jitted as a unit -- running these ops eagerly
+    costs one tunnel round trip PER OP on the axon backend (measured
+    ~2.3 s per wave)."""
+    from radiance_tpu.ops import traversal
+    o = jnp.stack([rows_w[0][sel_j], rows_w[1][sel_j],
+                   rows_w[2][sel_j]], axis=1)
+    d = jnp.stack([rows_w[3][sel_j], rows_w[4][sel_j],
+                   rows_w[5][sel_j]], axis=1)
+    sub = traversal.trace_rays(scene, o, d, tmin, tmax)
+
+    def patch(dst, src_):
+        return dst.at[sel_j].set(src_)
+
+    return HitRecord(t=patch(rec.t, sub.t),
+                     prim=patch(rec.prim, sub.prim),
+                     slot=patch(rec.slot, sub.slot),
+                     b1=patch(rec.b1, sub.b1),
+                     b2=patch(rec.b2, sub.b2))
+
+
+def _residual_retrace(scene, rows_w, tmin, tmax, flag_h, blk_perm_h,
+                      rec):
+    """Host-side exact re-trace of flagged packets (step-capped or
+    word-overflowed) through the XLA per-ray walk, merged over the
+    stream result.  Flags live in presorted packet space; blk_perm
+    maps their blocks back to caller order.  Runs in fixed-size
+    chunks so the walk compiles once, not per distinct flag count."""
+    import numpy as np
+    from radiance_tpu.ops import traversal
+    RES_PKTS = 4
+    n = rows_w[0].shape[0]
+    pkts = np.nonzero(flag_h)[0]
+    if len(pkts) == 0:
+        return rec
+    nsub = PKT // BLK
+    blocks = (pkts[:, None] * nsub + np.arange(nsub)[None, :]).reshape(-1)
+    blocks = blk_perm_h[blocks]                     # caller-order blocks
+    for c0 in range(0, len(blocks), RES_PKTS * nsub):
+        chunk = list(blocks[c0:c0 + RES_PKTS * nsub])
+        while len(chunk) < RES_PKTS * nsub:
+            chunk.append(chunk[-1])                 # pad with repeats
+        sel = (np.asarray(chunk)[:, None] * BLK
+               + np.arange(BLK)[None, :]).reshape(-1)
+        sel = np.minimum(sel, n - 1)
+        rec = _residual_step(scene, tuple(rows_w), jnp.asarray(sel),
+                             jnp.float32(tmin), jnp.float32(tmax), rec)
+    return rec
+
+
+def build_tracer(scene, precision: str = "f32", interpret=None,
+                 raw: bool = False, check: bool = True,
+                 check_every_wave: bool = True, presort: bool = False):
+    """Build a non-traceable host-loop tracer fn(o, d, tmin, tmax) ->
+    HitRecord (o/d either [N, 3] arrays or six-row tuples).
+
+    * truncated packets are exactly re-traced through the XLA walk
+      (host-side residual pass), so results are complete;
+    * when `check`, the compiled pipeline is validated on a probe wave
+      against the XLA traversal oracle before use, and (optionally)
+      one pseudo-random packet of EVERY wave is re-traced and compared
+      -- the platform has miscompiled structurally-similar kernels per
+      process context (see ops/stream_trace.py)."""
+    import numpy as np
+    from radiance_tpu.ops import traversal
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    tstart, _aabb = leaf_tables(scene.knode_f, scene.kleaf.shape[0])
+    tstart = jax.block_until_ready(tstart)
+
+    j_run = jax.jit(functools.partial(
+        _run, precision=precision, interpret=interpret, raw=raw,
+        presort=presort, with_diag=True))
+
+    def trace_once(rows_w, tmin, tmax):
+        rec, diag = j_run(rows_w, jnp.float32(tmin), jnp.float32(tmax),
+                          scene.knode_f, scene.kleaf, scene.kprim,
+                          scene.ktri_geo, scene.inst_inv[0], tstart)
+        return rec, diag
+
+    state = {"wave": 0}
+
+    def tracer(o, d, tmin, tmax):
+        # o may be a 6-row tuple (fast SoA wave format, d=None) or the
+        # usual [N, 3] pair (pays the one-time transpose)
+        rows_w = tuple(o) if isinstance(o, (tuple, list)) \
+            else rows_from_aos(o, d)
+        rec, diag = trace_once(rows_w, tmin, tmax)
+        flag_h = np.asarray(diag["pkt_flag"])
+        blk_perm_h = np.asarray(diag["blk_perm"])
+        rec = _residual_retrace(scene, rows_w, tmin, tmax, flag_h,
+                                blk_perm_h, rec)
+        if check_every_wave and not raw:
+            state["wave"] += 1
+            _spot_check(scene, rows_w, rec, flag_h, tmin, tmax,
+                        state["wave"])
+        return rec
+
+    if check:
+        err = _probe_check(scene, tracer)
+        if err:
+            raise RuntimeError(
+                f"stream3 tracer failed probe self-check: {err}")
+    return tracer
+
+
+def _spot_check(scene, rows_w, rec, flag_h, tmin, tmax, seed):
+    """Re-trace one pseudo-random packet of the wave through the XLA
+    walk and require hit-for-hit agreement (1e-3 rel t tolerance)."""
+    import numpy as np
+    from radiance_tpu.ops import traversal
+    del flag_h  # flagged packets were exactly re-traced: compare all
+    n = rows_w[0].shape[0]
+    npk = max(n // PKT, 1)
+    p = (seed * 2654435761) % npk
+    s, e = p * PKT, min((p + 1) * PKT, n)
+    if s >= n:
+        return
+    o = jnp.stack([rows_w[0][s:e], rows_w[1][s:e], rows_w[2][s:e]], 1)
+    d = jnp.stack([rows_w[3][s:e], rows_w[4][s:e], rows_w[5][s:e]], 1)
+    ref = traversal.trace_rays(scene, o, d, tmin, tmax)
+    t_ref = np.asarray(ref.t)
+    t_got = np.asarray(rec.t[s:e])
+    hr, hg = t_ref < FLT_MAX, t_got < FLT_MAX
+    if (hr != hg).any():
+        k = int((hr != hg).sum())
+        raise RuntimeError(
+            f"stream3 spot check: packet {p} disagrees with the XLA "
+            f"walk on {k}/{e-s} hit flags")
+    both = hr & hg
+    if both.any():
+        rel = np.abs(t_got[both] - t_ref[both]) / np.maximum(
+            t_ref[both], 1e-6)
+        if rel.max() > 1e-3:
+            raise RuntimeError(
+                f"stream3 spot check: packet {p} hit distances off "
+                f"(max rel {rel.max():.2e})")
+
+
+def _probe_check(scene, tracer):
+    """Build-time validation: a mixed coherent + random probe wave must
+    agree hit-for-hit with the XLA traversal oracle."""
+    import numpy as np
+    from radiance_tpu.ops import traversal
+    rng = np.random.default_rng(11)
+    lo = np.asarray(scene.knode_f)[0, 0:3]
+    hi = np.asarray(scene.knode_f)[0, 3:6]
+    c = (lo + hi) / 2
+    ext = float(np.max(hi - lo))
+    n = 2 * PKT
+    eye = c + np.array([0.0, 0.0, 1.2 * ext], np.float32)
+    ij = np.arange(n)
+    xs = (ij % 64) / 64.0 - 0.5
+    ys = (ij // 64) / ((n // 64)) - 0.5
+    o = np.tile(eye[None, :], (n, 1)).astype(np.float32)
+    d = np.stack([xs, ys, np.full(n, -1.0)], -1).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    o2 = c + rng.uniform(-1.2, 1.2, (n, 3)).astype(np.float32) * ext
+    d2 = rng.normal(size=(n, 3)).astype(np.float32)
+    d2 /= np.linalg.norm(d2, axis=-1, keepdims=True)
+    o = np.concatenate([o, o2.astype(np.float32)])
+    d = np.concatenate([d, d2.astype(np.float32)])
+    oj, dj = jnp.asarray(o), jnp.asarray(d)
+    ref = traversal.trace_rays(scene, oj, dj, 1e-3, 1e6)
+    got = tracer(oj, dj, 1e-3, 1e6)
+    t_ref, t_got = np.asarray(ref.t), np.asarray(got.t)
+    hr, hg = t_ref < FLT_MAX, t_got < FLT_MAX
+    if (hr != hg).any():
+        return (f"{int((hr != hg).sum())}/{len(hr)} hit flags differ "
+                f"from the XLA oracle")
+    both = hr & hg
+    if both.any():
+        rel = np.abs(t_got[both] - t_ref[both]) / np.maximum(
+            t_ref[both], 1e-6)
+        if rel.max() > 1e-3:
+            return f"hit distances off (max rel {rel.max():.2e})"
+    return None

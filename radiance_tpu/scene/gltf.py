@@ -12,6 +12,7 @@ from __future__ import annotations
 import dataclasses
 import io
 import json
+import os
 import struct
 from typing import Dict, List, Optional, Tuple
 
@@ -118,11 +119,26 @@ def _read_accessor(gltf: dict, buffers: List[bytes], idx: int) -> np.ndarray:
     return strided.copy().view(dtype).reshape(count, n_comp)
 
 
+def _read_external(base_dir, uri: str) -> bytes:
+    """Resolve a glTF relative-URI resource next to the .gltf file."""
+    from urllib.parse import unquote
+    if base_dir is None:
+        raise ValueError(
+            f"external resource {uri!r} needs a file path, not bytes")
+    path = os.path.normpath(os.path.join(base_dir, unquote(uri)))
+    if not os.path.exists(path):
+        raise FileNotFoundError(f"glTF external resource: {path}")
+    with open(path, "rb") as f:
+        return f.read()
+
+
 def parse_glb(path_or_bytes) -> GLTFScene:
     """Parse a .glb container (or .gltf JSON with embedded base64 buffers)."""
+    base_dir = None
     if isinstance(path_or_bytes, (bytes, bytearray)):
         blob = bytes(path_or_bytes)
     else:
+        base_dir = os.path.dirname(os.path.abspath(path_or_bytes))
         with open(path_or_bytes, "rb") as f:
             blob = f.read()
 
@@ -147,8 +163,13 @@ def parse_glb(path_or_bytes) -> GLTFScene:
         import base64
         for buf in gltf.get("buffers", []):
             uri = buf.get("uri", "")
-            assert uri.startswith("data:"), "external buffer files unsupported"
-            buffers.append(base64.b64decode(uri.split(",", 1)[1]))
+            if uri.startswith("data:"):
+                buffers.append(base64.b64decode(uri.split(",", 1)[1]))
+            else:
+                # relative-URI file next to the .gltf (the common
+                # on-disk layout; reference: assimp resolves the same
+                # way, sceneBuilder.cpp:32-67)
+                buffers.append(_read_external(base_dir, uri))
 
     # images
     images = []
@@ -160,8 +181,10 @@ def parse_glb(path_or_bytes) -> GLTFScene:
         else:
             import base64
             uri = img.get("uri", "")
-            assert uri.startswith("data:"), "external image files unsupported"
-            images.append(base64.b64decode(uri.split(",", 1)[1]))
+            if uri.startswith("data:"):
+                images.append(base64.b64decode(uri.split(",", 1)[1]))
+            else:
+                images.append(_read_external(base_dir, uri))
 
     # materials (reference: sceneBuilder.cpp:103-195 key mapping)
     def tex_image(tex_info) -> int:

@@ -132,3 +132,69 @@ f 1/1/1 2/2/1 4/3/1 3/1/1
     assert len(tris) == 2  # quad fan-triangulated
     assert verts.shape[1] == 3
     np.testing.assert_allclose(normals, [[0, 0, 1]] * len(verts))
+
+
+def test_external_file_gltf(tmp_path):
+    """.gltf + external .bin + .png next to it (the common on-disk
+    layout; reference resolves the same way via assimp,
+    sceneBuilder.cpp:32-67)."""
+    import base64
+    import json
+    import struct
+
+    glb_path = two_mesh_glb(tmp_path, with_texture=True)
+    # crack the GLB into .gltf + scene.bin + tex0.png
+    with open(glb_path, "rb") as f:
+        blob = f.read()
+    magic, version, length = struct.unpack_from("<4sII", blob, 0)
+    off = 12
+    gltf_json, bin_chunk = None, b""
+    while off < length:
+        chunk_len, chunk_type = struct.unpack_from("<I4s", blob, off)
+        data = blob[off + 8:off + 8 + chunk_len]
+        if chunk_type == b"JSON":
+            gltf_json = json.loads(data)
+        elif chunk_type == b"BIN\x00":
+            bin_chunk = data
+        off += 8 + chunk_len
+
+    with open(tmp_path / "scene.bin", "wb") as f:
+        f.write(bin_chunk)
+    gltf_json["buffers"] = [{"uri": "scene.bin",
+                             "byteLength": len(bin_chunk)}]
+    # externalize image 0 (strip its bufferView)
+    img = gltf_json.get("images", [None])[0]
+    bv = gltf_json["bufferViews"][img["bufferView"]]
+    start = bv.get("byteOffset", 0)
+    png = bin_chunk[start:start + bv["byteLength"]]
+    with open(tmp_path / "tex0.png", "wb") as f:
+        f.write(png)
+    gltf_json["images"][0] = {"uri": "tex0.png"}
+    gltf_path = tmp_path / "scene.gltf"
+    with open(gltf_path, "w") as f:
+        json.dump(gltf_json, f)
+
+    ref = gltf.parse_glb(glb_path)
+    ext = gltf.parse_glb(str(gltf_path))
+    assert len(ext.meshes) == len(ref.meshes)
+    for prims_a, prims_b in zip(ext.meshes, ref.meshes):
+        for a, b in zip(prims_a, prims_b):
+            np.testing.assert_array_equal(a.positions, b.positions)
+            np.testing.assert_array_equal(a.indices, b.indices)
+    assert len(ext.images) == len(ref.images)
+    assert ext.images[0] == ref.images[0]
+
+    # it also loads + uploads end to end
+    host = loader.load_scene(str(gltf_path))
+    assert host.resources["mat_albedo"].shape[0] >= 2
+
+
+def test_external_file_gltf_missing_resource(tmp_path):
+    import json
+    bad = tmp_path / "bad.gltf"
+    with open(bad, "w") as f:
+        json.dump({"asset": {"version": "2.0"},
+                   "buffers": [{"uri": "nope.bin", "byteLength": 4}]},
+                  f)
+    with pytest.raises(FileNotFoundError):
+        gltf.parse_glb(str(bad))
