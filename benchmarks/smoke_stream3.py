@@ -51,7 +51,9 @@ def run_diag(ds, o, d, tmin=1e-3, tmax=1e3):
     rec, diag = stream3._run(
         rows_w, tmin, tmax, ds.knode_f, ds.kleaf, ds.kprim,
         ds.ktri_geo, ds.inst_inv[0], tstart,
-        precision="f32", interpret=True, with_diag=True)
+        precision="f32", interpret=True,
+        treelet=os.environ.get("SMOKE_TREELET", "0") == "1",
+        with_diag=True)
     return rec, diag
 
 
