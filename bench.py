@@ -232,6 +232,190 @@ def run_bench_stream3(scene, trace, o, d, light, n, bounce_rays):
     }))
 
 
+MULTI_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           ".bench_cache", "multi64.tlas")
+
+
+def build_or_load_multi_scene():
+    """64-instance variant of the bench cloud: 8 unique 15.6k-tri BLAS
+    meshes, each instanced 8x across the same 100-unit extent (1M tris
+    total).  Exercises the TLAS level the single-instance bench cannot
+    (reference target scenes are exactly many-instance,
+    sample1.cpp:344-360)."""
+    from radiance_tpu.api import accel
+    from radiance_tpu.core import types
+
+    if os.path.exists(MULTI_CACHE):
+        return accel.FileToTopAccelStruct(MULTI_CACHE).device_scene()
+    rng = np.random.default_rng(11)
+    n_unique, n_copies = 8, 8
+    per_blas = N_TRIS // (n_unique * n_copies)
+    blases = []
+    for b in range(n_unique):
+        n_cl = 40
+        centers = rng.uniform(-6, 6, size=(n_cl, 3)).astype(np.float32)
+        per = per_blas // n_cl
+        verts_all = []
+        for c in centers:
+            local = rng.uniform(-1.5, 1.5, size=(per, 3)).astype(np.float32)
+            offs = rng.normal(scale=0.08, size=(per, 3, 3)).astype(np.float32)
+            verts_all.append((c + local)[:, None, :] + offs)
+        verts = np.concatenate(verts_all).reshape(-1, 3)
+        tris = np.arange(len(verts), dtype=np.uint32).reshape(-1, 3)
+        blases.append(accel.BuildBottomAccelStruct(types.Mesh(verts, tris)))
+    instances = []
+    slot = 0
+    t0 = time.time()
+    for b in range(n_unique):
+        for c in range(n_copies):
+            tf = np.eye(4, dtype=np.float32)
+            tf[:3, 3] = rng.uniform(-44, 44, 3).astype(np.float32)
+            instances.append(types.Instance(tf, 0, slot, blases[b]))
+            slot += 1
+    tlas = accel.BuildTopAccelStruct(instances)
+    print(f"# built 64-instance TLAS in {time.time() - t0:.1f}s",
+          file=sys.stderr)
+    os.makedirs(os.path.dirname(MULTI_CACHE), exist_ok=True)
+    accel.TopAccelStructToFile(tlas, MULTI_CACHE)
+    return tlas.device_scene()
+
+
+def run_multi_bench():
+    """--multi mode: primary wave over the 64-instance 1M-tri scene via
+    the TLAS-culled stream sweeps (ops/stream3_multi).  Prints ONE
+    JSON line."""
+    import jax
+    import jax.numpy as jnp
+    from radiance_tpu.ops import stream3, stream3_multi
+
+    scene = build_or_load_multi_scene()
+    assert stream3_multi.supports(scene), "kernel tables missing"
+    mt = stream3_multi.MultiTables(scene)
+    n = WIDTH * HEIGHT
+    px = np.arange(n, dtype=np.int64) % WIDTH
+    py = np.arange(n, dtype=np.int64) // WIDTH
+    ts = 32
+    tile = (py // ts) * (WIDTH // ts) + (px // ts)
+    order = np.argsort(tile * (ts * ts) + (py % ts) * ts + (px % ts))
+    xs = px[order] / WIDTH - 0.5
+    ys = py[order] / HEIGHT - 0.5
+    o = np.zeros((n, 3), np.float32)
+    o[:, 2] = 140.0
+    d = np.stack([xs * 1.2, ys * 0.7, np.full(n, -1.0)],
+                 axis=-1).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    rows = tuple(jnp.asarray(o[:, k]) for k in range(3))         + tuple(jnp.asarray(d[:, k]) for k in range(3))
+    j = jax.jit(lambda scn, r: stream3_multi.trace_rows_multi(
+        scn, mt, r, 1e-3, 1e4, precision=os.environ.get(
+            "RADIANCE_BENCH_PRECISION", "default")))
+
+    def run_wave():
+        rec = j(scene, rows)
+        float(jnp.sum(rec.t[::65536]))
+        return rec
+
+    t0 = time.time()
+    rec = run_wave()
+    print(f"# multi warmup/compile: {time.time()-t0:.1f}s",
+          file=sys.stderr)
+    of = float(jnp.mean((rec.slot == -2).astype(jnp.float32)))
+    iters = 3
+    t0 = time.time()
+    for _ in range(iters):
+        rec = run_wave()
+    dt = (time.time() - t0) / iters
+    print(json.dumps({
+        "metric": "multi64_primary_mrays_per_sec_1Mtri_1080p",
+        "value": round(n / dt / 1e6, 3),
+        "unit": "Mrays/s",
+        "instances": 64,
+        "block_overflow_frac": round(of, 5),
+    }))
+
+
+def run_engine_bench():
+    """--engine mode: measure WavefrontPathTracer.render at 1080p
+    (batch 4, depth 4, real GGX bounces) on the 1M-tri bench scene --
+    the honest "1080p frame time" metric (BASELINE.json), with the
+    engine's own wavefront compaction and coherence sorting in the
+    loop.  Prints ONE JSON line (engine_mrays_per_sec / ms_per_frame).
+    """
+    import jax
+    import jax.numpy as jnp
+    from radiance_tpu.api.sbt import ShaderBindingTable
+    from radiance_tpu.core import types
+    from radiance_tpu.engine import shaders
+    from radiance_tpu.engine.pathtracer import WavefrontPathTracer
+    from radiance_tpu.shading import camera
+
+    BATCH, DEPTH = 4, 4
+    scene = build_or_load_scene()
+    n = WIDTH * HEIGHT
+    sbt = ShaderBindingTable.from_json(shaders.DEFAULT_SBT_RECORDS,
+                                       shaders.SHADER_REGISTRY)
+    tracer = WavefrontPathTracer(
+        ray_generator=camera.physical_camera_raygen, sbt=sbt)
+    cam = types.PhysicalCamera(
+        width_pixel=float(WIDTH), height_pixel=float(HEIGHT),
+        focal_length=0.035, sensor_width=0.05, focal_distance=80.0,
+        f_stop=0.0, x=0.0, y=0.0, z=140.0, wx=0.0, wy=0.0, wz=0.0)
+    # attribute bindings rebuilt deterministically from the SAME rng
+    # as build_or_load_scene (the cache stores only the accel struct)
+    from radiance_tpu.scene import bindings
+    rng = np.random.default_rng(7)
+    n_clusters = 1000
+    per = N_TRIS // n_clusters
+    centers = rng.uniform(-50, 50, size=(n_clusters, 3)).astype(np.float32)
+    verts_all = []
+    for c in centers:
+        local = rng.uniform(-1.5, 1.5, size=(per, 3)).astype(np.float32)
+        offs = rng.normal(scale=0.08, size=(per, 3, 3)).astype(np.float32)
+        verts_all.append((c + local)[:, None, :] + offs)
+    verts = np.concatenate(verts_all).reshape(-1, 3)
+    tris = np.arange(len(verts), dtype=np.uint32).reshape(-1, 3)
+    fn = np.cross(verts[tris[:, 1]] - verts[tris[:, 0]],
+                  verts[tris[:, 2]] - verts[tris[:, 0]])
+    fn /= np.maximum(np.linalg.norm(fn, axis=-1, keepdims=True), 1e-9)
+    normals = np.repeat(fn, 3, axis=0).astype(np.float32)
+    uvs = np.zeros_like(verts)
+    mats = [types.Material(albedo=(0.7, 0.7, 0.7, 1.0), roughness=0.6)]
+    props = types.SceneProperties(lights=[types.DirLight(
+        direction=(0.26726124, 0.8017837, 0.5345225, 0.0),
+        color=(3.0, 3.0, 3.0, 1.0))])
+    res = bindings.make_scene_bindings(
+        [types.MeshInfo()], verts, tris, uvs, normals, mats, props)
+    res["camera"] = camera.camera_params(cam)
+
+    accum = jnp.zeros((n, 3), jnp.float32)
+    t0 = time.time()
+    accum, image = tracer.render(scene, res, accum, 0, WIDTH, HEIGHT,
+                                 batch=1, depth=DEPTH)
+    jax.block_until_ready(accum)
+    print(f"# engine warmup/compile: {time.time()-t0:.1f}s",
+          file=sys.stderr)
+
+    iters = 2
+    t0 = time.time()
+    ts = 1
+    for _ in range(iters):
+        accum, image = tracer.render(scene, res, accum, ts, WIDTH,
+                                     HEIGHT, batch=BATCH, depth=DEPTH)
+        float(jnp.sum(accum[::65536]))
+        ts += BATCH
+    dt = (time.time() - t0) / iters
+    # rays per frame: primary + shadow per live bounce; report the
+    # upper bound (batch * depth * 2 * n) like the reference's
+    # sample-count bookkeeping
+    rays = BATCH * DEPTH * 2 * n
+    print(json.dumps({
+        "metric": "engine_mrays_per_sec_1Mtri_1080p",
+        "value": round(rays / dt / 1e6, 3),
+        "unit": "Mrays/s",
+        "ms_per_frame": round(dt * 1e3, 1),
+        "batch": BATCH, "depth": DEPTH,
+    }))
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -319,4 +503,9 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if "--engine" in sys.argv:
+        run_engine_bench()
+    elif "--multi" in sys.argv:
+        run_multi_bench()
+    else:
+        main()

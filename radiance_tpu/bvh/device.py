@@ -40,7 +40,7 @@ KIND_INST_LEAF = 2
 # Scenes with at most this many instances get per-BLAS packet-kernel
 # tables for instance-sequential sweeps (each sweep retraces the whole
 # wavefront against one BLAS, so the cost is linear in instance count).
-MAX_KERNEL_INSTANCES = 16
+MAX_KERNEL_INSTANCES = 64   # kernel-table memory ~ total leaves x 32KB
 
 
 @struct.dataclass

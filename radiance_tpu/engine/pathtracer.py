@@ -45,6 +45,20 @@ from radiance_tpu.ops.intersect import FLT_MAX
 _PARK_ORIGIN = 1e30
 
 
+_MULTI_TABLE_CACHE = {}
+
+
+def _multi_tables(scene):
+    """Host-built stacked instance tables, cached per scene object."""
+    from radiance_tpu.ops import stream3_multi
+    key = id(scene.kblas)
+    mt = _MULTI_TABLE_CACHE.get(key)
+    if mt is None:
+        mt = stream3_multi.MultiTables(scene)
+        _MULTI_TABLE_CACHE[key] = mt
+    return mt
+
+
 def _trace_dispatch(scene, o, d, tmin, tmax, *, any_hit_terminate=False,
                     any_hit_program=None):
     """Pick the fastest traversal backend for this scene/query.
@@ -64,6 +78,20 @@ def _trace_dispatch(scene, o, d, tmin, tmax, *, any_hit_terminate=False,
             return packet_trace.trace_rays_packet(
                 scene, o, d, tmin, tmax, any_hit=any_hit_terminate)
         if packet_trace.supports_multi(scene):
+            from radiance_tpu.ops import stream3, stream3_multi
+            concrete = not isinstance(scene.inst_inv,
+                                      jax.core.Tracer)
+            if (stream3_multi.supports(scene)
+                    and len(scene.inst_kblas) > 8 and concrete):
+                # many instances: TLAS-culled stream sweeps scale with
+                # block/instance overlap, not instance count.  The
+                # stacked tables are host-built, so this path serves
+                # eager callers (bench, scripts); inside a traced
+                # frame the gen-1 sweeps below still apply.
+                mt = _multi_tables(scene)
+                rows = stream3.rows_from_aos(o, d)
+                return stream3_multi.trace_rows_multi(
+                    scene, mt, rows, tmin, tmax)
             return packet_trace.trace_rays_packet_multi(
                 scene, o, d, tmin, tmax, any_hit=any_hit_terminate)
     return traversal.trace_rays(scene, o, d, tmin, tmax,

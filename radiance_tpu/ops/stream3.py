@@ -579,30 +579,29 @@ def _emit3t_kernel(lim_ref, smeta_ref, scal_ref, bscal_ref, nodef_ref,
         nxt_row = jnp.where(is_leaf, esc,
                             jnp.where(box_hit, a_f, esc))  # (64,1) f32
 
-        # in-window path-follow in (8 window rows, 8 walks-in-lanes)
-        # orientation: Mosaic rejects the (8,8)->(64,1) sublane-merge
-        # reshape, but static width-1 lane slices + concats convert
-        # both ways for free.  Rows are preorder so next strictly
-        # increases; <= 8 hops.
-        nxt_l = jnp.concatenate(
-            [nxt_row[w * 8:(w + 1) * 8] for w in range(G)],
-            axis=1)                                 # (8 rows, 8 walks)
+        # in-window path-follow in (8 walks, 8 window-rows-in-lanes)
+        # orientation: the only cross-shape ops Mosaic accepts here are
+        # the (64,1)->(8,8) sublane-split reshape and sublane-concats
+        # of (1,1) scalars (lane-offset concats and the (8,8)->(64,1)
+        # merge both fail to lower).  Rows are preorder so next
+        # strictly increases; <= 8 hops.
+        nxt_l = nxt_row.reshape(G, 8)               # (walks, rows)
         base8_l = jnp.concatenate(
             [jnp.full((1, 1), base8[w], i32) for w in range(G)],
-            axis=1)                                 # (1, 8)
+            axis=0)                                 # (8, 1)
         entry_l = jnp.concatenate(
             [jnp.full((1, 1), jnp.maximum(idxs[w], 0) - base8[w], i32)
-             for w in range(G)], axis=1)            # (1, 8)
+             for w in range(G)], axis=0)            # (8, 1)
         aliv_l = jnp.concatenate(
             [jnp.full((1, 1), (idxs[w] >= 0).astype(f32))
-             for w in range(G)], axis=1)            # (1, 8)
-        iota_r = jax.lax.broadcasted_iota(i32, (8, G), 0)
+             for w in range(G)], axis=0)            # (8, 1)
+        iota_r = jax.lax.broadcasted_iota(i32, (G, 8), 1)
         P = (iota_r == entry_l).astype(f32) * aliv_l    # (8, 8)
         visited = P
-        exit_acc = jnp.zeros((1, G), f32)
+        exit_acc = jnp.zeros((G, 1), f32)
         for _hop in range(8):
-            nxt_g = jnp.sum(P * nxt_l, axis=0, keepdims=True)  # (1,8)
-            has = jnp.sum(P, axis=0, keepdims=True) > 0.0
+            nxt_g = jnp.sum(P * nxt_l, axis=1, keepdims=True)  # (8,1)
+            has = jnp.sum(P, axis=1, keepdims=True) > 0.0
             loc = nxt_g.astype(i32) - base8_l
             inw = has & (loc > entry_l) & (loc < 8) & (nxt_g >= 0.0)
             exit_acc = exit_acc + jnp.where(has & ~inw, nxt_g, 0.0)
@@ -611,13 +610,11 @@ def _emit3t_kernel(lim_ref, smeta_ref, scal_ref, bscal_ref, nodef_ref,
             entry_l = jnp.where(inw, loc, entry_l)
         idx_l = jnp.concatenate(
             [jnp.full((1, 1), idxs[w], i32) for w in range(G)],
-            axis=1).astype(f32)
-        nxt_fin_l = jnp.where(aliv_l > 0.0, exit_acc, idx_l)  # (1, 8)
-        vis64 = jnp.concatenate(
-            [visited[:, w:w + 1] for w in range(G)], axis=0)  # (64, 1)
+            axis=0).astype(f32)
+        nxt_fin_l = jnp.where(aliv_l > 0.0, exit_acc, idx_l)  # (8, 1)
 
-        emit_rows = (vis64 > 0.0) & is_leaf \
-            & box_hit                               # (64, 1)
+        emit88 = (visited > 0.0) & (is_leaf.reshape(G, 8)) \
+            & (box_hit.reshape(G, 8))               # (walks, rows)
 
         # per-(row, block) refine
         tn_b = jnp.zeros((G * 8, nsub), f32)
@@ -645,22 +642,19 @@ def _emit3t_kernel(lim_ref, smeta_ref, scal_ref, bscal_ref, nodef_ref,
         word = ((a_f.astype(i32) + 1) << W_LEAF_SHIFT) \
             | (kmask << W_KEEP_SHIFT) | tq          # (64, 1)
 
-        emit_l = jnp.concatenate(
-            [emit_rows[w * 8:(w + 1) * 8] for w in range(G)],
-            axis=1).astype(f32)                     # (8 rows, 8 walks)
-        pw_col = (1 << jax.lax.broadcasted_iota(i32, (8, 1), 0)
+        pw_row = (1 << jax.lax.broadcasted_iota(i32, (G, 8), 1)
                   ).astype(f32)
-        emask_l = jnp.sum(emit_l * pw_col, axis=0,
-                          keepdims=True)            # (1, 8)
+        emask_l = jnp.sum(emit88.astype(f32) * pw_row, axis=1,
+                          keepdims=True)            # (8, 1)
 
-        ptr_i[0:1, 0:G] = nxt_fin_l.astype(i32)
-        ptr_i[1:2, 0:G] = emask_l.astype(i32)
+        ptr_i[:, 0:1] = nxt_fin_l.astype(i32)
+        ptr_i[:, 1:2] = emask_l.astype(i32)
         ptr_i[:, 8:16] = word.reshape(G, 8)
 
         new_idxs = []
         new_cnts = []
         for w in range(G):
-            em = ptr_i[1, w]
+            em = ptr_i[w, 1]
             cw = cnts[w]
             nc = [cw]
 
@@ -677,7 +671,7 @@ def _emit3t_kernel(lim_ref, smeta_ref, scal_ref, bscal_ref, nodef_ref,
             total = cw
             for j in range(8):
                 total = total + ((em >> j) & 1)
-            new_idxs.append(ptr_i[0, w])
+            new_idxs.append(ptr_i[w, 0])
             new_cnts.append(total)
         return (tuple(new_idxs), tuple(new_cnts), steps + 1)
 

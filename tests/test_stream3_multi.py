@@ -1,0 +1,82 @@
+"""Many-instance stream tracing (ops/stream3_multi) vs the XLA
+two-level traversal oracle (interpret mode on CPU)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from radiance_tpu.api import accel
+from radiance_tpu.core import types
+from radiance_tpu.ops import stream3, stream3_multi, traversal
+from radiance_tpu.ops.intersect import FLT_MAX
+
+
+def _multi_scene(n_inst=5, tris_per=120, seed=4):
+    rng = np.random.default_rng(seed)
+    instances = []
+    for i in range(n_inst):
+        centers = rng.uniform(-2, 2, size=(tris_per, 3)).astype(np.float32)
+        offs = rng.normal(scale=0.3, size=(tris_per, 3, 3)).astype(np.float32)
+        verts = (centers[:, None, :] + offs).reshape(-1, 3)
+        tris = np.arange(len(verts), dtype=np.uint32).reshape(-1, 3)
+        blas = accel.BuildBottomAccelStruct(types.Mesh(verts, tris))
+        tf = np.eye(4, dtype=np.float32)
+        tf[:3, 3] = rng.uniform(-8, 8, 3)
+        instances.append(types.Instance(tf, 0, i, blas))
+    tlas = accel.BuildTopAccelStruct(instances)
+    return tlas.device_scene()
+
+
+def test_multi_vs_oracle():
+    ds = _multi_scene()
+    assert stream3_multi.supports(ds)
+    mt = stream3_multi.MultiTables(ds)
+    rng = np.random.default_rng(1)
+    n = 1024
+    o = rng.uniform(-12, 12, (n, 3)).astype(np.float32)
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    oj, dj = jnp.asarray(o), jnp.asarray(d)
+    ref = traversal.trace_rays(ds, oj, dj, 1e-3, 1e3)
+    rows = stream3.rows_from_aos(oj, dj)
+    got = stream3_multi.trace_rows_multi(ds, mt, rows, 1e-3, 1e3,
+                                         precision="f32",
+                                         bcap_blocks=None,
+                                         interpret=True)
+    t_ref, t_got = np.asarray(ref.t), np.asarray(got.t)
+    ok = np.asarray(got.slot) != -2          # non-overflowed rays
+    assert ok.mean() > 0.95
+    hr, hg = t_ref < FLT_MAX, t_got < FLT_MAX
+    assert (hr[ok] == hg[ok]).all()
+    both = hr & hg & ok
+    np.testing.assert_allclose(t_got[both], t_ref[both], rtol=2e-3,
+                               atol=1e-4)
+    # winning instance slots agree where distances match closely
+    close = both & (np.abs(t_got - t_ref) < 1e-5)
+    assert (np.asarray(got.slot)[close]
+            == np.asarray(ref.slot)[close]).mean() > 0.98
+
+
+def test_multi_coherent_tiles():
+    ds = _multi_scene(n_inst=4, tris_per=200, seed=9)
+    mt = stream3_multi.MultiTables(ds)
+    n = 2048
+    ij = np.arange(n)
+    xs = (ij % 64) / 64.0 - 0.5
+    ys = (ij // 64) / 32.0 - 0.5
+    o = np.tile([[0.0, 0.0, 25.0]], (n, 1)).astype(np.float32)
+    d = np.stack([xs, ys, np.full(n, -1.0)], -1).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    oj, dj = jnp.asarray(o), jnp.asarray(d)
+    ref = traversal.trace_rays(ds, oj, dj, 1e-3, 1e3)
+    rows = stream3.rows_from_aos(oj, dj)
+    got = stream3_multi.trace_rows_multi(ds, mt, rows, 1e-3, 1e3,
+                                         precision="f32",
+                                         interpret=True)
+    ok = np.asarray(got.slot) != -2
+    t_ref, t_got = np.asarray(ref.t), np.asarray(got.t)
+    hr, hg = t_ref < FLT_MAX, t_got < FLT_MAX
+    assert (hr[ok] == hg[ok]).all()
+    both = hr & hg & ok
+    np.testing.assert_allclose(t_got[both], t_ref[both], rtol=2e-3,
+                               atol=1e-4)
