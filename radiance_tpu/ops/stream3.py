@@ -231,7 +231,13 @@ def _stage_prep(rows_w, tmin, tmax, nodef, inv0):
     feats_t = jnp.stack([dx, dy, dz, mx, my, mz, ox, oy, oz, ones,
                          zeros, zeros, zeros, zeros, zeros, zeros])
 
-    bscal = _group_scalars(rows, BLK)               # [npk*8, 16]
+    # refine scalars at 32-ray sub-block granularity, rows permuted
+    # sub-major within each packet (sub s of block j at row s*8 + j):
+    # the emit kernel then folds the per-block OR with four STATIC
+    # (8, 8) lane slices -- no strided slicing, no bit carries
+    bscal32 = _group_scalars(rows, BLK // 4)        # [npk*32, 16]
+    bscal = bscal32.reshape(npk, 8, 4, 16).transpose(0, 2, 1, 3) \
+        .reshape(npk * 32, 16)
 
     # ----- slot construction -----
     # per-(packet, octant) interval scalars, vectorized over octants
@@ -352,11 +358,12 @@ def _emit3_kernel(lim_ref, smeta_ref, scal_ref, bscal_ref, nodef_ref,
     alive0 = [smeta_ref[w, 1] for w in range(G)]
     pkts = [smeta_ref[w, 0] for w in range(G)]
 
-    # block scalars: 8 rows per walk's packet -> (8, 8) refine tiles
+    # sub-block scalars: 32 sub-major rows per walk's packet ->
+    # (8, 32) refine tiles whose lanes are (sub s, block j) = s*8+j
     b32 = jnp.concatenate(
-        [bscal_ref[pl.ds(pkts[w] * (PKT // BLK), PKT // BLK), :]
-         for w in range(G)], axis=0)                # (64, 16)
-    nsub = PKT // BLK
+        [bscal_ref[pl.ds(pkts[w] * 32, 32), :]
+         for w in range(G)], axis=0)                # (256, 16)
+    nsub = 32
 
     def col(k):
         return b32[:, k:k + 1].reshape(G, nsub)
@@ -367,11 +374,11 @@ def _emit3_kernel(lim_ref, smeta_ref, scal_ref, bscal_ref, nodef_ref,
     bilo = [col(9 + k) for k in range(3)]
     bihi = [col(12 + k) for k in range(3)]
     bmixed = [s == 0.0 for s in bsgn]
-    # keepmask weights: block j contributes bit j (sum <= 255,
-    # exact); Mosaic rejects f32 iota, so shift in the integer domain
+    # keepmask weights over the folded (G, 8) block keeps; Mosaic
+    # rejects f32 iota, so shift in the integer domain
     pow2 = jnp.broadcast_to(
-        (1 << jax.lax.broadcasted_iota(i32, (1, nsub), 1)
-         ).astype(f32), (G, nsub))
+        (1 << jax.lax.broadcasted_iota(i32, (1, 8), 1)
+         ).astype(f32), (G, 8))
 
     def step(carry):
         idxv, idxs, cnts, steps = carry
@@ -423,7 +430,11 @@ def _emit3_kernel(lim_ref, smeta_ref, scal_ref, bscal_ref, nodef_ref,
             tfk = hi * jnp.where(hi >= 0.0, bihi[k], bilo[k])
             tn_b = jnp.maximum(tn_b, jnp.where(bmixed[k], 0.0, tnk))
             tf_b = jnp.minimum(tf_b, jnp.where(bmixed[k], _FMAX, tfk))
-        keep = (tf_b >= tn_b) & (tn_b < tmax)       # (8, 32)
+        keep32 = (tf_b >= tn_b) & (tn_b < tmax)     # (8, 32)
+        # per-block OR over the block's 4 sub-frusta (static slices
+        # thanks to the sub-major lane order)
+        keep = (keep32[:, 0:8] | keep32[:, 8:16]
+                | keep32[:, 16:24] | keep32[:, 24:32])  # (8, 8)
         kmask = jnp.sum(jnp.where(keep, pow2, 0.0), axis=1,
                         keepdims=True)              # (8, 1) 0..255
         kmask_i = kmask.astype(i32)
@@ -502,9 +513,9 @@ def _emit3t_kernel(lim_ref, smeta_ref, scal_ref, bscal_ref, nodef_ref,
     pkts = [smeta_ref[w, 0] for w in range(G)]
 
     b32 = jnp.concatenate(
-        [bscal_ref[pl.ds(pkts[w] * (PKT // BLK), PKT // BLK), :]
-         for w in range(G)], axis=0)                # (64, 16)
-    nsub = PKT // BLK
+        [bscal_ref[pl.ds(pkts[w] * 32, 32), :]
+         for w in range(G)], axis=0)                # (256, 16)
+    nsub = 32
 
     def col(k):
         return b32[:, k:k + 1].reshape(G, nsub)
@@ -522,8 +533,8 @@ def _emit3t_kernel(lim_ref, smeta_ref, scal_ref, bscal_ref, nodef_ref,
     bihi = [rep(col(12 + k)) for k in range(3)]
     bmixed = [s == 0.0 for s in bsgn]
     pow2 = jnp.broadcast_to(
-        (1 << jax.lax.broadcasted_iota(i32, (1, nsub), 1)
-         ).astype(f32), (G * 8, nsub))
+        (1 << jax.lax.broadcasted_iota(i32, (1, 8), 1)
+         ).astype(f32), (G * 8, 8))
 
     # packet scalars widened to (64, 1): walk w's row repeated 8x
     def repw(a):                                    # (8, 3) -> (64, 3)
@@ -632,7 +643,9 @@ def _emit3t_kernel(lim_ref, smeta_ref, scal_ref, bscal_ref, nodef_ref,
             tfk = hi * jnp.where(hi >= 0.0, bihi[k], bilo[k])
             tn_b = jnp.maximum(tn_b, jnp.where(bmixed[k], 0.0, tnk))
             tf_b = jnp.minimum(tf_b, jnp.where(bmixed[k], _FMAX, tfk))
-        keep = (tf_b >= tn_b) & (tn_b < tmax)
+        keep32 = (tf_b >= tn_b) & (tn_b < tmax)     # (64, 32)
+        keep = (keep32[:, 0:8] | keep32[:, 8:16]
+                | keep32[:, 16:24] | keep32[:, 24:32])
         kmask = jnp.sum(jnp.where(keep, pow2, 0.0), axis=1,
                         keepdims=True).astype(i32)  # (64, 1)
         tnc = jnp.maximum(tn, 0.0)
