@@ -739,17 +739,25 @@ def trace_rays_stream(scene, origin, direction, tmin, tmax,
     under an outer jit.  Caller must check supports(scene).
 
     Capacity overflow (a packet emitting > MAXL leaves, or a chunk
-    collecting > CHUNK_CAP pairs) silently drops the excess; use
-    build_tracer (which checks on-device diagnostics) for validated
-    tracing."""
+    collecting > CHUNK_CAP pairs) POISONS the whole wave to miss
+    (observable, instead of silently losing hits); use build_tracer
+    (which checks on-device diagnostics and raises) for tracing that
+    must distinguish the cases."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     tstart, aabb = leaf_tables(scene.knode_f, scene.kleaf.shape[0])
     kleaf_k = scene.kleaf
-    return _run(origin, direction, tmin, tmax,
-                scene.knode_f, kleaf_k, scene.kprim, scene.ktri_geo,
-                scene.inst_inv[0], tstart, aabb, any_hit=any_hit,
-                precision=precision, interpret=interpret)
+    rec, diag = _run(origin, direction, tmin, tmax,
+                     scene.knode_f, kleaf_k, scene.kprim,
+                     scene.ktri_geo, scene.inst_inv[0], tstart, aabb,
+                     any_hit=any_hit, precision=precision,
+                     interpret=interpret, with_diag=True)
+    bad = (diag["walk_overflow"] + diag["pair_overflow"]) > 0
+    return HitRecord(t=jnp.where(bad, FLT_MAX, rec.t),
+                     prim=jnp.where(bad, -1, rec.prim),
+                     slot=jnp.where(bad, -1, rec.slot),
+                     b1=jnp.where(bad, 0.0, rec.b1),
+                     b2=jnp.where(bad, 0.0, rec.b2))
 
 
 def _probe_rays(scene, n=CHUNK_RAYS, seed=42):
