@@ -32,6 +32,23 @@ CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                      ".bench_cache", f"cloud_{N_TRIS}.tlas")
 
 
+def preflight_device(timeout_s: int = 240) -> bool:
+    """Probe the accelerator in a SUBPROCESS with a hard timeout.  A
+    wedged backend (e.g. a hung server-side kernel compile) blocks
+    every in-process dispatch uninterruptibly; failing fast here keeps
+    the bench from hanging its caller."""
+    import subprocess
+    code = ("import jax, jax.numpy as jnp;"
+            "x = jnp.ones((128, 128));"
+            "print(float(jnp.sum(x @ x)))")
+    try:
+        r = subprocess.run([sys.executable, "-c", code],
+                           timeout=timeout_s, capture_output=True)
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def build_or_load_scene():
     from radiance_tpu.api import accel
     from radiance_tpu.core import types
@@ -503,6 +520,14 @@ def main():
 
 
 if __name__ == "__main__":
+    if not preflight_device():
+        print(json.dumps({
+            "metric": "traversal_mrays_per_sec_1Mtri_1080p",
+            "value": 0.0, "unit": "Mrays/s", "vs_baseline": 0.0,
+            "error": "accelerator unresponsive (preflight probe "
+                     "timed out); see BASELINE.md on backend wedges",
+        }))
+        sys.exit(1)
     if "--engine" in sys.argv:
         run_engine_bench()
     elif "--multi" in sys.argv:
