@@ -170,7 +170,9 @@ def trace_rows_multi(scene, mt: MultiTables, rows_w, tmin, tmax,
     best_t0 = jnp.full(npad, FLT_MAX, jnp.float32)
     best0 = (best_t0, jnp.full(npad, -1, jnp.int32),
              jnp.full(npad, -1, jnp.int32),
-             jnp.zeros(npad, jnp.float32), jnp.zeros(npad, jnp.float32))
+             jnp.zeros(npad, jnp.float32),
+             jnp.zeros(npad, jnp.float32),
+             jnp.zeros(npad, bool))      # truncation poison mask
 
     def sweep(best, xs):
         (slot_i, nodef_i, kleaf_i, kprim_i, geo_i, tstart_i, inv_i,
@@ -188,11 +190,15 @@ def trace_rows_multi(scene, mt: MultiTables, rows_w, tmin, tmax,
                jnp.where(live, sub[3], 1.0),
                jnp.where(live, sub[4], 0.0),
                jnp.where(live, sub[5], 0.0))
-        rec = s3._run(sub, tmin, tmax, nodef_i, kleaf_i, kprim_i,
-                      geo_i, inv_i, tstart_i, precision=precision,
-                      interpret=interpret, presort=False,
-                      with_diag=False)
-        bt, bp, bs, b1, b2 = best
+        rec, diag = s3._run(sub, tmin, tmax, nodef_i, kleaf_i,
+                            kprim_i, geo_i, inv_i, tstart_i,
+                            precision=precision, interpret=interpret,
+                            presort=False, with_diag=True)
+        bt, bp, bs, b1, b2, bbad = best
+        # a step-capped/word-overflowed sub-packet lost hits for this
+        # instance: poison its rays rather than return silent misses
+        sub_bad = jnp.repeat(diag["pkt_flag"] > 0, s3.PKT)
+        sub_bad = sub_bad[:live.shape[0]] & live
         tgt = jnp.where(live, gsel, npad)
         cur = bt.at[tgt].get(mode="fill", fill_value=-jnp.inf)
         take = live & (rec.t < cur)
@@ -204,18 +210,20 @@ def trace_rows_multi(scene, mt: MultiTables, rows_w, tmin, tmax,
             mode="drop")
         b1 = b1.at[upd].set(jnp.where(take, rec.b1, 0.0), mode="drop")
         b2 = b2.at[upd].set(jnp.where(take, rec.b2, 0.0), mode="drop")
-        return (bt, bp, bs, b1, b2), None
+        bbad = bbad.at[jnp.where(sub_bad, gsel, npad)].set(
+            True, mode="drop")
+        return (bt, bp, bs, b1, b2, bbad), None
 
     xs = (jnp.arange(mt.ninst, dtype=jnp.int32), mt.nodef, mt.kleaf,
           mt.kprim, mt.ktri_geo, mt.tstart, scene.inst_inv[:mt.ninst],
           lists)
-    (bt, bp, bs, b1, b2), _ = jax.lax.scan(sweep, best0, xs)
+    (bt, bp, bs, b1, b2, bbad), _ = jax.lax.scan(sweep, best0, xs)
     hit = bt < FLT_MAX
     rec = HitRecord(
         t=bt[:n], prim=bp[:n],
         slot=jnp.where(hit, bs, -1)[:n],
         b1=b1[:n], b2=b2[:n])
-    bad = (jnp.repeat(blk_overflowed, BLK)[:n])
+    bad = (jnp.repeat(blk_overflowed, BLK) | bbad)[:n]
     return HitRecord(t=jnp.where(bad, FLT_MAX, rec.t),
                      prim=jnp.where(bad, -1, rec.prim),
                      slot=jnp.where(bad, -2, rec.slot),
