@@ -273,10 +273,18 @@ def _stage_prep(rows_w, tmin, tmax, nodef, inv0):
         + [cols[k][4] for k in range(3)]
         + [jnp.zeros((npk, 8), f32)], axis=2)       # [npk, 8, 16]
 
-    # a pure packet's slot row IS its single octant's row
+    # a pure packet's slot row IS its single octant's row; the
+    # conservative fallback for non-fitting MIXED packets needs true
+    # WHOLE-packet scalars (an octant row only covers that octant's
+    # rays and would lose the rest's hits)
     oct_idx = jnp.argmax(present, axis=1).astype(i32)   # [npk]
-    full = cand[jnp.arange(npk), oct_idx]           # [npk, 16]
-    base_full = oct_idx * nk_local
+    full_pkt = _group_scalars(rows, PKT)            # [npk, 16]
+    full = jnp.where(pure[:, None],
+                     cand[jnp.arange(npk), oct_idx], full_pkt)
+    oct_full = ((full[:, 0] < 0).astype(i32)
+                + 2 * (full[:, 1] < 0).astype(i32)
+                + 4 * (full[:, 2] < 0).astype(i32))
+    base_full = oct_full * nk_local
 
     nslot = npk + EXTRA
     scal = jnp.zeros((nslot, 16), f32).at[:npk].set(

@@ -106,3 +106,19 @@ def test_stream3_tmax_clip():
     ref = traversal.trace_rays(ds, o, d, 1e-3, tmax)
     rec = stream3.trace_rays_stream3(ds, o, d, 1e-3, tmax)
     _agree(ref, rec)
+
+
+def test_stream3_conservative_fallback(monkeypatch):
+    """When the octant sub-slot pool is too small, mixed packets walk
+    conservatively on their base slot with WHOLE-packet scalars --
+    every octant's rays must still find their hits."""
+    monkeypatch.setattr(stream3, "EXTRA", 8)    # pool of 8 sub-slots
+    ds = _single_instance_scene(n_tris=400, seed=21)
+    rng = np.random.default_rng(12)
+    # 3 packets of fully random directions: ~8 octants each -> 24
+    # sub-slot candidates >> pool -> all three fall back conservative
+    o, d = gen_rays(rng, 3 * stream3.PKT, spread=8.0)
+    o, d = jnp.asarray(o), jnp.asarray(d)
+    ref = traversal.trace_rays(ds, o, d, 1e-3, 1e3)
+    rec = stream3.trace_rays_stream3(ds, o, d, 1e-3, 1e3)
+    _agree(ref, rec)
