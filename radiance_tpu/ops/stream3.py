@@ -1048,11 +1048,11 @@ def _run(rows_w, tmin, tmax, nodef, kleaf_k, kprim, ktri_geo, inv0,
          tstart, *, precision: str, interpret: bool, raw: bool = False,
          orient: str = "major", treelet: bool = False,
          presort: bool = False, with_diag: bool = False):
-    del kprim, ktri_geo, tstart, raw  # attrs ride through the kernel
     """Full v6 pipeline on world-space component rows.  Returns a
     HitRecord (+ diagnostics when with_diag): packets flagged in
-    diag['pkt_flag'] were truncated (step cap / word overflow / pool
-    overflow) and MUST be re-traced by the caller's residual path."""
+    diag['pkt_flag'] were truncated (step cap / word overflow) and
+    MUST be re-traced or poisoned by the caller."""
+    del kprim, ktri_geo, tstart, raw  # attrs ride through the kernel
     n = rows_w[0].shape[0]
     pad = (-n) % (G * PKT)
     if pad:

@@ -122,3 +122,45 @@ def test_stream3_conservative_fallback(monkeypatch):
     ref = traversal.trace_rays(ds, o, d, 1e-3, 1e3)
     rec = stream3.trace_rays_stream3(ds, o, d, 1e-3, 1e3)
     _agree(ref, rec)
+
+
+def test_stream3_in_jit_residual(monkeypatch):
+    """Step-capped packets are exactly re-walked in-jit: with a tiny
+    cap every packet truncates, and the residual XLA walk must still
+    reproduce the oracle for the first RES_CAP packets while the rest
+    poison to miss."""
+    monkeypatch.setattr(stream3, "STEP_CAP", 4)     # everything caps
+    ds = _single_instance_scene(n_tris=900, seed=3)
+    n = 2 * stream3.PKT
+    ij = np.arange(n)
+    xs = (ij % 64) / 64.0 - 0.5
+    ys = (ij // 64) / 32.0 - 0.5
+    o = np.tile([[0.0, 0.0, 12.0]], (n, 1)).astype(np.float32)
+    d = np.stack([xs, ys, np.full(n, -1.0)], -1).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    o, d = jnp.asarray(o), jnp.asarray(d)
+    ref = traversal.trace_rays(ds, o, d, 1e-3, 1e3)
+    rec = stream3.trace_rays_stream3(ds, o, d, 1e-3, 1e3)
+    # 2 packets <= RES_CAP: every ray exact via the residual walk
+    _agree(ref, rec)
+
+
+def test_stream3_residual_overflow_poisons(monkeypatch):
+    monkeypatch.setattr(stream3, "STEP_CAP", 4)
+    monkeypatch.setattr(stream3, "RES_CAP", 1)
+    ds = _single_instance_scene(n_tris=900, seed=3)
+    n = 2 * stream3.PKT
+    ij = np.arange(n)
+    xs = (ij % 64) / 64.0 - 0.5
+    ys = (ij // 64) / 32.0 - 0.5
+    o = np.tile([[0.0, 0.0, 12.0]], (n, 1)).astype(np.float32)
+    d = np.stack([xs, ys, np.full(n, -1.0)], -1).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    rec = stream3.trace_rays_stream3(ds, jnp.asarray(o),
+                                     jnp.asarray(d), 1e-3, 1e3)
+    t = np.asarray(rec.t)
+    # exactly one packet beyond capacity: its rays all read as miss
+    miss_pkt0 = (t[:stream3.PKT] == FLT_MAX).all()
+    miss_pkt1 = (t[stream3.PKT:] == FLT_MAX).all()
+    assert miss_pkt0 != miss_pkt1 or (miss_pkt0 and miss_pkt1) is False
+    assert miss_pkt0 or miss_pkt1
