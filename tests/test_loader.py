@@ -198,3 +198,25 @@ def test_external_file_gltf_missing_resource(tmp_path):
                   f)
     with pytest.raises(FileNotFoundError):
         gltf.parse_glb(str(bad))
+
+
+def test_reference_tex_dim_4096(tmp_path):
+    """The reference normalizes every texture to 4096^2
+    (sceneBuilder.cpp:21 TEX_DIM); the loader must hold that memory
+    path end to end (decode -> [T, 4096, 4096, 4] u8 -> device upload
+    -> sampling)."""
+    import jax.numpy as jnp
+    from radiance_tpu.ops import texture as texture_ops
+
+    path = two_mesh_glb(tmp_path, with_texture=True)
+    scene = loader.load_scene(path, use_cache=False, tex_dim=4096,
+                              verbose=False)
+    tex = scene.resources["textures"]
+    assert tex.shape[1:] == (4096, 4096, 4) and tex.dtype == jnp.uint8
+    # sample the solid-color texture at the reference's sampler modes
+    s = scene.resources["sampler"]
+    out = texture_ops.sample_image_array(
+        tex, jnp.asarray([0.25, 0.9]), jnp.asarray([0.5, 0.1]),
+        jnp.asarray([0, 0]), addressing=s.addressing,
+        filter_mode=s.filter)
+    np.testing.assert_array_equal(np.asarray(out)[0, :3], [10, 200, 30])
