@@ -1,0 +1,123 @@
+#!/usr/bin/env python
+"""Local AOT (compile-only) harness for the stream3 Pallas kernels.
+
+The axon tunnel compiles kernels on the REMOTE side, and a hung Mosaic
+compile wedges the shared device queue for hours (see
+docs/raystream-design.md and BASELINE.md).  This harness compiles the
+same pallas_calls against a LOCAL `v5e` compile-only PJRT topology
+(libtpu is in the image), so compile hangs/failures are observed
+under a local `timeout` with ZERO device risk.
+
+Usage:
+  python benchmarks/aot_compile.py emit          # production emit walk
+  python benchmarks/aot_compile.py emit-treelet  # the treelet variant
+  python benchmarks/aot_compile.py isect         # phase-2 pair kernel
+  python benchmarks/aot_compile.py all
+
+Each target runs in-process (callers wrap in `timeout`); prints
+COMPILED <target> <seconds> on success.
+"""
+import functools
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import topologies
+from jax.sharding import SingleDeviceSharding
+
+
+@functools.lru_cache()
+def v5e_device():
+    topo = topologies.get_topology_desc("v5e:2x2", "tpu")
+    return topo.devices[0]
+
+
+def aot_compile(fn, *args):
+    """Lower fn(*args) for one v5e chip and run the full XLA+Mosaic
+    compile locally.  Returns seconds."""
+    dev = v5e_device()
+    shard = SingleDeviceSharding(dev)
+    sds = tuple(jax.ShapeDtypeStruct(np.shape(a), jnp.asarray(a).dtype)
+                for a in args)
+    t0 = time.time()
+    lowered = jax.jit(fn, out_shardings=shard).trace(*sds).lower(
+        lowering_platforms=("tpu",))
+    lowered.compile()
+    return time.time() - t0
+
+
+def emit_args(nslot=64, nk=2048):
+    """Production-shaped _stage_emit inputs (bench scene: nslot bigger,
+    nk ~ 8 * octant rows; shapes here keep compile representative)."""
+    from radiance_tpu.ops import stream3 as s3
+    rng = np.random.default_rng(0)
+    lim = np.asarray([[1e-3, 1e4]], np.float32)
+    scal = rng.standard_normal((nslot, 16)).astype(np.float32)
+    smeta = np.zeros((nslot, 8), np.int32)
+    smeta[:, 0] = np.arange(nslot) % (nslot // 2)
+    smeta[:, 1] = 1
+    bscal = rng.standard_normal(((nslot // 2) * 32, 16)).astype(np.float32)
+    nodef = rng.standard_normal((nk, 16)).astype(np.float32)
+    return lim, scal, smeta, bscal, nodef
+
+
+def compile_emit(treelet: bool):
+    from radiance_tpu.ops import stream3 as s3
+    lim, scal, smeta, bscal, nodef = emit_args()
+
+    def fn(lim, scal, smeta, bscal, nodef):
+        return s3._stage_emit(lim, scal, smeta, bscal, nodef,
+                              interpret=False, treelet=treelet)
+
+    return aot_compile(fn, lim, scal, smeta, bscal, nodef)
+
+
+def compile_isect():
+    from radiance_tpu.ops import stream3 as s3
+    nslot = 64
+    npk = 32
+    rng = np.random.default_rng(0)
+    words = np.zeros((nslot, s3.PCAP), np.int32)
+    emeta = np.zeros((nslot, 8), np.int32)
+    slot_pkt = np.arange(nslot, dtype=np.int32) % npk
+    feats = rng.standard_normal((npk * s3.PKT, 16)).astype(np.float32)
+    lim = np.asarray([[1e-3, 1e4]], np.float32)
+    nleaf = 512
+    kleaf = rng.standard_normal((nleaf * 16, 512)).astype(np.float32)
+
+    def fn(words, emeta, slot_pkt, feats, lim, kleaf):
+        return s3._stage_isect(words, emeta, slot_pkt, feats, lim,
+                               kleaf, precision="default",
+                               interpret=False, orient="major")
+
+    return aot_compile(fn, words, emeta, slot_pkt, feats, lim, kleaf)
+
+
+TARGETS = {
+    "emit": lambda: compile_emit(False),
+    "emit-treelet": lambda: compile_emit(True),
+    "isect": compile_isect,
+}
+
+
+def main():
+    names = sys.argv[1:] or ["emit"]
+    if names == ["all"]:
+        names = list(TARGETS)
+    for name in names:
+        dt = TARGETS[name]()
+        print(f"COMPILED {name} {dt:.1f}s", flush=True)
+
+
+if __name__ == "__main__":
+    main()

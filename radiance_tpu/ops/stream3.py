@@ -48,6 +48,7 @@ XLA/NumPy oracles on a probe wave, with salted recompiles.
 """
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -70,6 +71,11 @@ PCAP = 1024             # emitted words per slot (p95 ~60; central
                         # beams legitimately cross hundreds of leaves)
 EXTRA = 256             # sub-walk slot pool (multiple of G)
 STEP_CAP = 2048         # walk iterations per group before flagging
+# rays per refine sub-frustum (32 or 16).  Smaller subs = tighter
+# emit keepmasks = fewer phase-2 pairs, at 2x the (vector-domain)
+# refine arithmetic and 2x the bscal VMEM footprint.  Monkeypatch /
+# env-tune; the phase ledger measures both.
+REFINE_SUB = int(os.environ.get("RADIANCE_REFINE_SUB", "32"))
 W_LEAF_SHIFT = 17       # word = (leaf+1) << 17 | keepmask << 9 | tq
 W_KEEP_SHIFT = 9
 W_TQ_MASK = 511
@@ -140,32 +146,43 @@ def _group_scalars(rows, group, mask=None):
     return jnp.stack(flat, axis=1)                  # [ngrp, 16]
 
 
-def _block_sort(rows_w):
+def _block_sort(rows_w, live=None):
     """Group 128-ray blocks by majority direction octant (stable, so
     tile order survives within an octant).  Returns (sorted rows,
     inverse block permutation).  Incoherent waves (GGX/mirror bounces)
     otherwise make most packets sign-mixed, which defeats packet-level
     traversal; the engine sorts at ray level (coherence_key), this is
     the cheap in-pipeline equivalent at block granularity (row-sized
-    gathers, no element scatter)."""
+    gathers, no element scatter).  With `live`, dead lanes (parked /
+    garbage rays) are excluded from the block statistics, and blocks
+    with no live rays sort last."""
     i32 = jnp.int32
     npad = rows_w[0].shape[0]
     nb = npad // BLK
-    dx = rows_w[3].reshape(nb, BLK)
-    dy = rows_w[4].reshape(nb, BLK)
-    dz = rows_w[5].reshape(nb, BLK)
-    oct_b = ((jnp.mean(dx, 1) < 0).astype(i32)
-             + 2 * (jnp.mean(dy, 1) < 0).astype(i32)
-             + 4 * (jnp.mean(dz, 1) < 0).astype(i32))
+
+    if live is None:
+        def bmean(v):
+            return jnp.mean(v.reshape(nb, BLK), 1)
+        nlive = None
+    else:
+        lv = live.reshape(nb, BLK).astype(jnp.float32)
+        nlive = jnp.sum(lv, axis=1)
+        denom = jnp.maximum(nlive, 1.0)
+
+        def bmean(v):
+            return jnp.sum(v.reshape(nb, BLK) * lv, 1) / denom
+
+    oct_b = ((bmean(rows_w[3]) < 0).astype(i32)
+             + 2 * (bmean(rows_w[4]) < 0).astype(i32)
+             + 4 * (bmean(rows_w[5]) < 0).astype(i32))
     # Hierarchical key: sign octant, then Morton of the block-mean
     # DIRECTION (4 bits/axis -- separates e.g. dead parked rays from
     # live bounces sharing an octant), then Morton of the block-mean
     # ORIGIN (5 bits/axis -- a frustum over scattered origins visits
     # everything).  Stable, so a tile-ordered primary wave (constant
     # origin, smooth directions) keeps its order within each cell.
-    dmean = [jnp.mean(rows_w[3 + k].reshape(nb, BLK), 1)
-             for k in range(3)]
-    omean = [jnp.mean(rows_w[k].reshape(nb, BLK), 1) for k in range(3)]
+    dmean = [bmean(rows_w[3 + k]) for k in range(3)]
+    omean = [bmean(rows_w[k]) for k in range(3)]
 
     def _norm_q(ms, bits):
         lo = [jnp.min(m) for m in ms]
@@ -189,17 +206,30 @@ def _block_sort(rows_w):
     omorton = (_spread2(oq[0]) | (_spread2(oq[1]) << 1)
                | (_spread2(oq[2]) << 2)) & 0x7FFF
     key = (oct_b << 27) | (dmorton << 15) | omorton
+    if nlive is not None:
+        key = jnp.where(nlive > 0, key, jnp.int32(2 ** 31 - 1))
     perm = jnp.argsort(key, stable=True).astype(i32)
     inv = jnp.zeros_like(perm).at[perm].set(
         jnp.arange(nb, dtype=i32))
     rows_s = tuple(r.reshape(nb, BLK)[perm].reshape(-1) for r in rows_w)
+    if live is not None:
+        live_s = live.reshape(nb, BLK)[perm].reshape(-1)
+        return rows_s, inv, live_s
     return rows_s, inv
 
 
-def _stage_prep(rows_w, tmin, tmax, nodef, inv0):
+def _stage_prep(rows_w, tmin, tmax, nodef, inv0, live=None):
     """Stage 0 (XLA): object-space rows, phase-2 features [16, Npad],
     sub-block scalars, and the slot tables (pure packets 1:1; mixed
     packets expand to per-octant sub-walk slots from a static pool).
+
+    `live` ([N] bool, optional) excludes dead lanes (parked rays,
+    garbage bounce directions of retired paths) from EVERY interval
+    frustum -- the octant rows, the 32-ray refine rows, and the
+    conservative full-packet rows -- so incoherent wavefront waves
+    keep tight frusta without element-level compaction.  Dead lanes'
+    intersection results are garbage; callers mask them (the engine
+    already does).  Packets with no live ray get no active slot.
 
     Returns (rows, feats_t, scal [NSLOT,16] f32, smeta [NSLOT,8] i32,
     bscal [npk*8, 16], lim, pool_overflow [npk] i32)."""
@@ -210,6 +240,9 @@ def _stage_prep(rows_w, tmin, tmax, nodef, inv0):
         rows_w = tuple(
             jnp.concatenate([r, jnp.broadcast_to(r[:1], (pad,))])
             for r in rows_w)
+        if live is not None:
+            live = jnp.concatenate(
+                [live, jnp.zeros(pad, dtype=bool)])
     ox_w, oy_w, oz_w, dx_w, dy_w, dz_w = (r.astype(f32) for r in rows_w)
     m = inv0
     ox = m[0, 0] * ox_w + m[0, 1] * oy_w + m[0, 2] * oz_w + m[0, 3]
@@ -235,9 +268,13 @@ def _stage_prep(rows_w, tmin, tmax, nodef, inv0):
     # sub-major within each packet (sub s of block j at row s*8 + j):
     # the emit kernel then folds the per-block OR with four STATIC
     # (8, 8) lane slices -- no strided slicing, no bit carries
-    bscal32 = _group_scalars(rows, BLK // 4)        # [npk*32, 16]
-    bscal = bscal32.reshape(npk, 8, 4, 16).transpose(0, 2, 1, 3) \
-        .reshape(npk * 32, 16)
+    spb = BLK // REFINE_SUB                         # sub-frusta/block
+    nlanes = 8 * spb                                # refine lanes/pkt
+    sub_mask = None if live is None else live.reshape(-1, REFINE_SUB)
+    bscal32 = _group_scalars(rows, REFINE_SUB,
+                             mask=sub_mask)         # [npk*nlanes, 16]
+    bscal = bscal32.reshape(npk, 8, spb, 16).transpose(0, 2, 1, 3) \
+        .reshape(npk * nlanes, 16)
 
     # ----- slot construction -----
     # per-(packet, octant) interval scalars, vectorized over octants
@@ -246,6 +283,8 @@ def _stage_prep(rows_w, tmin, tmax, nodef, inv0):
               + 4 * (dz < 0).astype(i32)).reshape(npk, PKT)
     omask = oct_of[:, None, :] == jax.lax.broadcasted_iota(
         i32, (npk, 8, PKT), 1)                      # [npk, 8, PKT]
+    if live is not None:
+        omask = omask & live.reshape(npk, 1, PKT)
     present = jnp.any(omask, axis=2)
     pure = jnp.sum(present.astype(i32), axis=1) == 1
 
@@ -278,7 +317,9 @@ def _stage_prep(rows_w, tmin, tmax, nodef, inv0):
     # WHOLE-packet scalars (an octant row only covers that octant's
     # rays and would lose the rest's hits)
     oct_idx = jnp.argmax(present, axis=1).astype(i32)   # [npk]
-    full_pkt = _group_scalars(rows, PKT)            # [npk, 16]
+    full_pkt = _group_scalars(
+        rows, PKT,
+        mask=None if live is None else live.reshape(npk, PKT))
     full = jnp.where(pure[:, None],
                      cand[jnp.arange(npk), oct_idx], full_pkt)
     oct_full = ((full[:, 0] < 0).astype(i32)
@@ -348,10 +389,13 @@ def _stage_prep(rows_w, tmin, tmax, nodef, inv0):
 # ---------------------------------------------------------------- emit
 
 def _emit3_kernel(lim_ref, smeta_ref, scal_ref, bscal_ref, nodef_ref,
-                  words_ref, emeta_ref, ptr_i, *, salt: int = 0):
+                  words_ref, emeta_ref, ptr_i, *, salt: int = 0,
+                  nlanes: int = 32):
     """G=8 slot walks per grid step: vector-domain packet interval
-    tests, 32-ray sub-block refine, one packed i32 word per emission
-    appended to the slot's SMEM list by a predicated scalar store."""
+    tests, sub-block refine (nlanes = 8 blocks x sub-frusta/block;
+    32 for 32-ray subs, 64 for 16-ray), one packed i32 word per
+    emission appended to the slot's SMEM list by a predicated scalar
+    store."""
     f32, i32 = jnp.float32, jnp.int32
     tmax = lim_ref[0, 1]
 
@@ -366,12 +410,12 @@ def _emit3_kernel(lim_ref, smeta_ref, scal_ref, bscal_ref, nodef_ref,
     alive0 = [smeta_ref[w, 1] for w in range(G)]
     pkts = [smeta_ref[w, 0] for w in range(G)]
 
-    # sub-block scalars: 32 sub-major rows per walk's packet ->
-    # (8, 32) refine tiles whose lanes are (sub s, block j) = s*8+j
+    # sub-block scalars: nlanes sub-major rows per walk's packet ->
+    # (8, nlanes) refine tiles whose lanes are (sub s, block j) = s*8+j
     b32 = jnp.concatenate(
-        [bscal_ref[pl.ds(pkts[w] * 32, 32), :]
-         for w in range(G)], axis=0)                # (256, 16)
-    nsub = 32
+        [bscal_ref[pl.ds(pkts[w] * nlanes, nlanes), :]
+         for w in range(G)], axis=0)                # (G*nlanes, 16)
+    nsub = nlanes
 
     def col(k):
         return b32[:, k:k + 1].reshape(G, nsub)
@@ -438,11 +482,12 @@ def _emit3_kernel(lim_ref, smeta_ref, scal_ref, bscal_ref, nodef_ref,
             tfk = hi * jnp.where(hi >= 0.0, bihi[k], bilo[k])
             tn_b = jnp.maximum(tn_b, jnp.where(bmixed[k], 0.0, tnk))
             tf_b = jnp.minimum(tf_b, jnp.where(bmixed[k], _FMAX, tfk))
-        keep32 = (tf_b >= tn_b) & (tn_b < tmax)     # (8, 32)
-        # per-block OR over the block's 4 sub-frusta (static slices
+        keep32 = (tf_b >= tn_b) & (tn_b < tmax)     # (8, nlanes)
+        # per-block OR over the block's sub-frusta (static slices
         # thanks to the sub-major lane order)
-        keep = (keep32[:, 0:8] | keep32[:, 8:16]
-                | keep32[:, 16:24] | keep32[:, 24:32])  # (8, 8)
+        keep = keep32[:, 0:8]
+        for s in range(1, nsub // 8):
+            keep = keep | keep32[:, s * 8:(s + 1) * 8]  # (8, 8)
         kmask = jnp.sum(jnp.where(keep, pow2, 0.0), axis=1,
                         keepdims=True)              # (8, 1) 0..255
         kmask_i = kmask.astype(i32)
@@ -498,7 +543,8 @@ def _emit3_kernel(lim_ref, smeta_ref, scal_ref, bscal_ref, nodef_ref,
 
 
 def _emit3t_kernel(lim_ref, smeta_ref, scal_ref, bscal_ref, nodef_ref,
-                   words_ref, emeta_ref, ptr_i, *, salt: int = 0):
+                   words_ref, emeta_ref, ptr_i, *, salt: int = 0,
+                   nlanes: int = 32):
     """Treelet emit walk: each iteration loads one ALIGNED 8-row node
     window per walk and advances the walk through every in-window node
     (measured 3.2 nodes per load on the bench scene), with the node
@@ -521,9 +567,9 @@ def _emit3t_kernel(lim_ref, smeta_ref, scal_ref, bscal_ref, nodef_ref,
     pkts = [smeta_ref[w, 0] for w in range(G)]
 
     b32 = jnp.concatenate(
-        [bscal_ref[pl.ds(pkts[w] * 32, 32), :]
-         for w in range(G)], axis=0)                # (256, 16)
-    nsub = 32
+        [bscal_ref[pl.ds(pkts[w] * nlanes, nlanes), :]
+         for w in range(G)], axis=0)                # (G*nlanes, 16)
+    nsub = nlanes
 
     def col(k):
         return b32[:, k:k + 1].reshape(G, nsub)
@@ -651,9 +697,10 @@ def _emit3t_kernel(lim_ref, smeta_ref, scal_ref, bscal_ref, nodef_ref,
             tfk = hi * jnp.where(hi >= 0.0, bihi[k], bilo[k])
             tn_b = jnp.maximum(tn_b, jnp.where(bmixed[k], 0.0, tnk))
             tf_b = jnp.minimum(tf_b, jnp.where(bmixed[k], _FMAX, tfk))
-        keep32 = (tf_b >= tn_b) & (tn_b < tmax)     # (64, 32)
-        keep = (keep32[:, 0:8] | keep32[:, 8:16]
-                | keep32[:, 16:24] | keep32[:, 24:32])
+        keep32 = (tf_b >= tn_b) & (tn_b < tmax)     # (64, nlanes)
+        keep = keep32[:, 0:8]
+        for s in range(1, nsub // 8):
+            keep = keep | keep32[:, s * 8:(s + 1) * 8]
         kmask = jnp.sum(jnp.where(keep, pow2, 0.0), axis=1,
                         keepdims=True).astype(i32)  # (64, 1)
         tnc = jnp.maximum(tn, 0.0)
@@ -722,9 +769,10 @@ def _stage_emit(lim, scal, smeta, bscal, nodef, *, interpret: bool,
     nslot = scal.shape[0]
     assert nslot % G == 0, nslot
     ngrp = nslot // G
+    nlanes = 8 * (BLK // REFINE_SUB)
     kern = _emit3t_kernel if treelet else _emit3_kernel
     return pl.pallas_call(
-        functools.partial(kern, salt=salt),
+        functools.partial(kern, salt=salt, nlanes=nlanes),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=0,
             grid=(ngrp,),
@@ -1047,11 +1095,13 @@ def _stage_glue(out_s, smeta, npk, tmin, tmax, n):
 def _run(rows_w, tmin, tmax, nodef, kleaf_k, kprim, ktri_geo, inv0,
          tstart, *, precision: str, interpret: bool, raw: bool = False,
          orient: str = "major", treelet: bool = False,
-         presort: bool = False, with_diag: bool = False):
+         presort: bool = False, with_diag: bool = False, live=None):
     """Full v6 pipeline on world-space component rows.  Returns a
     HitRecord (+ diagnostics when with_diag): packets flagged in
     diag['pkt_flag'] were truncated (step cap / word overflow) and
-    MUST be re-traced or poisoned by the caller."""
+    MUST be re-traced or poisoned by the caller.  `live` masks dead
+    lanes out of every frustum (see _stage_prep); dead lanes' outputs
+    are garbage and must be masked by the caller."""
     del kprim, ktri_geo, tstart, raw  # attrs ride through the kernel
     n = rows_w[0].shape[0]
     pad = (-n) % (G * PKT)
@@ -1059,10 +1109,15 @@ def _run(rows_w, tmin, tmax, nodef, kleaf_k, kprim, ktri_geo, inv0,
         rows_w = tuple(
             jnp.concatenate([r, jnp.broadcast_to(r[:1], (pad,))])
             for r in rows_w)
+        if live is not None:
+            live = jnp.concatenate([live, jnp.zeros(pad, dtype=bool)])
     if presort:
-        rows_w, inv_blk = _block_sort(rows_w)
+        if live is not None:
+            rows_w, inv_blk, live = _block_sort(rows_w, live)
+        else:
+            rows_w, inv_blk = _block_sort(rows_w)
     rows, feats_t, scal, smeta, bscal, lim, pool_of, order = \
-        _stage_prep(rows_w, tmin, tmax, nodef, inv0)
+        _stage_prep(rows_w, tmin, tmax, nodef, inv0, live=live)
     npk = rows[0].shape[0] // PKT
     words, emeta = _stage_emit(lim, scal, smeta, bscal, nodef,
                                interpret=interpret, treelet=treelet)
@@ -1134,22 +1189,32 @@ def trace_rays_stream3(scene, origin, direction, tmin, tmax,
 
 def trace_rows_stream3(scene, rows_w, tmin, tmax,
                        precision: str = "f32",
-                       interpret=None, presort: bool = False
-                       ) -> HitRecord:
+                       interpret=None, presort: bool = False,
+                       live=None) -> HitRecord:
     """Jit-traceable v6 entry on component rows (the fast wave
     format).  Up to RES_CAP truncated packets (step-capped or
     word-overflowed) are exactly re-walked IN-JIT by the per-ray XLA
     traversal; flags beyond that poison their packets to miss (use
-    build_tracer for the unbounded host-side retrace)."""
+    build_tracer for the unbounded host-side retrace).  `live` masks
+    dead lanes (parked rays of a wavefront engine) out of every
+    frustum; dead lanes report miss."""
     from radiance_tpu.ops import traversal
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     n = rows_w[0].shape[0]
+    if live is not None:
+        # dead lanes may carry garbage (NaN/Inf bounce dirs of retired
+        # paths): replace them with a harmless parked ray so the
+        # residual XLA walk and the phase-2 matmuls stay finite
+        park_o = jnp.float32(1e30)
+        rows_w = tuple(
+            jnp.where(live, r, park_o if k < 3 else jnp.float32(1.0))
+            for k, r in enumerate(rows_w))
     tstart, _aabb = leaf_tables(scene.knode_f, scene.kleaf.shape[0])
     rec, diag = _run(rows_w, tmin, tmax, scene.knode_f, scene.kleaf,
                      scene.kprim, scene.ktri_geo, scene.inst_inv[0],
                      tstart, precision=precision, interpret=interpret,
-                     presort=presort, with_diag=True)
+                     presort=presort, with_diag=True, live=live)
     flag = diag["pkt_flag"]                         # sorted pkt space
     blk_perm = diag["blk_perm"]
     nb = blk_perm.shape[0]
@@ -1191,6 +1256,10 @@ def trace_rows_stream3(scene, rows_w, tmin, tmax,
     blk_bad_sorted = jnp.repeat(late, nsub)         # [nb] sorted
     blk_bad = jnp.zeros(nb, bool).at[blk_perm].set(blk_bad_sorted)
     ray_bad = jnp.repeat(blk_bad, BLK)[:n] & leftover
+    if live is not None:
+        # dead lanes inside live blocks produce garbage intersections;
+        # report them as the miss they are
+        ray_bad = ray_bad | ~live[:n]
     return HitRecord(
         t=jnp.where(ray_bad, FLT_MAX, rec.t),
         prim=jnp.where(ray_bad, -1, rec.prim),

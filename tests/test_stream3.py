@@ -164,3 +164,109 @@ def test_stream3_residual_overflow_poisons(monkeypatch):
     miss_pkt1 = (t[stream3.PKT:] == FLT_MAX).all()
     assert miss_pkt0 != miss_pkt1 or (miss_pkt0 and miss_pkt1) is False
     assert miss_pkt0 or miss_pkt1
+
+
+def test_stream3_live_mask_vs_oracle():
+    """Dead lanes (garbage rays of retired paths) are excluded from
+    every frustum and report miss; live lanes match the oracle even
+    though their blocks interleave garbage."""
+    ds = _single_instance_scene(n_tris=900, seed=3)
+    n = 2 * stream3.PKT
+    ij = np.arange(n)
+    xs = (ij % 64) / 64.0 - 0.5
+    ys = (ij // 64) / 32.0 - 0.5
+    o = np.tile([[0.0, 0.0, 12.0]], (n, 1)).astype(np.float32)
+    d = np.stack([xs, ys, np.full(n, -1.0)], -1).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    ref = traversal.trace_rays(ds, jnp.asarray(o), jnp.asarray(d),
+                               1e-3, 1e3)
+    rng = np.random.default_rng(7)
+    live = rng.random(n) > 0.3
+    # poison dead lanes with the worst case: NaN and huge magnitudes
+    o_bad, d_bad = o.copy(), d.copy()
+    o_bad[~live] = np.float32(np.nan)
+    d_bad[~live] = np.float32(1e30)
+    rows = stream3.rows_from_aos(jnp.asarray(o_bad), jnp.asarray(d_bad))
+    rec = stream3.trace_rows_stream3(ds, rows, 1e-3, 1e3,
+                                     live=jnp.asarray(live))
+    t = np.asarray(rec.t)
+    assert (t[~live] == FLT_MAX).all()
+    t_ref = np.asarray(ref.t)[live]
+    t_got = t[live]
+    hr, hg = t_ref < FLT_MAX, t_got < FLT_MAX
+    assert (hr == hg).all()
+    np.testing.assert_allclose(t_got[hr], t_ref[hr], rtol=2e-3,
+                               atol=1e-4)
+
+
+def test_stream3_live_mask_keeps_frusta_tight():
+    """A coherent wave with garbage dead lanes must not truncate:
+    masked scalars keep the interval frusta as tight as the all-live
+    wave (an unmasked run with the same garbage caps every packet)."""
+    ds = _single_instance_scene(n_tris=900, seed=3)
+    n = 2 * stream3.PKT
+    ij = np.arange(n)
+    xs = (ij % 64) / 64.0 - 0.5
+    ys = (ij // 64) / 32.0 - 0.5
+    o = np.tile([[0.0, 0.0, 12.0]], (n, 1)).astype(np.float32)
+    d = np.stack([xs, ys, np.full(n, -1.0)], -1).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    rng = np.random.default_rng(11)
+    live = rng.random(n) > 0.3
+    o[~live] = 1e30                     # parked far outside the scene
+    rows = stream3.rows_from_aos(jnp.asarray(o), jnp.asarray(d))
+    tstart, _ = stream3.leaf_tables(ds.knode_f, ds.kleaf.shape[0])
+    _, diag = stream3._run(
+        rows, 1e-3, 1e3, ds.knode_f, ds.kleaf, ds.kprim, ds.ktri_geo,
+        ds.inst_inv[0], tstart, precision="f32", interpret=True,
+        with_diag=True, live=jnp.asarray(live))
+    assert int(diag["capped"]) == 0
+    assert (np.asarray(diag["pkt_flag"])[:n // stream3.PKT] == 0).all()
+
+
+def test_stream3_live_mask_all_dead_packet():
+    ds = _single_instance_scene(n_tris=200, seed=2)
+    n = 2 * stream3.PKT
+    rng = np.random.default_rng(4)
+    o, d = gen_rays(rng, n, spread=8.0)
+    live = np.zeros(n, bool)
+    live[stream3.PKT:] = True           # packet 0 fully dead
+    rec = stream3.trace_rows_stream3(
+        ds, stream3.rows_from_aos(jnp.asarray(o), jnp.asarray(d)),
+        1e-3, 1e3, live=jnp.asarray(live))
+    ref = traversal.trace_rays(ds, jnp.asarray(o), jnp.asarray(d),
+                               1e-3, 1e3)
+    t = np.asarray(rec.t)
+    assert (t[:stream3.PKT] == FLT_MAX).all()
+    t_ref = np.asarray(ref.t)[stream3.PKT:]
+    hr = t_ref < FLT_MAX
+    assert ((t[stream3.PKT:] < FLT_MAX) == hr).all()
+
+
+def test_stream3_live_mask_presort():
+    """Block presort with a live mask: dead blocks sort last and the
+    inverse permutation restores caller order for live results."""
+    ds = _single_instance_scene(n_tris=900, seed=3)
+    n = 2 * stream3.PKT
+    ij = np.arange(n)
+    xs = (ij % 64) / 64.0 - 0.5
+    ys = (ij // 64) / 32.0 - 0.5
+    o = np.tile([[0.0, 0.0, 12.0]], (n, 1)).astype(np.float32)
+    d = np.stack([xs, ys, np.full(n, -1.0)], -1).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    rng = np.random.default_rng(9)
+    live = np.repeat(rng.random(n // stream3.BLK) > 0.4, stream3.BLK)
+    o[~live] = 1e30
+    ref = traversal.trace_rays(ds, jnp.asarray(o), jnp.asarray(d),
+                               1e-3, 1e3)
+    rec = stream3.trace_rows_stream3(
+        ds, stream3.rows_from_aos(jnp.asarray(o), jnp.asarray(d)),
+        1e-3, 1e3, live=jnp.asarray(live), presort=True)
+    t = np.asarray(rec.t)
+    assert (t[~live] == FLT_MAX).all()
+    t_ref = np.asarray(ref.t)[live]
+    t_got = t[live]
+    hr = t_ref < FLT_MAX
+    assert (hr == (t_got < FLT_MAX)).all()
+    np.testing.assert_allclose(t_got[hr], t_ref[hr], rtol=2e-3,
+                               atol=1e-4)
