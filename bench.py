@@ -221,11 +221,40 @@ def run_bench_stream3(scene, trace, o, d, light, n, bounce_rays):
     closest = packet_trace.build_tracer(scene, any_hit=False)
     anyhit = packet_trace.build_tracer(scene, any_hit=True)
 
+    # which secondary waves also ride stream3 (with the live mask +
+    # block presort): "b" = bounce, "s" = shadow.  Decided per
+    # platform measurement (benchmarks/wave_compare.py).
+    s3waves = os.environ.get("RADIANCE_BENCH_S3WAVES", "")
+    prec = os.environ.get("RADIANCE_BENCH_PRECISION", "default")
+    if s3waves:
+        light_rows = tuple(jax.block_until_ready(
+            tuple(light[:, k] for k in range(3))))
+        j_live = jax.jit(
+            lambda scn, rows, live, tmx: stream3.trace_rows_stream3(
+                scn, rows, jnp.float32(1e-3), tmx, precision=prec,
+                interpret=False, presort=True, live=live))
+
+    @jax.jit
+    def rows_live(o2, d2, t1):
+        return (tuple(o2[:, k] for k in range(3))
+                + tuple(d2[:, k] for k in range(3)), t1 < FLT_MAX)
+
     def wave():
         t1 = trace(rows0, None, 1e4, False)
         o2, d2 = bounce_rays(o, d, t1)
-        t2 = closest(o2, d2, jnp.float32(1e-3), jnp.float32(1e4)).t
-        t3 = anyhit(o2, light, jnp.float32(1e-3), jnp.float32(1e4)).t
+        if s3waves:
+            rows2, live = rows_live(o2, d2, t1)
+        if "b" in s3waves:
+            t2 = j_live(scene, rows2, live, jnp.float32(1e4)).t
+        else:
+            t2 = closest(o2, d2, jnp.float32(1e-3),
+                         jnp.float32(1e4)).t
+        if "s" in s3waves:
+            rows3 = rows2[:3] + light_rows
+            t3 = j_live(scene, rows3, live, jnp.float32(1e4)).t
+        else:
+            t3 = anyhit(o2, light, jnp.float32(1e-3),
+                        jnp.float32(1e4)).t
         return t1, t2, t3
 
     def run_wave():

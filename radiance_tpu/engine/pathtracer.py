@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 from typing import Callable, Dict, Optional
 
 import jax
@@ -99,17 +100,53 @@ def _trace_dispatch(scene, o, d, tmin, tmax, *, any_hit_terminate=False,
                                 any_hit_program=any_hit_program)
 
 
+def _stream3_wavefront_supported(scene, trace_kw):
+    """The stream3 live-mask path applies: single-instance scene with
+    kernel tables, TPU backend, no custom any-hit program (stream3's
+    occlusion shares the closest-hit pipeline)."""
+    if trace_kw.get("any_hit_program") is not None:
+        return False
+    knob = os.environ.get("RADIANCE_ENGINE_STREAM3", "0")
+    if knob == "0":
+        return False
+    # "1": TPU only; "force": any backend (interpret mode, for tests)
+    if knob != "force" and jax.default_backend() != "tpu":
+        return False
+    from radiance_tpu.ops import stream3
+    return stream3.supports(scene)
+
+
 def _traced_wavefront(scene, o, d, tmin, tmax, alive, sort_key=None,
                       **trace_kw):
     """Trace only live rays, the wavefront-compaction way (SURVEY 7:
     generate -> traverse -> shade -> compact; BASELINE north-star).
 
-    Live rays are permuted to the front (optionally grouped by shader
-    key for coherence), dead lanes are parked at _PARK_ORIGIN, and the
-    HitRecord is scattered back to pixel order.  Under chunked traversal
-    (ops/traversal lax.map) trailing all-dead chunks retire in one
-    iteration; within a chunk, parked lanes never gate convergence.
+    On stream3-capable scenes (opt-in via RADIANCE_ENGINE_STREAM3=1,
+    measured per platform) the wave goes through the v6 stream tracer
+    with the LIVE MASK + block presort instead: dead lanes are
+    excluded from every interval frustum inside the pipeline, so no
+    element-level argsort/gather/scatter is needed at all (measured
+    ~212 ms per 2M-ray wave on the axon backend -- the dominant cost
+    of this compaction path).
+
+    Otherwise live rays are permuted to the front (optionally grouped
+    by shader key for coherence), dead lanes are parked at
+    _PARK_ORIGIN, and the HitRecord is scattered back to pixel order.
+    Under chunked traversal (ops/traversal lax.map) trailing all-dead
+    chunks retire in one iteration; within a chunk, parked lanes never
+    gate convergence.
     """
+    if _stream3_wavefront_supported(scene, trace_kw):
+        from radiance_tpu.ops import stream3
+        rows = stream3.rows_from_aos(o, d)
+        rec = stream3.trace_rows_stream3(
+            scene, rows, tmin, tmax,
+            precision=os.environ.get("RADIANCE_BENCH_PRECISION",
+                                     "default"),
+            presort=True, live=alive)
+        return traversal.HitRecord(
+            t=rec.t, prim=rec.prim, slot=jnp.maximum(rec.slot, -1),
+            b1=rec.b1, b2=rec.b2)
     if sort_key is None:
         # default: group live rays into traversal-coherent packets
         # (direction octant + origin Morton); dead lanes sort last.

@@ -270,3 +270,34 @@ def test_stream3_live_mask_presort():
     assert (hr == (t_got < FLT_MAX)).all()
     np.testing.assert_allclose(t_got[hr], t_ref[hr], rtol=2e-3,
                                atol=1e-4)
+
+
+def test_engine_wavefront_stream3_route(monkeypatch):
+    """_traced_wavefront's opt-in stream3 route (live mask, presort,
+    no element compaction) must agree with the default argsort+park
+    path on a single-instance scene with a partially-dead wave."""
+    from radiance_tpu.engine import pathtracer
+
+    ds = _single_instance_scene(n_tris=900, seed=3)
+    n = 2 * stream3.PKT
+    ij = np.arange(n)
+    xs = (ij % 64) / 64.0 - 0.5
+    ys = (ij // 64) / 32.0 - 0.5
+    o = np.tile([[0.0, 0.0, 12.0]], (n, 1)).astype(np.float32)
+    d = np.stack([xs, ys, np.full(n, -1.0)], -1).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    rng = np.random.default_rng(13)
+    alive = jnp.asarray(rng.random(n) > 0.25)
+    o, d = jnp.asarray(o), jnp.asarray(d)
+
+    ref = pathtracer._traced_wavefront(ds, o, d, 1e-3, 1e3, alive)
+    monkeypatch.setenv("RADIANCE_ENGINE_STREAM3", "force")
+    got = pathtracer._traced_wavefront(ds, o, d, 1e-3, 1e3, alive)
+
+    t_ref, t_got = np.asarray(ref.t), np.asarray(got.t)
+    al = np.asarray(alive)
+    assert (t_got[~al] == FLT_MAX).all()
+    hr = t_ref[al] < FLT_MAX
+    assert (hr == (t_got[al] < FLT_MAX)).all()
+    np.testing.assert_allclose(t_got[al][hr], t_ref[al][hr],
+                               rtol=2e-3, atol=1e-4)
