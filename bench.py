@@ -233,6 +233,10 @@ def run_bench_stream3(scene, trace, o, d, light, n, bounce_rays):
             lambda scn, rows, live, tmx: stream3.trace_rows_stream3(
                 scn, rows, jnp.float32(1e-3), tmx, precision=prec,
                 interpret=False, presort=True, live=live))
+        j_occl = jax.jit(
+            lambda scn, rows, live, tmx: stream3.trace_rows_stream3(
+                scn, rows, jnp.float32(1e-3), tmx, precision=prec,
+                interpret=False, presort=True, live=live, occl=True))
 
     @jax.jit
     def rows_live(o2, d2, t1):
@@ -251,7 +255,7 @@ def run_bench_stream3(scene, trace, o, d, light, n, bounce_rays):
                          jnp.float32(1e4)).t
         if "s" in s3waves:
             rows3 = rows2[:3] + light_rows
-            t3 = j_live(scene, rows3, live, jnp.float32(1e4)).t
+            t3 = j_occl(scene, rows3, live, jnp.float32(1e4)).t
         else:
             t3 = anyhit(o2, light, jnp.float32(1e-3),
                         jnp.float32(1e4)).t

@@ -93,7 +93,7 @@ def compile_isect():
     feats = rng.standard_normal((npk * s3.PKT, 16)).astype(np.float32)
     lim = np.asarray([[1e-3, 1e4]], np.float32)
     nleaf = 512
-    kleaf = rng.standard_normal((nleaf * 16, 512)).astype(np.float32)
+    kleaf = rng.standard_normal((nleaf, 16, 512)).astype(np.float32)
 
     def fn(words, emeta, slot_pkt, feats, lim, kleaf):
         return s3._stage_isect(words, emeta, slot_pkt, feats, lim,
@@ -103,10 +103,33 @@ def compile_isect():
     return aot_compile(fn, words, emeta, slot_pkt, feats, lim, kleaf)
 
 
+def compile_isect_occl():
+    from radiance_tpu.ops import stream3 as s3
+    nslot = 64
+    npk = 32
+    rng = np.random.default_rng(0)
+    words = np.zeros((nslot, s3.PCAP), np.int32)
+    emeta = np.zeros((nslot, 8), np.int32)
+    slot_pkt = np.arange(nslot, dtype=np.int32) % npk
+    feats = rng.standard_normal((npk * s3.PKT, 16)).astype(np.float32)
+    lim = np.asarray([[1e-3, 1e4]], np.float32)
+    nleaf = 512
+    kleaf = rng.standard_normal((nleaf, 16, 512)).astype(np.float32)
+
+    def fn(words, emeta, slot_pkt, feats, lim, kleaf):
+        return s3._stage_isect(words, emeta, slot_pkt, feats, lim,
+                               kleaf, precision="default",
+                               interpret=False, orient="major",
+                               occl=True)
+
+    return aot_compile(fn, words, emeta, slot_pkt, feats, lim, kleaf)
+
+
 TARGETS = {
     "emit": lambda: compile_emit(False),
     "emit-treelet": lambda: compile_emit(True),
     "isect": compile_isect,
+    "isect-occl": compile_isect_occl,
 }
 
 

@@ -143,7 +143,8 @@ def _traced_wavefront(scene, o, d, tmin, tmax, alive, sort_key=None,
             scene, rows, tmin, tmax,
             precision=os.environ.get("RADIANCE_BENCH_PRECISION",
                                      "default"),
-            presort=True, live=alive)
+            presort=True, live=alive,
+            occl=bool(trace_kw.get("any_hit_terminate", False)))
         return traversal.HitRecord(
             t=rec.t, prim=rec.prim, slot=jnp.maximum(rec.slot, -1),
             b1=rec.b1, b2=rec.b2)

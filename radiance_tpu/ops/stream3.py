@@ -978,13 +978,121 @@ def _isect3_kernel(slot_pkt, lim_ref, emeta_ref, words_ref,
         out_ref[0, 0:1, 0:1] = jnp.zeros((1, 1), f32)
 
 
+def _isect3_occl_kernel(slot_pkt, lim_ref, emeta_ref, words_ref,
+                        x_ref, kleaf_any, out_ref,
+                        w_s, sem, best_t, *,
+                        precision: str, orient: str = "major",
+                        salt: int = 0):
+    """Occlusion-only variant of _isect3_kernel: any hit in (tmin,
+    tmax) zeroes the ray's best_t lanes -- no winner attributes, no
+    prim/bary scratch, ~40% fewer epilogue ops per pair.  A fully-hit
+    block's wbits become 0, so the standard cull skips every later
+    pair for that block (shadow waves get CHEAPER as they saturate).
+    Reference semantics: anyShadow terminates traversal
+    (samples/shader.cl:567-572)."""
+    f32, i32 = jnp.float32, jnp.int32
+    r = pl.program_id(0) % 8
+    tmin = lim_ref[0, 0]
+    tmax = lim_ref[0, 1]
+    cnt = jnp.minimum(emeta_ref[r, 0], PCAP)
+
+    best_t[:, :] = jnp.full((PKT, T), _FMAX, f32)
+
+    def word_at(j):
+        return words_ref[r, j]
+
+    def leaf_of(wd):
+        return jnp.maximum((wd >> W_LEAF_SHIFT) - 1, 0)
+
+    def cp(j, s):
+        return pltpu.make_async_copy(kleaf_any.at[leaf_of(word_at(j))],
+                                     w_s.at[s], sem.at[s])
+
+    for j in range(S_SLOTS - 1):
+        @pl.when(j < cnt)
+        def _(j=j):
+            cp(j, j).start()
+
+    def body(i, _):
+        wd = word_at(i)
+        kmask = (wd >> W_KEEP_SHIFT) & 255
+        cp(i, i % S_SLOTS).wait()
+        wf = w_s[i % S_SLOTS]
+        if precision == "bf16":
+            w = wf.astype(jnp.bfloat16)
+        else:
+            w = wf
+
+        for k in range(8):
+            @pl.when(((kmask >> k) & 1) > 0)
+            def _(k=k, w=w):
+                # skip blocks whose every ray is already occluded
+                wbits = jnp.max(jnp.min(
+                    jax.lax.bitcast_convert_type(
+                        best_t[k * BLK:(k + 1) * BLK, :], i32),
+                    axis=1))
+
+                @pl.when(wbits > 0)
+                def _inner(k=k, w=w):
+                    if orient == "major":
+                        x = x_ref[k * BLK:(k + 1) * BLK, :]
+                        dims = (((1,), (0,)), ((), ()))
+                    else:
+                        x = x_ref[:, k * BLK:(k + 1) * BLK]
+                        dims = (((0,), (0,)), ((), ()))
+                    if precision == "bf16":
+                        m = jax.lax.dot_general(
+                            x.astype(jnp.bfloat16), w, dims,
+                            preferred_element_type=f32)
+                    elif precision == "default":
+                        m = jax.lax.dot_general(
+                            x, w, dims, preferred_element_type=f32)
+                    else:
+                        m = jax.lax.dot_general(
+                            x, w, dims, preferred_element_type=f32,
+                            precision=jax.lax.Precision.HIGHEST)
+                    s0 = m[:, 0 * T:1 * T]
+                    s1 = m[:, 1 * T:2 * T]
+                    s2 = m[:, 2 * T:3 * T]
+                    num = m[:, 3 * T:4 * T]
+                    ssum = s0 + s1 + s2
+                    i0 = jax.lax.bitcast_convert_type(s0, i32)
+                    i1 = jax.lax.bitcast_convert_type(s1, i32)
+                    i2 = jax.lax.bitcast_convert_type(s2, i32)
+                    inside = ((i0 ^ i1) | (i1 ^ i2)) >= 0
+                    rv = 1.0 / ssum
+                    t = -num * rv
+                    ok = inside & (t > tmin) & (t < tmax)
+                    cur = best_t[k * BLK:(k + 1) * BLK, :]
+                    best_t[k * BLK:(k + 1) * BLK, :] = jnp.where(
+                        ok, 0.0, cur)
+
+        @pl.when(i + S_SLOTS - 1 < cnt)
+        def _():
+            cp(i + S_SLOTS - 1, (i + S_SLOTS - 1) % S_SLOTS).start()
+        return 0
+
+    jax.lax.fori_loop(0, cnt, body, 0)
+
+    pr = jnp.min(best_t[:, :], axis=1, keepdims=True)   # [PKT, 1]
+    hitf = (pr < _FMAX).astype(f32)
+    out_ref[0, :, 0:1] = pr
+    out_ref[0, :, 1:2] = hitf - 1.0     # prim: 0 on hit, -1 on miss
+    out_ref[0, :, 2:3] = jnp.zeros((PKT, 1), f32)
+    out_ref[0, :, 3:4] = jnp.zeros((PKT, 1), f32)
+    @pl.when(cnt < jnp.int32(-1 - salt))
+    def _():
+        out_ref[0, 0:1, 0:1] = jnp.zeros((1, 1), f32)
+
+
 def _stage_isect(words, emeta, slot_pkt, feats, lim, kleaf_k,
                  *, precision: str, interpret: bool,
                  orient: str = "major", cull: bool = True,
-                 salt: int = 0):
+                 salt: int = 0, occl: bool = False):
     """Run phase 2 over all slots.  Returns out [NSLOT, PKT, 4] f32
     with lanes (t, prim, b1, b2); dead or empty slots hold
-    (FLT_MAX, -1, 0, 0)."""
+    (FLT_MAX, -1, 0, 0).  occl=True runs the any-hit variant: t is 0
+    on hit, winner attributes are not computed."""
     nslot = words.shape[0]
     if orient == "major":
         x_spec = pl.BlockSpec((PKT, 16), lambda i, sp: (sp[i], 0),
@@ -992,9 +1100,18 @@ def _stage_isect(words, emeta, slot_pkt, feats, lim, kleaf_k,
     else:
         x_spec = pl.BlockSpec((16, PKT), lambda i, sp: (0, sp[i]),
                               memory_space=pltpu.VMEM)
+    if occl:
+        kern = functools.partial(_isect3_occl_kernel,
+                                 precision=precision, orient=orient,
+                                 salt=salt)
+        best_scratch = [pltpu.VMEM((PKT, T), jnp.float32)]
+    else:
+        kern = functools.partial(_isect3_kernel, precision=precision,
+                                 orient=orient, cull=cull, salt=salt)
+        best_scratch = [pltpu.VMEM((PKT, T), jnp.float32)
+                        for _ in range(4)]
     return pl.pallas_call(
-        functools.partial(_isect3_kernel, precision=precision,
-                          orient=orient, cull=cull, salt=salt),
+        kern,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(nslot,),
@@ -1016,11 +1133,7 @@ def _stage_isect(words, emeta, slot_pkt, feats, lim, kleaf_k,
                 pltpu.VMEM((S_SLOTS, 16, KERNEL_LEAF_LANES),
                            jnp.float32),
                 pltpu.SemaphoreType.DMA((S_SLOTS,)),
-                pltpu.VMEM((PKT, T), jnp.float32),
-                pltpu.VMEM((PKT, T), jnp.float32),
-                pltpu.VMEM((PKT, T), jnp.float32),
-                pltpu.VMEM((PKT, T), jnp.float32),
-            ],
+            ] + best_scratch,
         ),
         out_shape=[
             jax.ShapeDtypeStruct((nslot, PKT, 4), jnp.float32),
@@ -1095,7 +1208,8 @@ def _stage_glue(out_s, smeta, npk, tmin, tmax, n):
 def _run(rows_w, tmin, tmax, nodef, kleaf_k, kprim, ktri_geo, inv0,
          tstart, *, precision: str, interpret: bool, raw: bool = False,
          orient: str = "major", treelet: bool = False,
-         presort: bool = False, with_diag: bool = False, live=None):
+         presort: bool = False, with_diag: bool = False, live=None,
+         occl: bool = False):
     """Full v6 pipeline on world-space component rows.  Returns a
     HitRecord (+ diagnostics when with_diag): packets flagged in
     diag['pkt_flag'] were truncated (step cap / word overflow) and
@@ -1130,7 +1244,8 @@ def _run(rows_w, tmin, tmax, nodef, kleaf_k, kprim, ktri_geo, inv0,
         feats = feats_t
     out_s = _stage_isect(words, emeta, slot_pkt, feats, lim,
                          kleaf_k, precision=precision,
-                         interpret=interpret, orient=orient)
+                         interpret=interpret, orient=orient,
+                         occl=occl)
     # back to storage order (slot p == packet p for base slots), so
     # the glue's fold stays a tiny extras-only row scatter
     inv_order = jnp.zeros_like(order).at[order].set(
@@ -1190,7 +1305,7 @@ def trace_rays_stream3(scene, origin, direction, tmin, tmax,
 def trace_rows_stream3(scene, rows_w, tmin, tmax,
                        precision: str = "f32",
                        interpret=None, presort: bool = False,
-                       live=None) -> HitRecord:
+                       live=None, occl: bool = False) -> HitRecord:
     """Jit-traceable v6 entry on component rows (the fast wave
     format).  Up to RES_CAP truncated packets (step-capped or
     word-overflowed) are exactly re-walked IN-JIT by the per-ray XLA
@@ -1214,7 +1329,8 @@ def trace_rows_stream3(scene, rows_w, tmin, tmax,
     rec, diag = _run(rows_w, tmin, tmax, scene.knode_f, scene.kleaf,
                      scene.kprim, scene.ktri_geo, scene.inst_inv[0],
                      tstart, precision=precision, interpret=interpret,
-                     presort=presort, with_diag=True, live=live)
+                     presort=presort, with_diag=True, live=live,
+                     occl=occl)
     flag = diag["pkt_flag"]                         # sorted pkt space
     blk_perm = diag["blk_perm"]
     nb = blk_perm.shape[0]

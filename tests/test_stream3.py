@@ -301,3 +301,63 @@ def test_engine_wavefront_stream3_route(monkeypatch):
     assert (hr == (t_got[al] < FLT_MAX)).all()
     np.testing.assert_allclose(t_got[al][hr], t_ref[al][hr],
                                rtol=2e-3, atol=1e-4)
+
+
+def test_stream3_occlusion_mode():
+    """occl=True: hit/miss sets match the closest-hit oracle exactly
+    (any hit in (tmin, tmax) occludes), t is 0 for occluded rays."""
+    ds = _single_instance_scene(n_tris=900, seed=3)
+    n = 2 * stream3.PKT
+    ij = np.arange(n)
+    xs = (ij % 64) / 64.0 - 0.5
+    ys = (ij // 64) / 32.0 - 0.5
+    o = np.tile([[0.0, 0.0, 12.0]], (n, 1)).astype(np.float32)
+    d = np.stack([xs, ys, np.full(n, -1.0)], -1).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    o, d = jnp.asarray(o), jnp.asarray(d)
+    ref = traversal.trace_rays(ds, o, d, 1e-3, 1e3)
+    rec = stream3.trace_rows_stream3(
+        ds, stream3.rows_from_aos(o, d), 1e-3, 1e3, occl=True)
+    hit_ref = np.asarray(ref.t) < FLT_MAX
+    hit_got = np.asarray(rec.t) < FLT_MAX
+    assert (hit_ref == hit_got).all()
+
+
+def test_stream3_occlusion_tmax_window():
+    """Occlusion respects the (tmin, tmax) window: with tmax short of
+    every surface, nothing occludes."""
+    ds = _single_instance_scene(n_tris=900, seed=3)
+    n = stream3.PKT
+    o = np.tile([[0.0, 0.0, 12.0]], (n, 1)).astype(np.float32)
+    d = np.tile([[0.0, 0.0, -1.0]], (n, 1)).astype(np.float32)
+    rec = stream3.trace_rows_stream3(
+        ds, stream3.rows_from_aos(jnp.asarray(o), jnp.asarray(d)),
+        1e-3, 1.0, occl=True)       # scene z-extent ends before 1.0
+    ref = traversal.trace_rays(ds, jnp.asarray(o), jnp.asarray(d),
+                               1e-3, 1.0)
+    assert ((np.asarray(rec.t) < FLT_MAX)
+            == (np.asarray(ref.t) < FLT_MAX)).all()
+
+
+def test_stream3_occlusion_live_mask():
+    ds = _single_instance_scene(n_tris=900, seed=3)
+    n = 2 * stream3.PKT
+    ij = np.arange(n)
+    xs = (ij % 64) / 64.0 - 0.5
+    ys = (ij // 64) / 32.0 - 0.5
+    o = np.tile([[0.0, 0.0, 12.0]], (n, 1)).astype(np.float32)
+    d = np.stack([xs, ys, np.full(n, -1.0)], -1).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    rng = np.random.default_rng(3)
+    live = rng.random(n) > 0.4
+    o_bad = o.copy()
+    o_bad[~live] = np.float32(np.inf)
+    ref = traversal.trace_rays(ds, jnp.asarray(o), jnp.asarray(d),
+                               1e-3, 1e3)
+    rec = stream3.trace_rows_stream3(
+        ds, stream3.rows_from_aos(jnp.asarray(o_bad), jnp.asarray(d)),
+        1e-3, 1e3, live=jnp.asarray(live), occl=True)
+    t = np.asarray(rec.t)
+    assert (t[~live] == FLT_MAX).all()
+    assert ((t[live] < FLT_MAX)
+            == (np.asarray(ref.t)[live] < FLT_MAX)).all()
