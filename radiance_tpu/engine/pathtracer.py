@@ -138,7 +138,7 @@ def _traced_wavefront(scene, o, d, tmin, tmax, alive, sort_key=None,
     """
     if _stream3_wavefront_supported(scene, trace_kw):
         from radiance_tpu.ops import stream3
-        rows = stream3.rows_from_aos(o, d)
+        rows = stream3.rows_from_aos_fast(o, d)
         rec = stream3.trace_rows_stream3(
             scene, rows, tmin, tmax,
             precision=os.environ.get("RADIANCE_BENCH_PRECISION",

@@ -831,6 +831,44 @@ def feats_rows_to_major(feats_t):
     )(feats_t)
 
 
+def _aos2rows_kernel(o_ref, d_ref, out_ref):
+    out_ref[0:3, :] = o_ref[:, :].T
+    out_ref[3:6, :] = d_ref[:, :].T
+    out_ref[6:8, :] = jnp.zeros((2, PKT), jnp.float32)
+
+
+def rows_from_aos_fast(origin, direction, interpret=None):
+    """[N, 3] o/d -> six [N] component rows via a tiled Pallas
+    transpose.  The XLA form (six strided slices of an [N, 3] array)
+    relayouts each slice at wave scale (~90 ms per 2M-ray wave on the
+    axon backend); Mosaic's in-register transpose makes this the cheap
+    bridge from AoS engine state into the stream pipeline."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    if interpret:
+        return rows_from_aos(origin, direction)
+    n = origin.shape[0]
+    pad = (-n) % PKT
+    o = origin.astype(jnp.float32)
+    d = direction.astype(jnp.float32)
+    if pad:
+        o = jnp.concatenate([o, jnp.zeros((pad, 3), jnp.float32)])
+        d = jnp.concatenate([d, jnp.zeros((pad, 3), jnp.float32)])
+    npad = n + pad
+    out = pl.pallas_call(
+        _aos2rows_kernel,
+        grid=(npad // PKT,),
+        in_specs=[pl.BlockSpec((PKT, 3), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((PKT, 3), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((8, PKT), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((8, npad), jnp.float32),
+    )(o, d)
+    return tuple(out[k, :n] for k in range(6))
+
+
 # --------------------------------------------------------------- phase 2
 
 def _isect3_kernel(slot_pkt, lim_ref, emeta_ref, words_ref,

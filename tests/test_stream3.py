@@ -361,3 +361,28 @@ def test_stream3_occlusion_live_mask():
     assert (t[~live] == FLT_MAX).all()
     assert ((t[live] < FLT_MAX)
             == (np.asarray(ref.t)[live] < FLT_MAX)).all()
+
+
+def test_rows_from_aos_fast_kernel_numerics():
+    """The Pallas AoS->rows transpose matches the XLA slicing form
+    (interpret-mode kernel vs reference)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n = 2 * stream3.PKT
+    rng = np.random.default_rng(0)
+    o = rng.standard_normal((n, 3)).astype(np.float32)
+    d = rng.standard_normal((n, 3)).astype(np.float32)
+    out = pl.pallas_call(
+        stream3._aos2rows_kernel, grid=(n // stream3.PKT,),
+        in_specs=[pl.BlockSpec((stream3.PKT, 3), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)] * 2,
+        out_specs=pl.BlockSpec((8, stream3.PKT), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((8, n), jnp.float32),
+        interpret=True,
+    )(jnp.asarray(o), jnp.asarray(d))
+    ref = stream3.rows_from_aos(jnp.asarray(o), jnp.asarray(d))
+    for k in range(6):
+        np.testing.assert_array_equal(np.asarray(out[k]),
+                                      np.asarray(ref[k]))
