@@ -69,7 +69,10 @@ PKT = 1024              # rays per packet (= walk slot granularity)
 BLK = 128               # rays per phase-2 block (8 per packet)
 PCAP = 1024             # emitted words per slot (p95 ~60; central
                         # beams legitimately cross hundreds of leaves)
-EXTRA = 256             # sub-walk slot pool (multiple of G)
+# sub-walk slot pool (multiple of G).  Mixed packets (bounce waves in
+# pixel order) each want one slot per present octant; incoherent waves
+# need a bigger pool than the coherent-primary default.
+EXTRA = int(os.environ.get("RADIANCE_EXTRA", "256"))
 STEP_CAP = 2048         # walk iterations per group before flagging
 # rays per refine sub-frustum (32 or 16).  Smaller subs = tighter
 # emit keepmasks = fewer phase-2 pairs, at 2x the (vector-domain)
@@ -724,23 +727,21 @@ def _emit3t_kernel(lim_ref, smeta_ref, scal_ref, bscal_ref, nodef_ref,
         for w in range(G):
             em = ptr_i[w, 1]
             cw = cnts[w]
-            nc = [cw]
-
-            @pl.when(em > 0)
-            def _(w=w, em=em):
-                for j in range(8):
-                    c = nc[-1]
-
-                    @pl.when((((em >> j) & 1) > 0) & (c < PCAP))
-                    def _(w=w, j=j, c=c):
-                        words_ref[w, c] = ptr_i[w, 8 + j]
-                    nc.append(c + ((em >> j) & 1))
-            # count outside the when (predicated stores, exact count)
-            total = cw
+            # FLAT predicated appends: store j goes to slot
+            # cw + popcount(em & (2^j - 1)), all scalar arithmetic,
+            # no nested pl.when chains (the nested form is the prime
+            # suspect for the remote Mosaic compile hang -- see
+            # BASELINE.md; semantics are identical)
+            c = cw
             for j in range(8):
-                total = total + ((em >> j) & 1)
+                bit = (em >> j) & 1
+
+                @pl.when((bit > 0) & (c < PCAP))
+                def _(w=w, j=j, c=c):
+                    words_ref[w, c] = ptr_i[w, 8 + j]
+                c = c + bit
             new_idxs.append(ptr_i[w, 0])
-            new_cnts.append(total)
+            new_cnts.append(c)
         return (tuple(new_idxs), tuple(new_cnts), steps + 1)
 
     def cond(carry):
@@ -1331,13 +1332,14 @@ def trace_rays_stream3(scene, origin, direction, tmin, tmax,
     """Jit-traceable v6 entry on [N, 3] rays (pays the one-time SoA
     transpose).  Truncated packets (step cap, word overflow, slot-pool
     overflow) are POISONED to miss; callers that need the residual
-    re-trace use build_tracer."""
-    del any_hit  # occlusion shares the closest-hit path
+    re-trace use build_tracer.  any_hit=True runs the occlusion phase-2
+    kernel (t=0 on hit, no winner attributes)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     rows_w = rows_from_aos(origin, direction)
     return trace_rows_stream3(scene, rows_w, tmin, tmax,
-                              precision=precision, interpret=interpret)
+                              precision=precision, interpret=interpret,
+                              occl=any_hit)
 
 
 def trace_rows_stream3(scene, rows_w, tmin, tmax,

@@ -386,3 +386,48 @@ def test_rows_from_aos_fast_kernel_numerics():
     for k in range(6):
         np.testing.assert_array_equal(np.asarray(out[k]),
                                       np.asarray(ref[k]))
+
+
+def test_stream3_treelet_vs_oracle():
+    """The treelet emit walk (aligned 8-row windows + in-window
+    path-follow + flat predicated appends) must reproduce the plain
+    walk's results exactly (same closest hits vs the XLA oracle)."""
+    ds = _single_instance_scene(n_tris=900, seed=3)
+    n = 2 * stream3.PKT
+    ij = np.arange(n)
+    xs = (ij % 64) / 64.0 - 0.5
+    ys = (ij // 64) / 32.0 - 0.5
+    o = np.tile([[0.0, 0.0, 12.0]], (n, 1)).astype(np.float32)
+    d = np.stack([xs, ys, np.full(n, -1.0)], -1).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    o, d = jnp.asarray(o), jnp.asarray(d)
+    ref = traversal.trace_rays(ds, o, d, 1e-3, 1e3)
+    rows_w = stream3.rows_from_aos(o, d)
+    tstart, _ = stream3.leaf_tables(ds.knode_f, ds.kleaf.shape[0])
+    rec, diag = stream3._run(
+        rows_w, 1e-3, 1e3, ds.knode_f, ds.kleaf, ds.kprim,
+        ds.ktri_geo, ds.inst_inv[0], tstart, precision="f32",
+        interpret=True, treelet=True, with_diag=True)
+    flag = np.asarray(diag["pkt_flag"])[:n // stream3.PKT]
+    assert (flag == 0).all()
+    _agree(ref, rec)
+    both = (np.asarray(ref.t) < FLT_MAX) & (np.asarray(rec.t) < FLT_MAX)
+    assert (np.asarray(rec.prim)[both]
+            == np.asarray(ref.prim)[both]).mean() > 0.98
+
+
+def test_stream3_treelet_mixed_octants():
+    """Treelet walk with octant sub-slots (random directions)."""
+    ds = _single_instance_scene(n_tris=400, seed=21)
+    rng = np.random.default_rng(5)
+    o, d = gen_rays(rng, stream3.PKT, spread=8.0)
+    o, d = jnp.asarray(o), jnp.asarray(d)
+    ref = traversal.trace_rays(ds, o, d, 1e-3, 1e3)
+    rows_w = stream3.rows_from_aos(o, d)
+    tstart, _ = stream3.leaf_tables(ds.knode_f, ds.kleaf.shape[0])
+    rec, diag = stream3._run(
+        rows_w, 1e-3, 1e3, ds.knode_f, ds.kleaf, ds.kprim,
+        ds.ktri_geo, ds.inst_inv[0], tstart, precision="f32",
+        interpret=True, treelet=True, with_diag=True)
+    flag = np.asarray(diag["pkt_flag"])[:1]
+    _agree(ref, rec, flag)
