@@ -1345,7 +1345,8 @@ def trace_rays_stream3(scene, origin, direction, tmin, tmax,
 def trace_rows_stream3(scene, rows_w, tmin, tmax,
                        precision: str = "f32",
                        interpret=None, presort: bool = False,
-                       live=None, occl: bool = False) -> HitRecord:
+                       live=None, occl: bool = False,
+                       treelet=None) -> HitRecord:
     """Jit-traceable v6 entry on component rows (the fast wave
     format).  Up to RES_CAP truncated packets (step-capped or
     word-overflowed) are exactly re-walked IN-JIT by the per-ray XLA
@@ -1356,6 +1357,8 @@ def trace_rows_stream3(scene, rows_w, tmin, tmax,
     from radiance_tpu.ops import traversal
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    if treelet is None:
+        treelet = os.environ.get("RADIANCE_TREELET", "0") == "1"
     n = rows_w[0].shape[0]
     if live is not None:
         # dead lanes may carry garbage (NaN/Inf bounce dirs of retired
@@ -1370,7 +1373,7 @@ def trace_rows_stream3(scene, rows_w, tmin, tmax,
                      scene.kprim, scene.ktri_geo, scene.inst_inv[0],
                      tstart, precision=precision, interpret=interpret,
                      presort=presort, with_diag=True, live=live,
-                     occl=occl)
+                     occl=occl, treelet=treelet)
     flag = diag["pkt_flag"]                         # sorted pkt space
     blk_perm = diag["blk_perm"]
     nb = blk_perm.shape[0]
