@@ -82,9 +82,12 @@ def main():
             tuple(oo[:, k] for k in range(3))
             + tuple(dd[:, k] for k in range(3))))
 
-    j_s3 = jax.jit(functools_partial_s3(stream3, prec, presort=False),
-                   static_argnums=())
+    j_s3 = jax.jit(functools_partial_s3(stream3, prec, presort=False))
     j_s3p = jax.jit(functools_partial_s3(stream3, prec, presort=True))
+    j_s3o = jax.jit(functools_partial_s3(stream3, prec, presort=False,
+                                         occl=True))
+    j_s3po = jax.jit(functools_partial_s3(stream3, prec, presort=True,
+                                          occl=True))
 
     waves = {
         "primary": (rows_of(o, d), None, False),
@@ -112,21 +115,33 @@ def main():
 
         results = {"gen1": timed(run_gen1)}
 
+        ja, jb = (j_s3o, j_s3po) if is_shadow else (j_s3, j_s3p)
+
         def run_s3():
-            return j_s3(scene, rows, None).t
+            return ja(scene, rows, None).t
 
         def run_s3_live():
-            return j_s3(scene, rows, live).t
+            return ja(scene, rows, live).t
 
         def run_s3_live_ps():
-            return j_s3p(scene, rows, live).t
+            return jb(scene, rows, live).t
 
         trials = [("s3", run_s3)]
         if live is not None:
             trials += [("s3live", run_s3_live),
                        ("s3live+ps", run_s3_live_ps)]
+        # gen1 is the validated baseline: a stream variant that poisons
+        # truncated packets to miss would TIME well while being wrong,
+        # so record hit agreement (live lanes only) alongside seconds
+        t_ref = np.asarray(run_gen1())
+        href = t_ref < FLT_MAX
+        lv = np.ones(n, bool) if live is None else np.asarray(live)
+        agree = {}
         for tname, fn in trials:
             try:
+                t_got = np.asarray(fn())
+                hgot = t_got < FLT_MAX
+                agree[tname] = float((href == hgot)[lv].mean())
                 results[tname] = timed(fn)
             except Exception as e:  # pragma: no cover
                 print(f"# {wname}/{tname} failed: "
@@ -136,14 +151,16 @@ def main():
         for k, v in results.items():
             line[k + "_s"] = round(v, 4)
             line[k + "_mrays"] = round(n / v / 1e6, 2)
+            if k in agree:
+                line[k + "_agree"] = round(agree[k], 5)
         print(json.dumps(line), flush=True)
 
 
-def functools_partial_s3(stream3, prec, presort):
+def functools_partial_s3(stream3, prec, presort, occl=False):
     def f(scn, rows, live):
         return stream3.trace_rows_stream3(
             scn, rows, 1e-3, 1e4, precision=prec, interpret=False,
-            presort=presort, live=live)
+            presort=presort, live=live, occl=occl)
     return f
 
 

@@ -178,12 +178,28 @@ def _traced_wavefront(scene, o, d, tmin, tmax, alive, sort_key=None,
 def _make_context(scene: DeviceScene, hits: traversal.HitRecord,
                   origin, direction, pixel_index, frame_id, depth,
                   resources, debug, trace_occlusion, trace_full):
-    slot = jnp.clip(hits.slot, 0, scene.inst_id.shape[0] - 1)
+    n_inst = scene.inst_id.shape[0]
+    slot = jnp.clip(hits.slot, 0, n_inst - 1)
     w0 = 1.0 - hits.b1 - hits.b2
     bary = jnp.stack([w0, hits.b1, hits.b2], axis=-1)
     # object-space hit point = inv(M) . o + t * inv(M) . d (the traversal
     # param is invariant under the affine instance map)
-    inv = scene.inst_inv[slot]
+    if n_inst == 1:
+        # static single-instance scene: skip the per-ray [N, 4, 4]
+        # matrix gathers (wave-scale gathers are ~100 MB of traffic
+        # per bounce for nothing -- every row is instance 0)
+        inv = scene.inst_inv[0]
+        transform = jnp.broadcast_to(scene.inst_transform[0],
+                                     origin.shape[:1] + (4, 4))
+        instance_id = jnp.broadcast_to(scene.inst_id[0], slot.shape)
+        custom_id = jnp.broadcast_to(scene.inst_custom[0], slot.shape)
+        sbt_offset = jnp.broadcast_to(scene.inst_sbt[0], slot.shape)
+    else:
+        inv = scene.inst_inv[slot]
+        transform = scene.inst_transform[slot]
+        instance_id = scene.inst_id[slot]
+        custom_id = scene.inst_custom[slot]
+        sbt_offset = scene.inst_sbt[slot]
     o_l = rmath.mat4_transform_point(inv, origin)
     d_l = rmath.mat4_transform_dir(inv, direction)
     hit_point = o_l + hits.t[:, None] * d_l
@@ -191,12 +207,12 @@ def _make_context(scene: DeviceScene, hits: traversal.HitRecord,
         hit=hits.hit,
         t=hits.t,
         prim=hits.prim,
-        instance_id=scene.inst_id[slot],
-        custom_id=scene.inst_custom[slot],
-        sbt_offset=scene.inst_sbt[slot],
+        instance_id=instance_id,
+        custom_id=custom_id,
+        sbt_offset=sbt_offset,
         bary=bary,
         hit_point=hit_point,
-        transform=scene.inst_transform[slot],
+        transform=transform,
         ray_origin=origin,
         ray_dir=direction,
         pixel_index=pixel_index,

@@ -144,3 +144,39 @@ def test_debug_modes_11_17(tracer, cornell):
     _, d12 = render(tracer, cornell, batch=1, depth=1, debug=12)
     _, d13 = render(tracer, cornell, batch=1, depth=1, debug=13)
     assert not np.array_equal(np.asarray(d12), np.asarray(d13))
+
+
+def test_make_context_single_instance_elides_gathers():
+    """The ninst==1 static branch must produce the same context fields
+    as the general gather path."""
+    import jax.numpy as jnp
+    import sys, os
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_packet_trace import _single_instance_scene
+    from radiance_tpu.engine import pathtracer
+    from radiance_tpu.ops import traversal
+
+    ds = _single_instance_scene(n_tris=64, seed=1)
+    n = 32
+    rng = np.random.default_rng(0)
+    o = jnp.asarray(rng.standard_normal((n, 3)).astype(np.float32))
+    d = jnp.asarray(rng.standard_normal((n, 3)).astype(np.float32))
+    hits = traversal.trace_rays(ds, o, d, 1e-3, 1e3)
+    ctx = pathtracer._make_context(
+        ds, hits, o, d, jnp.arange(n, dtype=jnp.int32),
+        jnp.uint32(0), 0, {}, 0, None, None)
+    # reference fields via the explicit gather math
+    slot = jnp.clip(hits.slot, 0, ds.inst_id.shape[0] - 1)
+    from radiance_tpu.core import math as rmath
+    inv = ds.inst_inv[slot]
+    o_l = rmath.mat4_transform_point(inv, o)
+    d_l = rmath.mat4_transform_dir(inv, d)
+    hp = o_l + hits.t[:, None] * d_l
+    fin = np.isfinite(np.asarray(hp))
+    np.testing.assert_allclose(np.asarray(ctx.hit_point)[fin],
+                               np.asarray(hp)[fin], rtol=1e-6)
+    assert ctx.instance_id.shape == (n,)
+    np.testing.assert_array_equal(np.asarray(ctx.instance_id),
+                                  np.asarray(ds.inst_id[slot]))
+    np.testing.assert_array_equal(np.asarray(ctx.sbt_offset),
+                                  np.asarray(ds.inst_sbt[slot]))
