@@ -101,11 +101,13 @@ class MultiTables:
         self.aabb_w = jnp.asarray(aabbs)
 
 
-def _block_overlap(rows_w, aabb_w, tmin, tmax):
+def _block_overlap(rows_w, aabb_w, tmin, tmax, live=None):
     """[nblk, ninst] bool: does the block's world interval frustum hit
     the instance's world AABB (conservative slab test, the TLAS
-    level)."""
-    bscal = s3._group_scalars(rows_w, BLK)          # [nblk, 16]
+    level).  With `live`, dead lanes are excluded from the block
+    frusta and all-dead blocks overlap nothing."""
+    mask = None if live is None else live.reshape(-1, BLK)
+    bscal = s3._group_scalars(rows_w, BLK, mask=mask)   # [nblk, 16]
     sgn = bscal[:, 0:3][:, None, :]
     olo = bscal[:, 3:6][:, None, :]
     ohi = bscal[:, 6:9][:, None, :]
@@ -130,7 +132,8 @@ def _block_overlap(rows_w, aabb_w, tmin, tmax):
 
 def trace_rows_multi(scene, mt: MultiTables, rows_w, tmin, tmax,
                      precision: str = "default", bcap_blocks=None,
-                     interpret=None) -> HitRecord:
+                     interpret=None, live=None,
+                     occl: bool = False) -> HitRecord:
     """Jit-traceable many-instance trace on component rows.
 
     bcap_blocks: per-instance active-block capacity (default: all
@@ -142,18 +145,28 @@ def trace_rows_multi(scene, mt: MultiTables, rows_w, tmin, tmax,
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     n = rows_w[0].shape[0]
+    if live is not None:
+        # dead lanes may carry garbage; park them (finite, far away)
+        rows_w = tuple(
+            jnp.where(live, r, jnp.float32(1e30) if k < 3 else 1.0)
+            for k, r in enumerate(rows_w))
     pad = (-n) % (s3.G * PKT)
     rows_p = tuple(
         jnp.concatenate([r, jnp.broadcast_to(r[:1], (pad,))])
         if pad else r for r in rows_w)
     npad = rows_p[0].shape[0]
+    live_p = None
+    if live is not None:
+        live_p = jnp.concatenate(
+            [live, jnp.zeros(pad, bool)]) if pad else live
     nblk = npad // BLK
     if bcap_blocks is None:
         bcap_blocks = max(nblk // 4, s3.G * (PKT // BLK))
     bcap = ((bcap_blocks + (s3.G * PKT // BLK) - 1)
             // (s3.G * PKT // BLK)) * (s3.G * PKT // BLK)
 
-    ov = _block_overlap(rows_p, mt.aabb_w, tmin, tmax)  # [nblk, ninst]
+    ov = _block_overlap(rows_p, mt.aabb_w, tmin, tmax,
+                        live=live_p)                # [nblk, ninst]
     # per-instance compact block lists [ninst, bcap] (fill = nblk)
     rank = jnp.cumsum(ov.astype(jnp.int32), axis=0) - 1
     blk_ids = jax.lax.broadcasted_iota(jnp.int32, ov.shape, 0)
@@ -181,6 +194,8 @@ def trace_rows_multi(scene, mt: MultiTables, rows_w, tmin, tmax,
         gsel = (jnp.minimum(blist, nblk - 1)[:, None] * BLK
                 + jnp.arange(BLK, dtype=jnp.int32)[None, :]).reshape(-1)
         live = jnp.repeat(blist < nblk, BLK)
+        if live_p is not None:
+            live = live & live_p[gsel]
         sub = tuple(r[gsel] for r in rows_p)
         # park dead lanes far outside the scene pointing away
         park = jnp.float32(1e30)
@@ -193,7 +208,8 @@ def trace_rows_multi(scene, mt: MultiTables, rows_w, tmin, tmax,
         rec, diag = s3._run(sub, tmin, tmax, nodef_i, kleaf_i,
                             kprim_i, geo_i, inv_i, tstart_i,
                             precision=precision, interpret=interpret,
-                            presort=False, with_diag=True)
+                            presort=False, with_diag=True, occl=occl,
+                            live=live)
         bt, bp, bs, b1, b2, bbad = best
         # a step-capped/word-overflowed sub-packet lost hits for this
         # instance: poison its rays rather than return silent misses

@@ -80,3 +80,42 @@ def test_multi_coherent_tiles():
     both = hr & hg & ok
     np.testing.assert_allclose(t_got[both], t_ref[both], rtol=2e-3,
                                atol=1e-4)
+
+
+def test_multi_live_mask_and_occlusion():
+    """Many-instance trace with a live mask: dead lanes (garbage rays)
+    are excluded from the TLAS block cull and every sub-wave frustum;
+    occlusion mode agrees on hit/miss."""
+    import numpy as np
+    import jax.numpy as jnp
+    from radiance_tpu.ops import stream3, stream3_multi, traversal
+    from radiance_tpu.ops.intersect import FLT_MAX
+
+    ds = _multi_scene()
+    mt = stream3_multi.MultiTables(ds)
+    n = 2 * stream3.PKT
+    rng = np.random.default_rng(8)
+    o = rng.uniform(-12, 12, (n, 3)).astype(np.float32)
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    live = rng.random(n) > 0.3
+    o_bad = np.array(o, copy=True)
+    o_bad[~live] = np.float32(np.nan)
+    rows = stream3.rows_from_aos(jnp.asarray(o_bad), jnp.asarray(d))
+    ref = traversal.trace_rays(ds, jnp.asarray(o), jnp.asarray(d),
+                               1e-3, 1e3)
+    rec = stream3_multi.trace_rows_multi(
+        ds, mt, rows, 1e-3, 1e3, live=jnp.asarray(live))
+    t = np.asarray(rec.t)
+    ok = live & (np.asarray(rec.slot) != -2)
+    t_ref = np.asarray(ref.t)
+    hr = t_ref < FLT_MAX
+    assert ((t[ok] < FLT_MAX) == hr[ok]).all()
+    np.testing.assert_allclose(t[ok][hr[ok]], t_ref[ok][hr[ok]],
+                               rtol=2e-3, atol=1e-4)
+
+    occ = stream3_multi.trace_rows_multi(
+        ds, mt, rows, 1e-3, 1e3, live=jnp.asarray(live), occl=True)
+    to = np.asarray(occ.t)
+    ok2 = live & (np.asarray(occ.slot) != -2)
+    assert ((to[ok2] < FLT_MAX) == hr[ok2]).all()
