@@ -229,14 +229,19 @@ def run_bench_stream3(scene, trace, o, d, light, n, bounce_rays):
     if s3waves:
         light_rows = tuple(jax.block_until_ready(
             tuple(light[:, k] for k in range(3))))
+        # presort=False: the bench waves are tile-ordered, and pixel
+        # order is already the best origin grouping -- the block sort
+        # DESTROYS tile adjacency and capped 70% of shadow packets in
+        # the offline replay (benchmarks/walk_sim3.py); octant
+        # sub-slots in prep handle direction mixing without it
         j_live = jax.jit(
             lambda scn, rows, live, tmx: stream3.trace_rows_stream3(
                 scn, rows, jnp.float32(1e-3), tmx, precision=prec,
-                interpret=False, presort=True, live=live))
+                interpret=False, presort=False, live=live))
         j_occl = jax.jit(
             lambda scn, rows, live, tmx: stream3.trace_rows_stream3(
                 scn, rows, jnp.float32(1e-3), tmx, precision=prec,
-                interpret=False, presort=True, live=live, occl=True))
+                interpret=False, presort=False, live=live, occl=True))
 
     @jax.jit
     def rows_live(o2, d2, t1):

@@ -125,11 +125,30 @@ def compile_isect_occl():
     return aot_compile(fn, words, emeta, slot_pkt, feats, lim, kleaf)
 
 
+def compile_refine():
+    from radiance_tpu.ops import stream3 as s3
+    rng = np.random.default_rng(0)
+    nslot, npk, nl = 64, 32, 512
+    words = np.zeros((nslot, s3.PCAP), np.int32)
+    emeta = np.zeros((nslot, 8), np.int32)
+    slot_pkt = (np.arange(nslot) % npk).astype(np.int32)
+    feats_t = rng.standard_normal((16, npk * s3.PKT)).astype(np.float32)
+    lim = np.asarray([[1e-3, 1e4]], np.float32)
+    aabb8 = rng.standard_normal((nl, 8)).astype(np.float32)
+
+    def fn(words, emeta, slot_pkt, feats_t, aabb8, lim):
+        return s3._stage_refine_exact(words, emeta, slot_pkt, feats_t,
+                                      aabb8, lim, interpret=False)
+
+    return aot_compile(fn, words, emeta, slot_pkt, feats_t, aabb8, lim)
+
+
 TARGETS = {
     "emit": lambda: compile_emit(False),
     "emit-treelet": lambda: compile_emit(True),
     "isect": compile_isect,
     "isect-occl": compile_isect_occl,
+    "refine": compile_refine,
 }
 
 

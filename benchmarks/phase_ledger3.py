@@ -72,6 +72,23 @@ def main():
           f"steps(sum groups)={em[::s3.G,2].sum()}")
 
     slot_pkt = smeta[:, 0]
+    if os.environ.get("RADIANCE_EXACT_REFINE", "1") == "1":
+        _, aabb = leaf_tables(nodef, scene.kleaf.shape[0])
+        nl = aabb.shape[0]
+        nlp = ((nl + 7) // 8) * 8
+        aabb8 = jax.block_until_ready(
+            jnp.zeros((nlp, 8), jnp.float32).at[:nl, :6].set(aabb))
+        j_ref = jax.jit(functools.partial(s3._stage_refine_exact,
+                                          interpret=False))
+        dt, (words, emeta) = timed_chain(
+            j_ref, words, emeta, slot_pkt, feats_t, aabb8, lim,
+            iters=8)
+        em2 = np.asarray(emeta)
+        kept = np.minimum(em2[:, 0], s3.PCAP) * alive
+        print(f"refine: {dt*1e3:7.1f} ms  kept words={kept.sum()} "
+              f"of {cnt.sum()} "
+              f"({dt/max(cnt.sum(),1)*1e9:.0f} ns/word)")
+        cnt = kept
     feats = jax.jit(s3.feats_rows_to_major)(feats_t) \
         if orient == "major" else feats_t
     feats = jax.block_until_ready(feats)

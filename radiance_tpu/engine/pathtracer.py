@@ -123,11 +123,15 @@ def _traced_wavefront(scene, o, d, tmin, tmax, alive, sort_key=None,
 
     On stream3-capable scenes (opt-in via RADIANCE_ENGINE_STREAM3=1,
     measured per platform) the wave goes through the v6 stream tracer
-    with the LIVE MASK + block presort instead: dead lanes are
-    excluded from every interval frustum inside the pipeline, so no
-    element-level argsort/gather/scatter is needed at all (measured
-    ~212 ms per 2M-ray wave on the axon backend -- the dominant cost
-    of this compaction path).
+    with the LIVE MASK instead: dead lanes are excluded from every
+    interval frustum inside the pipeline, so no element-level
+    argsort/gather/scatter is needed at all (measured ~212 ms per
+    2M-ray wave on the axon backend -- the dominant cost of this
+    compaction path).  No block presort either: pixel order already
+    groups origins tile-adjacently, and the block sort destroys that
+    (shadow packets capped 70% sorted vs 5% unsorted in the offline
+    replay, benchmarks/walk_sim3.py); direction mixing is handled by
+    prep's per-octant sub-walk slots.
 
     Otherwise live rays are permuted to the front (optionally grouped
     by shader key for coherence), dead lanes are parked at
@@ -143,7 +147,7 @@ def _traced_wavefront(scene, o, d, tmin, tmax, alive, sort_key=None,
             scene, rows, tmin, tmax,
             precision=os.environ.get("RADIANCE_BENCH_PRECISION",
                                      "default"),
-            presort=True, live=alive,
+            presort=False, live=alive,
             occl=bool(trace_kw.get("any_hit_terminate", False)))
         return traversal.HitRecord(
             t=rec.t, prim=rec.prim, slot=jnp.maximum(rec.slot, -1),

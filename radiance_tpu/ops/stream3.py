@@ -870,6 +870,128 @@ def rows_from_aos_fast(origin, direction, interpret=None):
     return tuple(out[k, :n] for k in range(6))
 
 
+# ------------------------------------------------- exact block refine
+
+def _refine3_kernel(slot_pkt, lim_ref, emeta_ref, words_ref, xt_ref,
+                    aabb_ref, words_out, emeta_out, ptr_s):
+    """Stage 1.5: exact per-RAY leaf-slab refine of the emitted word
+    lists, one slot per grid step.
+
+    The emit walk's interval keepmasks are conservative over 32-ray
+    sub-frusta; on scattered-origin waves (bounces, shadows) that is
+    7-10x looser than the union of the rays' own slab tests
+    (benchmarks/walk_sim3.py).  This stage re-tests every (leaf,
+    block) pair per ray in the lane-efficient comp-major orientation
+    ([1, PKT] rows of feats_t), ANDs the exact bits into the keepmask,
+    and COMPACTS the list (kmask=0 words dropped), so phase 2's DMA
+    count and matmul count both shrink to the exact need.  Slab
+    semantics mirror ops/intersect.intersect_aabb (the oracle walk):
+    parked/dead lanes at 1e30 fail naturally."""
+    f32, i32 = jnp.float32, jnp.int32
+    r = pl.program_id(0) % 8
+    tmax = lim_ref[0, 1]
+    cnt = jnp.minimum(emeta_ref[r, 0], PCAP)
+
+    # per-slot ray rows (comp-major): o rows 6:9, d rows 0:3
+    dxr = xt_ref[0:1, :]
+    dyr = xt_ref[1:2, :]
+    dzr = xt_ref[2:3, :]
+    oxr = xt_ref[6:7, :]
+    oyr = xt_ref[7:8, :]
+    ozr = xt_ref[8:9, :]
+    ivx = 1.0 / dxr
+    ivy = 1.0 / dyr
+    ivz = 1.0 / dzr
+    pow2b = (1 << jax.lax.broadcasted_iota(i32, (1, 8), 1)).astype(f32)
+
+    def body(i, c):
+        wd = words_ref[r, i]
+        leaf = jnp.maximum((wd >> W_LEAF_SHIFT) - 1, 0)
+        box = aabb_ref[pl.ds(leaf, 1), :]           # (1, 8)
+        tn = jnp.zeros((1, PKT), f32)
+        tf = jnp.full((1, PKT), _FMAX, f32)
+        for k, (orow, irow) in enumerate(((oxr, ivx), (oyr, ivy),
+                                          (ozr, ivz))):
+            t0 = (box[0:1, k:k + 1] - orow) * irow
+            t1 = (box[0:1, 3 + k:4 + k] - orow) * irow
+            tn = jnp.maximum(tn, jnp.minimum(t0, t1))
+            tf = jnp.minimum(tf, jnp.maximum(t0, t1))
+        ok = (tf >= jnp.maximum(tn, 0.0)) & (tn < tmax)   # (1, PKT)
+        kex = jnp.zeros((1, 1), f32)
+        for b in range(8):
+            anyb = jnp.max(
+                ok[:, b * BLK:(b + 1) * BLK].astype(f32),
+                axis=1, keepdims=True)              # (1, 1)
+            kex = kex + anyb * pow2b[0:1, b:b + 1]
+        ptr_s[0:1, 0:1] = kex.astype(i32)
+        km = ((wd >> W_KEEP_SHIFT) & 255) & ptr_s[0, 0]
+        keep = km > 0
+        wd2 = (wd & ~(255 << W_KEEP_SHIFT)) | (km << W_KEEP_SHIFT)
+
+        @pl.when(keep)
+        def _(c=c):
+            words_out[r, c] = wd2
+        return c + keep.astype(i32)
+
+    kept = jax.lax.fori_loop(0, cnt, body, jnp.int32(0))
+    emeta_out[r, 0] = kept
+    emeta_out[r, 1] = emeta_ref[r, 1]
+    emeta_out[r, 2] = emeta_ref[r, 2]
+    emeta_out[r, 3] = emeta_ref[r, 3]
+    emeta_out[r, 4] = cnt                 # pre-refine count (diag)
+    emeta_out[r, 5] = emeta_ref[r, 5]
+    emeta_out[r, 6] = emeta_ref[r, 6]
+    emeta_out[r, 7] = emeta_ref[r, 7]
+
+
+def _stage_refine_exact(words, emeta, slot_pkt, feats_t, aabb8, lim,
+                        *, interpret: bool):
+    """Run the exact block refine over all slots.  Returns
+    (words', emeta') with compacted lists; emeta' lane 4 carries the
+    pre-refine word count for diagnostics."""
+    nslot = words.shape[0]
+    npadl = aabb8.shape[0]
+    return pl.pallas_call(
+        _refine3_kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(nslot,),
+            in_specs=[
+                pl.BlockSpec((1, 2), lambda i, sp: (0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((8, 8), lambda i, sp: (i // 8, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((8, PCAP), lambda i, sp: (i // 8, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((16, PKT), lambda i, sp: (0, sp[i]),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((npadl, 8), lambda i, sp: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((8, PCAP), lambda i, sp: (i // 8, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((8, 8), lambda i, sp: (i // 8, 0),
+                             memory_space=pltpu.SMEM),
+            ],
+            scratch_shapes=[
+                # vector-write / scalar-read round trip buffer (the
+                # ptr_i pattern -- scalar stores can't target VMEM,
+                # vector stores can't target SMEM)
+                pltpu.VMEM((8, 128), jnp.int32),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((nslot, PCAP), jnp.int32),
+            jax.ShapeDtypeStruct((nslot, 8), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True,
+            vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=interpret,
+    )(slot_pkt, lim, emeta, words, feats_t, aabb8)
+
+
 # --------------------------------------------------------------- phase 2
 
 def _isect3_kernel(slot_pkt, lim_ref, emeta_ref, words_ref,
@@ -1248,7 +1370,7 @@ def _run(rows_w, tmin, tmax, nodef, kleaf_k, kprim, ktri_geo, inv0,
          tstart, *, precision: str, interpret: bool, raw: bool = False,
          orient: str = "major", treelet: bool = False,
          presort: bool = False, with_diag: bool = False, live=None,
-         occl: bool = False):
+         occl: bool = False, exact_refine=None):
     """Full v6 pipeline on world-space component rows.  Returns a
     HitRecord (+ diagnostics when with_diag): packets flagged in
     diag['pkt_flag'] were truncated (step cap / word overflow) and
@@ -1275,13 +1397,28 @@ def _run(rows_w, tmin, tmax, nodef, kleaf_k, kprim, ktri_geo, inv0,
     words, emeta = _stage_emit(lim, scal, smeta, bscal, nodef,
                                interpret=interpret, treelet=treelet)
     slot_pkt = smeta[:, 0]
+    words_i, emeta_i = words, emeta
+    if exact_refine is None:
+        exact_refine = os.environ.get("RADIANCE_EXACT_REFINE",
+                                      "1") == "1"
+    if exact_refine:
+        # stage 1.5: per-ray exact leaf-slab refine + list compaction
+        # (the emit keepmasks are interval-conservative; 7-10x looser
+        # than exact on scattered-origin waves -- walk_sim3)
+        _, aabb = leaf_tables(nodef, kleaf_k.shape[0])
+        nl = aabb.shape[0]
+        nlp = ((nl + 7) // 8) * 8
+        aabb8 = jnp.zeros((nlp, 8), jnp.float32).at[:nl, :6].set(aabb)
+        words_i, emeta_i = _stage_refine_exact(
+            words, emeta, slot_pkt, feats_t, aabb8, lim,
+            interpret=interpret)
     if orient == "major" and not interpret:
         feats = feats_rows_to_major(feats_t)
     elif orient == "major":
         feats = feats_t.T
     else:
         feats = feats_t
-    out_s = _stage_isect(words, emeta, slot_pkt, feats, lim,
+    out_s = _stage_isect(words_i, emeta_i, slot_pkt, feats, lim,
                          kleaf_k, precision=precision,
                          interpret=interpret, orient=orient,
                          occl=occl)
@@ -1320,6 +1457,8 @@ def _run(rows_w, tmin, tmax, nodef, kleaf_k, kprim, ktri_geo, inv0,
                 "blk_perm": blk_perm,    # sorted block -> caller block
                 "words": jnp.sum(jnp.minimum(emeta[:, 0], PCAP)
                                  * alive),
+                "kept_words": jnp.sum(
+                    jnp.minimum(emeta_i[:, 0], PCAP) * alive),
                 "steps": jnp.sum(emeta[::G, 2]),
                 "capped": jnp.sum((emeta[:, 1] > 0) & alive)}
         return rec, diag

@@ -431,3 +431,34 @@ def test_stream3_treelet_mixed_octants():
         interpret=True, treelet=True, with_diag=True)
     flag = np.asarray(diag["pkt_flag"])[:1]
     _agree(ref, rec, flag)
+
+
+def test_stream3_exact_refine_prunes_and_preserves(monkeypatch):
+    """Stage 1.5 (exact per-ray block refine): results identical with
+    and without, and the kept pair count shrinks to at most the
+    interval count."""
+    ds = _single_instance_scene(n_tris=900, seed=3)
+    n = 2 * stream3.PKT
+    rng = np.random.default_rng(2)
+    o, d = gen_rays(rng, n, spread=8.0)   # scattered: worst case
+    o, d = jnp.asarray(o), jnp.asarray(d)
+    rows_w = stream3.rows_from_aos(o, d)
+    tstart, _ = stream3.leaf_tables(ds.knode_f, ds.kleaf.shape[0])
+
+    recs = {}
+    pairs = {}
+    for flag in (False, True):
+        rec, diag = stream3._run(
+            rows_w, 1e-3, 1e3, ds.knode_f, ds.kleaf, ds.kprim,
+            ds.ktri_geo, ds.inst_inv[0], tstart, precision="f32",
+            interpret=True, with_diag=True, exact_refine=flag)
+        recs[flag] = rec
+        pairs[flag] = int(diag["kept_words"])
+    assert pairs[True] <= pairs[False]
+    t_off = np.asarray(recs[False].t)
+    t_on = np.asarray(recs[True].t)
+    h_off, h_on = t_off < FLT_MAX, t_on < FLT_MAX
+    assert (h_off == h_on).all()
+    np.testing.assert_allclose(t_on[h_on], t_off[h_off], rtol=1e-6)
+    assert (np.asarray(recs[True].prim)
+            == np.asarray(recs[False].prim)).all()
