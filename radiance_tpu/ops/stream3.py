@@ -1399,8 +1399,12 @@ def _run(rows_w, tmin, tmax, nodef, kleaf_k, kprim, ktri_geo, inv0,
     slot_pkt = smeta[:, 0]
     words_i, emeta_i = words, emeta
     if exact_refine is None:
-        exact_refine = os.environ.get("RADIANCE_EXACT_REFINE",
-                                      "1") == "1"
+        # occlusion waves skip the refine: words arrive ~front-to-back
+        # and the occl kernel's saturation cull (hit block -> wbits 0)
+        # already skips later pairs for ~the cost of a scalar check,
+        # so the per-word refine tax buys nothing there
+        exact_refine = (not occl) and os.environ.get(
+            "RADIANCE_EXACT_REFINE", "1") == "1"
     if exact_refine:
         # stage 1.5: per-ray exact leaf-slab refine + list compaction
         # (the emit keepmasks are interval-conservative; 7-10x looser
