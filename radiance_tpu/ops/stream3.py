@@ -1570,6 +1570,34 @@ def trace_rows_stream3(scene, rows_w, tmin, tmax,
         b2=jnp.where(ray_bad, 0.0, rec.b2))
 
 
+def trace_rows_cascade(scene, rows_w, tmin, tmax, near,
+                       precision: str = "f32", interpret=None,
+                       live=None, occl: bool = False,
+                       treelet=None) -> HitRecord:
+    """Two-stage t-cascade: trace with tmax=near first (short shafts ->
+    few emitted leaves), then retrace ONLY the near-misses at full
+    range via the live mask.  Most secondary-ray hits are nearby
+    (occluders especially), so stage A's word volume is a fraction of
+    a full-range wave and stage B runs mostly-dead.  Exact: a hit
+    inside (tmin, near) is globally closest; miss rays rerun the full
+    window."""
+    recA = trace_rows_stream3(scene, rows_w, tmin, near,
+                              precision=precision, interpret=interpret,
+                              live=live, occl=occl, treelet=treelet)
+    missA = recA.t >= FLT_MAX
+    liveB = missA if live is None else (missA & live)
+    recB = trace_rows_stream3(scene, rows_w, tmin, tmax,
+                              precision=precision, interpret=interpret,
+                              live=liveB, occl=occl, treelet=treelet)
+    hitA = ~missA
+    return HitRecord(
+        t=jnp.where(hitA, recA.t, recB.t),
+        prim=jnp.where(hitA, recA.prim, recB.prim),
+        slot=jnp.where(hitA, recA.slot, recB.slot),
+        b1=jnp.where(hitA, recA.b1, recB.b1),
+        b2=jnp.where(hitA, recA.b2, recB.b2))
+
+
 # ------------------------------------------------------- build_tracer
 
 @functools.partial(jax.jit, donate_argnums=())

@@ -462,3 +462,38 @@ def test_stream3_exact_refine_prunes_and_preserves(monkeypatch):
     np.testing.assert_allclose(t_on[h_on], t_off[h_off], rtol=1e-6)
     assert (np.asarray(recs[True].prim)
             == np.asarray(recs[False].prim)).all()
+
+
+def test_stream3_cascade_matches_full_trace():
+    """The near/far t-cascade must equal a single full-range trace
+    (hits inside the near window are globally closest; near-misses
+    rerun at full range), including with a live mask and occlusion."""
+    ds = _single_instance_scene(n_tris=900, seed=3)
+    n = 2 * stream3.PKT
+    ij = np.arange(n)
+    xs = (ij % 64) / 64.0 - 0.5
+    ys = (ij // 64) / 32.0 - 0.5
+    o = np.tile([[0.0, 0.0, 12.0]], (n, 1)).astype(np.float32)
+    d = np.stack([xs, ys, np.full(n, -1.0)], -1).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    o, d = jnp.asarray(o), jnp.asarray(d)
+    rows = stream3.rows_from_aos(o, d)
+    rng = np.random.default_rng(6)
+    live = jnp.asarray(rng.random(n) > 0.2)
+
+    full = stream3.trace_rows_stream3(ds, rows, 1e-3, 1e3, live=live)
+    casc = stream3.trace_rows_cascade(ds, rows, 1e-3, 1e3, near=9.0,
+                                      live=live)
+    t_f, t_c = np.asarray(full.t), np.asarray(casc.t)
+    hf, hc = t_f < FLT_MAX, t_c < FLT_MAX
+    assert (hf == hc).all()
+    np.testing.assert_allclose(t_c[hc], t_f[hf], rtol=2e-3, atol=1e-4)
+    assert (np.asarray(casc.prim)[hc]
+            == np.asarray(full.prim)[hf]).all()
+
+    full_o = stream3.trace_rows_stream3(ds, rows, 1e-3, 1e3, live=live,
+                                        occl=True)
+    casc_o = stream3.trace_rows_cascade(ds, rows, 1e-3, 1e3, near=9.0,
+                                        live=live, occl=True)
+    assert ((np.asarray(casc_o.t) < FLT_MAX)
+            == (np.asarray(full_o.t) < FLT_MAX)).all()
