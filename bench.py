@@ -234,14 +234,32 @@ def run_bench_stream3(scene, trace, o, d, light, n, bounce_rays):
         # DESTROYS tile adjacency and capped 70% of shadow packets in
         # the offline replay (benchmarks/walk_sim3.py); octant
         # sub-slots in prep handle direction mixing without it
-        j_live = jax.jit(
-            lambda scn, rows, live, tmx: stream3.trace_rows_stream3(
-                scn, rows, jnp.float32(1e-3), tmx, precision=prec,
-                interpret=False, presort=False, live=live))
-        j_occl = jax.jit(
-            lambda scn, rows, live, tmx: stream3.trace_rows_stream3(
-                scn, rows, jnp.float32(1e-3), tmx, precision=prec,
-                interpret=False, presort=False, live=live, occl=True))
+        near = float(os.environ.get("RADIANCE_BENCH_NEAR", "0"))
+        if near > 0:
+            # near/far t-cascade: short shafts emit few leaves; only
+            # near-misses rerun at full range (stream3.trace_rows_cascade)
+            j_live = jax.jit(
+                lambda scn, rows, live, tmx:
+                stream3.trace_rows_cascade(
+                    scn, rows, jnp.float32(1e-3), tmx,
+                    jnp.float32(near), precision=prec,
+                    interpret=False, live=live))
+            j_occl = jax.jit(
+                lambda scn, rows, live, tmx:
+                stream3.trace_rows_cascade(
+                    scn, rows, jnp.float32(1e-3), tmx,
+                    jnp.float32(near), precision=prec,
+                    interpret=False, live=live, occl=True))
+        else:
+            j_live = jax.jit(
+                lambda scn, rows, live, tmx: stream3.trace_rows_stream3(
+                    scn, rows, jnp.float32(1e-3), tmx, precision=prec,
+                    interpret=False, presort=False, live=live))
+            j_occl = jax.jit(
+                lambda scn, rows, live, tmx: stream3.trace_rows_stream3(
+                    scn, rows, jnp.float32(1e-3), tmx, precision=prec,
+                    interpret=False, presort=False, live=live,
+                    occl=True))
 
     @jax.jit
     def rows_live(o2, d2, t1):

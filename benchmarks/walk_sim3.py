@@ -247,15 +247,17 @@ def main():
     inv0 = np.asarray(scene.inst_inv[0])
 
     t1 = hit = o2 = d2 = None
-    if "bounce" in waves or "shadow" in waves:
-        # primary hits via the XLA walk (CPU, chunked)
+    light = np.tile(np.asarray([0.26726124, 0.8017837, 0.5345225],
+                               np.float32), (n, 1))
+
+    def trace_cpu(ow, dw, tmx=1e4):
         outs = []
         CH = 65536
         jw = jax.jit(lambda oo, dd: traversal.trace_rays(
-            scene, oo, dd, 1e-3, 1e4).t)
+            scene, oo, dd, 1e-3, tmx).t)
         for c0 in range(0, n, CH):
-            oo = jnp.asarray(o[c0:c0 + CH])
-            dd = jnp.asarray(d[c0:c0 + CH])
+            oo = jnp.asarray(ow[c0:c0 + CH])
+            dd = jnp.asarray(dw[c0:c0 + CH])
             if oo.shape[0] < CH:
                 padn = CH - oo.shape[0]
                 oo = jnp.concatenate([oo, oo[:padn]])
@@ -263,21 +265,9 @@ def main():
                 outs.append(np.asarray(jw(oo, dd))[:n - c0])
             else:
                 outs.append(np.asarray(jw(oo, dd)))
-        t1 = np.concatenate(outs)
-        hit = t1 < _FMAX
-        hp = o + t1[:, None] * d
-        nrm = o - hp
-        nn = np.linalg.norm(nrm, axis=-1, keepdims=True)
-        nrm = np.where(nn > 0, nrm / np.maximum(nn, 1e-30), 0.0)
-        dd2 = d - 2 * np.sum(d * nrm, -1, keepdims=True) * nrm
-        o2 = np.where(hit[:, None], hp + nrm * 1e-3, o)
-        d2 = np.where(hit[:, None], dd2, -d)
-        print(f"# hit rate {hit.mean():.3f}", file=sys.stderr)
+        return np.concatenate(outs)
 
-    light = np.tile(np.asarray([0.26726124, 0.8017837, 0.5345225],
-                               np.float32), (n, 1))
-
-    def run(tag, ow, dw, live, presort):
+    def run(tag, ow, dw, live, presort, tmaxf=1e4):
         ow = np.nan_to_num(ow, nan=1e30, posinf=1e30, neginf=-1e30)
         rows_w = tuple(jnp.asarray(ow[:, k]) for k in range(3)) + \
             tuple(jnp.asarray(dw[:, k]) for k in range(3))
@@ -302,18 +292,61 @@ def main():
                 live_np = np.concatenate(
                     [live_np, np.zeros(npad - len(live_np), bool)])
         report(tag, nodef, scal, smeta, np.asarray(order),
-               None, rows_np, live_np)
+               None, rows_np, live_np, tmaxf=tmaxf)
 
+    if "bounce" in waves or "shadow" in waves:
+        t1 = trace_cpu(o, d)
+        hit = t1 < _FMAX
+        hp = o + t1[:, None] * d
+        nrm = o - hp
+        nn = np.linalg.norm(nrm, axis=-1, keepdims=True)
+        nrm = np.where(nn > 0, nrm / np.maximum(nn, 1e-30), 0.0)
+        dd2 = d - 2 * np.sum(d * nrm, -1, keepdims=True) * nrm
+        o2 = np.where(hit[:, None], hp + nrm * 1e-3, o)
+        d2 = np.where(hit[:, None], dd2, -d)
+        print(f"# hit rate {hit.mean():.3f}", file=sys.stderr)
+
+    near = float(os.environ.get("SIM_NEAR", "8"))
     for w in waves:
         if w == "primary":
             run("primary", o, d, None, False)
+        elif w == "ggx":
+            # engine-shaped bounce: random hemisphere directions at the
+            # hit points (every packet octant-scrambled).  Decides the
+            # engine route: octant sub-slot pool (RADIANCE_EXTRA) in
+            # pixel order vs the element coherence sort.
+            rng = np.random.default_rng(3)
+            dg = rng.normal(size=(n, 3)).astype(np.float32)
+            dg /= np.linalg.norm(dg, axis=-1, keepdims=True)
+            og = np.where(hit[:, None], o + t1[:, None] * d, o)
+            run("ggx/live", og, dg, hit, False)
+            tg = trace_cpu(og, dg)
+            run(f"ggx/cascA{near}", og, dg, hit, False, tmaxf=near)
+            run(f"ggx/cascB{near}", og, dg, hit & (tg >= near), False)
+            # element sort (the engine's argsort path): octant then
+            # origin morton, live first
+            from radiance_tpu.ops import packet_trace
+            key = np.asarray(packet_trace.coherence_key(
+                jnp.asarray(og), jnp.asarray(dg)))
+            key = np.where(hit, key, 2 ** 31 - 1)
+            perm = np.argsort(key, kind="stable")
+            run("ggx/elemsort", og[perm], dg[perm], hit[perm], False)
         elif w == "bounce":
             run("bounce/nolive", o2, d2, None, False)
             run("bounce/live", o2, d2, hit, False)
             run("bounce/live+ps", o2, d2, hit, True)
+            t2 = trace_cpu(np.nan_to_num(o2, nan=1e30), d2)
+            run(f"bounce/cascA{near}", o2, d2, hit, False, tmaxf=near)
+            liveB = hit & (t2 >= near)
+            run(f"bounce/cascB{near}", o2, d2, liveB, False)
         elif w == "shadow":
             run("shadow/live", o2, light, hit, False)
             run("shadow/live+ps", o2, light, hit, True)
+            t3 = trace_cpu(np.nan_to_num(o2, nan=1e30), light)
+            run(f"shadow/cascA{near}", o2, light, hit, False,
+                tmaxf=near)
+            liveB = hit & (t3 >= near)
+            run(f"shadow/cascB{near}", o2, light, liveB, False)
 
 
 if __name__ == "__main__":
