@@ -294,7 +294,7 @@ def main():
         report(tag, nodef, scal, smeta, np.asarray(order),
                None, rows_np, live_np, tmaxf=tmaxf)
 
-    if "bounce" in waves or "shadow" in waves:
+    if {"bounce", "shadow", "ggx"} & set(waves):
         t1 = trace_cpu(o, d)
         hit = t1 < _FMAX
         hp = o + t1[:, None] * d

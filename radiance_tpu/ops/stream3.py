@@ -904,36 +904,46 @@ def _refine3_kernel(slot_pkt, lim_ref, emeta_ref, words_ref, xt_ref,
     ivz = 1.0 / dzr
     pow2b = (1 << jax.lax.broadcasted_iota(i32, (1, 8), 1)).astype(f32)
 
-    def body(i, c):
-        wd = words_ref[r, i]
-        leaf = jnp.maximum((wd >> W_LEAF_SHIFT) - 1, 0)
-        box = aabb_ref[pl.ds(leaf, 1), :]           # (1, 8)
-        tn = jnp.zeros((1, PKT), f32)
-        tf = jnp.full((1, PKT), _FMAX, f32)
+    # 8 words per iteration: the per-word latency chain (word scalar ->
+    # aabb row load -> vector test -> kex round trip -> append) would
+    # otherwise serialize in the fori_loop; batching overlaps 8 aabb
+    # loads and pays ONE vector->scalar round trip per batch
+    def body(j8, c):
+        i0 = j8 * 8
+        wds = [words_ref[r, jnp.minimum(i0 + i, PCAP - 1)]
+               for i in range(8)]
+        leafs = [jnp.maximum((w >> W_LEAF_SHIFT) - 1, 0) for w in wds]
+        boxes = jnp.concatenate(
+            [aabb_ref[pl.ds(lf, 1), :] for lf in leafs], axis=0)
+        tn = jnp.zeros((8, PKT), f32)
+        tf = jnp.full((8, PKT), _FMAX, f32)
         for k, (orow, irow) in enumerate(((oxr, ivx), (oyr, ivy),
                                           (ozr, ivz))):
-            t0 = (box[0:1, k:k + 1] - orow) * irow
-            t1 = (box[0:1, 3 + k:4 + k] - orow) * irow
+            t0 = (boxes[:, k:k + 1] - orow) * irow
+            t1 = (boxes[:, 3 + k:4 + k] - orow) * irow
             tn = jnp.maximum(tn, jnp.minimum(t0, t1))
             tf = jnp.minimum(tf, jnp.maximum(t0, t1))
-        ok = (tf >= jnp.maximum(tn, 0.0)) & (tn < tmax)   # (1, PKT)
-        kex = jnp.zeros((1, 1), f32)
+        ok = (tf >= jnp.maximum(tn, 0.0)) & (tn < tmax)   # (8, PKT)
+        kex = jnp.zeros((8, 1), f32)
         for b in range(8):
             anyb = jnp.max(
                 ok[:, b * BLK:(b + 1) * BLK].astype(f32),
-                axis=1, keepdims=True)              # (1, 1)
+                axis=1, keepdims=True)              # (8, 1)
             kex = kex + anyb * pow2b[0:1, b:b + 1]
-        ptr_s[0:1, 0:1] = kex.astype(i32)
-        km = ((wd >> W_KEEP_SHIFT) & 255) & ptr_s[0, 0]
-        keep = km > 0
-        wd2 = (wd & ~(255 << W_KEEP_SHIFT)) | (km << W_KEEP_SHIFT)
+        ptr_s[0:8, 0:1] = kex.astype(i32)
+        for i in range(8):
+            wd = wds[i]
+            km = ((wd >> W_KEEP_SHIFT) & 255) & ptr_s[i, 0]
+            keep = (km > 0) & (i0 + i < cnt)
+            wd2 = (wd & ~(255 << W_KEEP_SHIFT)) | (km << W_KEEP_SHIFT)
 
-        @pl.when(keep)
-        def _(c=c):
-            words_out[r, c] = wd2
-        return c + keep.astype(i32)
+            @pl.when(keep)
+            def _(c=c, wd2=wd2):
+                words_out[r, c] = wd2
+            c = c + keep.astype(i32)
+        return c
 
-    kept = jax.lax.fori_loop(0, cnt, body, jnp.int32(0))
+    kept = jax.lax.fori_loop(0, (cnt + 7) // 8, body, jnp.int32(0))
     emeta_out[r, 0] = kept
     emeta_out[r, 1] = emeta_ref[r, 1]
     emeta_out[r, 2] = emeta_ref[r, 2]
