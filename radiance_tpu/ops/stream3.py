@@ -502,6 +502,10 @@ def _emit3_kernel(lim_ref, smeta_ref, scal_ref, bscal_ref, nodef_ref,
         word = ((a_f.astype(i32) + 1) << W_LEAF_SHIFT) \
             | (kmask_i << W_KEEP_SHIFT) | tq        # (8, 1) i32
 
+        # a word whose interval keepmask is empty has no phase-2 work;
+        # skipping the append saves the list slot + the DMA
+        emit = emit & (kmask_i > 0)
+
         nxt = jnp.where(is_leaf, esc, jnp.where(box_hit, a_f, esc))
         idx_new = jnp.where(alive, nxt, idxv)       # (8, 1) f32
         ptr_i[:, 0:3] = jnp.concatenate(
@@ -683,6 +687,8 @@ def _emit3t_kernel(lim_ref, smeta_ref, scal_ref, bscal_ref, nodef_ref,
 
         emit88 = (visited > 0.0) & (is_leaf.reshape(G, 8)) \
             & (box_hit.reshape(G, 8))               # (walks, rows)
+        # kmask gating happens after the refine below (empty-keepmask
+        # words carry no phase-2 work; skip their appends)
 
         # per-(row, block) refine
         tn_b = jnp.zeros((G * 8, nsub), f32)
@@ -715,6 +721,7 @@ def _emit3t_kernel(lim_ref, smeta_ref, scal_ref, bscal_ref, nodef_ref,
 
         pw_row = (1 << jax.lax.broadcasted_iota(i32, (G, 8), 1)
                   ).astype(f32)
+        emit88 = emit88 & (kmask.reshape(G, 8) > 0)
         emask_l = jnp.sum(emit88.astype(f32) * pw_row, axis=1,
                           keepdims=True)            # (8, 1)
 
@@ -1184,7 +1191,8 @@ def _isect3_occl_kernel(slot_pkt, lim_ref, emeta_ref, words_ref,
         def _(j=j):
             cp(j, j).start()
 
-    def body(i, _):
+    def body(st):
+        i, _done = st
         wd = word_at(i)
         kmask = (wd >> W_KEEP_SHIFT) & 255
         cp(i, i % S_SLOTS).wait()
@@ -1241,9 +1249,25 @@ def _isect3_occl_kernel(slot_pkt, lim_ref, emeta_ref, words_ref,
         @pl.when(i + S_SLOTS - 1 < cnt)
         def _():
             cp(i + S_SLOTS - 1, (i + S_SLOTS - 1) % S_SLOTS).start()
-        return 0
+        # early exit: when every ray of the packet is occluded, the
+        # rest of the word list is dead weight (shadow lists saturate
+        # after a handful of nearby occluders)
+        allbits = jnp.max(jnp.min(
+            jax.lax.bitcast_convert_type(best_t[:, :], i32), axis=1))
+        return (i + 1, (allbits <= 0).astype(i32))
 
-    jax.lax.fori_loop(0, cnt, body, 0)
+    def cond(st):
+        i, done = st
+        return (i < cnt) & (done == 0)
+
+    ie, _ = jax.lax.while_loop(cond, body, (jnp.int32(0),
+                                            jnp.int32(0)))
+    # drain in-flight copies on early exit (scratch + semaphores are
+    # reused by the next grid step; every started DMA must be waited)
+    for j in range(S_SLOTS - 1):
+        @pl.when(ie + j < jnp.minimum(ie + S_SLOTS - 1, cnt))
+        def _(j=j):
+            cp(ie + j, (ie + j) % S_SLOTS).wait()
 
     pr = jnp.min(best_t[:, :], axis=1, keepdims=True)   # [PKT, 1]
     hitf = (pr < _FMAX).astype(f32)
@@ -1544,21 +1568,29 @@ def trace_rows_stream3(scene, rows_w, tmin, tmax,
            + jnp.arange(BLK, dtype=jnp.int32)[None, :]).reshape(-1)
     smask = jnp.repeat(jnp.repeat(fvalid, nsub), BLK) & (sel < n)
     sel_g = jnp.minimum(sel, n - 1)                 # gather-safe
-    ow = jnp.stack([rows_w[0][sel_g], rows_w[1][sel_g],
-                    rows_w[2][sel_g]], axis=1)
-    dw = jnp.stack([rows_w[3][sel_g], rows_w[4][sel_g],
-                    rows_w[5][sel_g]], axis=1)
-    sub = traversal.trace_rays(scene, ow, dw, tmin, tmax)
 
-    def patch(dst, src_):
-        return dst.at[jnp.where(smask, sel_g, n)].set(src_,
-                                                      mode="drop")
+    def run_residual(rec):
+        ow = jnp.stack([rows_w[0][sel_g], rows_w[1][sel_g],
+                        rows_w[2][sel_g]], axis=1)
+        dw = jnp.stack([rows_w[3][sel_g], rows_w[4][sel_g],
+                        rows_w[5][sel_g]], axis=1)
+        sub = traversal.trace_rays(scene, ow, dw, tmin, tmax)
 
-    rec = HitRecord(t=patch(rec.t, sub.t),
-                    prim=patch(rec.prim, sub.prim),
-                    slot=patch(rec.slot, sub.slot),
-                    b1=patch(rec.b1, sub.b1),
-                    b2=patch(rec.b2, sub.b2))
+        def patch(dst, src_):
+            return dst.at[jnp.where(smask, sel_g, n)].set(src_,
+                                                          mode="drop")
+
+        return HitRecord(t=patch(rec.t, sub.t),
+                         prim=patch(rec.prim, sub.prim),
+                         slot=patch(rec.slot, sub.slot),
+                         b1=patch(rec.b1, sub.b1),
+                         b2=patch(rec.b2, sub.b2))
+
+    # the residual gather + RES_CAP*PKT-ray XLA walk only runs when a
+    # packet actually flagged (lax.cond: a fixed ~8k-ray walk per wave
+    # would otherwise tax every clean wave)
+    rec = jax.lax.cond(jnp.any(fvalid), run_residual, lambda r: r,
+                       rec)
 
     # flags beyond RES_CAP poison their packets to miss
     nflag = jnp.sum((flag > 0).astype(jnp.int32))
