@@ -88,6 +88,11 @@ class DeviceScene:
     kblas: Optional[tuple] = None
     inst_kblas: Optional[tuple] = struct.field(
         pytree_node=False, default=None)
+    # stacked per-unique-BLAS sweep tables + instance index + world
+    # AABBs (ops/stream3_multi.MultiTables.as_tuple): attaching them
+    # makes the TLAS-culled many-instance stream path usable inside
+    # TRACED frames (see stream3_multi.attach_multi_tables)
+    multi: Optional[tuple] = None
 
 META_A_MASK = (1 << 26) - 1
 META_COUNT_SHIFT = 26

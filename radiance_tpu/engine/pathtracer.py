@@ -80,15 +80,21 @@ def _trace_dispatch(scene, o, d, tmin, tmax, *, any_hit_terminate=False,
                 scene, o, d, tmin, tmax, any_hit=any_hit_terminate)
         if packet_trace.supports_multi(scene):
             from radiance_tpu.ops import stream3, stream3_multi
+            many = (stream3_multi.supports(scene)
+                    and len(scene.inst_kblas) > 8)
+            if many and getattr(scene, "multi", None) is not None:
+                # many instances with attached sweep tables
+                # (attach_multi_tables): works under tracing, so the
+                # engine's jitted frames get the TLAS-culled path
+                rows = stream3.rows_from_aos(o, d)
+                return stream3_multi.trace_rows_multi(
+                    scene, scene.multi, rows, tmin, tmax,
+                    occl=any_hit_terminate)
             concrete = not isinstance(scene.inst_inv,
                                       jax.core.Tracer)
-            if (stream3_multi.supports(scene)
-                    and len(scene.inst_kblas) > 8 and concrete):
-                # many instances: TLAS-culled stream sweeps scale with
-                # block/instance overlap, not instance count.  The
-                # stacked tables are host-built, so this path serves
-                # eager callers (bench, scripts); inside a traced
-                # frame the gen-1 sweeps below still apply.
+            if many and concrete:
+                # eager callers without attached tables: host-built
+                # cache keyed by scene object
                 mt = _multi_tables(scene)
                 rows = stream3.rows_from_aos(o, d)
                 return stream3_multi.trace_rows_multi(

@@ -39,13 +39,27 @@ def supports(scene) -> bool:
 
 
 class MultiTables:
-    """Per-instance kernel tables stacked and padded to common shapes
-    (one compiled sweep body serves every instance), plus world-space
-    instance AABBs for the TLAS-level block cull."""
+    """Kernel tables for the instance sweep, stacked per UNIQUE BLAS
+    and padded to common shapes (one compiled sweep body serves every
+    instance; `inst_idx` maps instance slot -> unique entry, so eight
+    copies of one mesh cost one table), plus world-space instance
+    AABBs for the TLAS-level block cull.
+
+    The stacked arrays form a pytree (`as_tuple`) that can ride on
+    DeviceScene.multi (see attach_multi_tables), which lets TRACED
+    frames -- the wavefront engine under jit -- use the TLAS-culled
+    sweep; this host-built class needs a concrete scene."""
+
+    _FIELDS = ("nodef", "kleaf", "kprim", "ktri_geo", "tstart",
+               "inst_idx", "aabb_w")
 
     def __init__(self, scene):
+        uniq = sorted(set(scene.inst_kblas))
+        u_of = {b: i for i, b in enumerate(uniq)}
+        inst_idx = np.asarray([u_of[b] for b in scene.inst_kblas],
+                              np.int32)
         nodefs, kleafs, kprims, geos = [], [], [], []
-        for bi in scene.inst_kblas:
+        for bi in uniq:
             nodef, kleaf, kprim, ktri_geo = scene.kblas[bi]
             nodefs.append(np.asarray(nodef))
             kleafs.append(np.asarray(kleaf))
@@ -54,18 +68,19 @@ class MultiTables:
         nk_max = max(n.shape[0] // 8 for n in nodefs)
         nl_max = max(k.shape[0] for k in kleafs)
         np_max = max(p.shape[0] for p in kprims)
-        ninst = len(nodefs)
+        nuniq = len(nodefs)
+        ninst = len(scene.inst_kblas)
 
-        nodef_s = np.zeros((ninst, 8 * nk_max, 16), np.float32)
+        nodef_s = np.zeros((nuniq, 8 * nk_max, 16), np.float32)
         # pad rows read as dead leaves: esc -1, ntri 0, empty bounds
         nodef_s[:, :, 9] = -1.0
-        kleaf_s = np.zeros((ninst, nl_max) + kleafs[0].shape[1:],
+        kleaf_s = np.zeros((nuniq, nl_max) + kleafs[0].shape[1:],
                            np.float32)
-        kprim_s = np.full((ninst, np_max), -1, np.int32)
-        geo_s = np.zeros((ninst, np_max, 9), np.float32)
-        tstart_s = np.zeros((ninst, 1, 8 * ((nl_max + 7) // 8)),
+        kprim_s = np.full((nuniq, np_max), -1, np.int32)
+        geo_s = np.zeros((nuniq, np_max, 9), np.float32)
+        tstart_s = np.zeros((nuniq, 1, 8 * ((nl_max + 7) // 8)),
                             np.int32)
-        for i in range(ninst):
+        for i in range(nuniq):
             nk = nodefs[i].shape[0] // 8
             oct_rows = nodefs[i].reshape(8, nk, 16)
             nodef_s[i].reshape(8, nk_max, 16)[:, :nk] = oct_rows
@@ -82,6 +97,7 @@ class MultiTables:
         self.kprim = jnp.asarray(kprim_s)
         self.ktri_geo = jnp.asarray(geo_s)
         self.tstart = jnp.asarray(tstart_s)
+        self.inst_idx = jnp.asarray(inst_idx)
         self.ninst = ninst
 
         # world AABB per instance: transform the BLAS root box
@@ -90,7 +106,6 @@ class MultiTables:
         for i, bi in enumerate(scene.inst_kblas):
             root = np.asarray(scene.kblas[bi][0])[0]  # octant-0 root
             lo, hi = root[0:3], root[3:6]
-            corners = np.array([[lo[0], hi[0]]])
             cs = np.stack(np.meshgrid(*[(lo[k], hi[k])
                                         for k in range(3)]),
                           -1).reshape(-1, 3)
@@ -99,6 +114,27 @@ class MultiTables:
             aabbs[i, 0:3] = wc.min(0)
             aabbs[i, 3:6] = wc.max(0)
         self.aabb_w = jnp.asarray(aabbs)
+
+    def as_tuple(self):
+        """Pytree form for DeviceScene.multi (traced-frame support)."""
+        return tuple(getattr(self, f) for f in self._FIELDS)
+
+    @classmethod
+    def from_tuple(cls, tup):
+        mt = cls.__new__(cls)
+        for f, v in zip(cls._FIELDS, tup):
+            setattr(mt, f, v)
+        mt.ninst = tup[5].shape[0]
+        return mt
+
+
+def attach_multi_tables(scene):
+    """Return a copy of `scene` with the stacked sweep tables attached
+    as a pytree field, enabling the TLAS-culled many-instance path
+    inside traced frames (the engine under jit).  Requires a concrete
+    scene (host build)."""
+    import dataclasses as _dc
+    return _dc.replace(scene, multi=MultiTables(scene).as_tuple())
 
 
 def _block_overlap(rows_w, aabb_w, tmin, tmax, live=None):
@@ -130,7 +166,7 @@ def _block_overlap(rows_w, aabb_w, tmin, tmax, live=None):
     return (tf >= jnp.maximum(tn, 0.0)) & (tn < tmax)
 
 
-def trace_rows_multi(scene, mt: MultiTables, rows_w, tmin, tmax,
+def trace_rows_multi(scene, mt, rows_w, tmin, tmax,
                      precision: str = "default", bcap_blocks=None,
                      interpret=None, live=None,
                      occl: bool = False) -> HitRecord:
@@ -142,6 +178,8 @@ def trace_rows_multi(scene, mt: MultiTables, rows_w, tmin, tmax,
     conservatively to a full-wave... they are simply truncated --
     callers size bcap for their scene, and the returned `slot` of -2
     marks rays whose block overflowed some instance's list)."""
+    if isinstance(mt, tuple):
+        mt = MultiTables.from_tuple(mt)
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     n = rows_w[0].shape[0]
@@ -188,8 +226,12 @@ def trace_rows_multi(scene, mt: MultiTables, rows_w, tmin, tmax,
              jnp.zeros(npad, bool))      # truncation poison mask
 
     def sweep(best, xs):
-        (slot_i, nodef_i, kleaf_i, kprim_i, geo_i, tstart_i, inv_i,
-         blist) = xs
+        (slot_i, idx_i, inv_i, blist) = xs
+        nodef_i = mt.nodef[idx_i]
+        kleaf_i = mt.kleaf[idx_i]
+        kprim_i = mt.kprim[idx_i]
+        geo_i = mt.ktri_geo[idx_i]
+        tstart_i = mt.tstart[idx_i]
         # gather the instance's active blocks into a compact sub-wave
         gsel = (jnp.minimum(blist, nblk - 1)[:, None] * BLK
                 + jnp.arange(BLK, dtype=jnp.int32)[None, :]).reshape(-1)
@@ -230,9 +272,8 @@ def trace_rows_multi(scene, mt: MultiTables, rows_w, tmin, tmax,
             True, mode="drop")
         return (bt, bp, bs, b1, b2, bbad), None
 
-    xs = (jnp.arange(mt.ninst, dtype=jnp.int32), mt.nodef, mt.kleaf,
-          mt.kprim, mt.ktri_geo, mt.tstart, scene.inst_inv[:mt.ninst],
-          lists)
+    xs = (jnp.arange(mt.ninst, dtype=jnp.int32), mt.inst_idx,
+          scene.inst_inv[:mt.ninst], lists)
     (bt, bp, bs, b1, b2, bbad), _ = jax.lax.scan(sweep, best0, xs)
     hit = bt < FLT_MAX
     rec = HitRecord(

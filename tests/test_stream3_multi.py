@@ -119,3 +119,57 @@ def test_multi_live_mask_and_occlusion():
     to = np.asarray(occ.t)
     ok2 = live & (np.asarray(occ.slot) != -2)
     assert ((to[ok2] < FLT_MAX) == hr[ok2]).all()
+
+
+def test_multi_tables_dedup_and_traced_frame():
+    """MultiTables stack per UNIQUE BLAS (copies share one table), the
+    pytree form rides on DeviceScene.multi, and trace_rows_multi works
+    UNDER JIT with the attached tables (the engine's traced frames)."""
+    import jax
+    from radiance_tpu.ops.intersect import FLT_MAX
+
+    # two instances of the SAME blas + one distinct -> 2 unique tables
+    rng = np.random.default_rng(4)
+    def blas_of(seed, tris=90):
+        r = np.random.default_rng(seed)
+        centers = r.uniform(-2, 2, size=(tris, 3)).astype(np.float32)
+        offs = r.normal(scale=0.3, size=(tris, 3, 3)).astype(np.float32)
+        verts = (centers[:, None, :] + offs).reshape(-1, 3)
+        t = np.arange(len(verts), dtype=np.uint32).reshape(-1, 3)
+        return accel.BuildBottomAccelStruct(types.Mesh(verts, t))
+
+    b0, b1 = blas_of(1), blas_of(2)
+    instances = []
+    for i, (b, x) in enumerate(((b0, -6.0), (b0, 6.0), (b1, 0.0))):
+        tf = np.eye(4, dtype=np.float32)
+        tf[0, 3] = x
+        instances.append(types.Instance(tf, 0, i, b))
+    ds = accel.BuildTopAccelStruct(instances).device_scene()
+    mt = stream3_multi.MultiTables(ds)
+    assert mt.nodef.shape[0] == 2           # unique BLAS count
+    assert mt.inst_idx.shape[0] == 3
+
+    ds2 = stream3_multi.attach_multi_tables(ds)
+    assert ds2.multi is not None
+
+    n = 1024
+    o = rng.uniform(-10, 10, (n, 3)).astype(np.float32)
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    oj, dj = jnp.asarray(o), jnp.asarray(d)
+    ref = traversal.trace_rays(ds, oj, dj, 1e-3, 1e3)
+
+    @jax.jit
+    def traced(scene, o, d):
+        rows = stream3.rows_from_aos(o, d)
+        return stream3_multi.trace_rows_multi(
+            scene, scene.multi, rows, 1e-3, 1e3, interpret=True)
+
+    got = traced(ds2, oj, dj)
+    ok = np.asarray(got.slot) != -2
+    t_ref, t_got = np.asarray(ref.t), np.asarray(got.t)
+    hr, hg = t_ref < FLT_MAX, t_got < FLT_MAX
+    assert (hr[ok] == hg[ok]).all()
+    both = hr & hg & ok
+    np.testing.assert_allclose(t_got[both], t_ref[both], rtol=2e-3,
+                               atol=1e-4)
