@@ -404,6 +404,28 @@ class WavefrontPathTracer:
     # with no semantic difference -- the running average composes exactly.
     max_batch_per_dispatch: int = 8
 
+    _ATTACHED = {}
+
+    def _maybe_attach_multi(self, scene):
+        """Attach the stacked sweep tables to many-instance scenes once
+        (host side, concrete), so the jitted frames inside render() can
+        use the TLAS-culled stream path instead of per-instance
+        sweeps."""
+        if getattr(scene, "multi", None) is not None:
+            return scene
+        from radiance_tpu.ops import stream3_multi
+        if (jax.default_backend() == "tpu"
+                and stream3_multi.supports(scene)
+                and scene.inst_kblas is not None
+                and len(scene.inst_kblas) > 8):
+            key = id(scene.kblas)
+            cached = self._ATTACHED.get(key)
+            if cached is None:
+                cached = stream3_multi.attach_multi_tables(scene)
+                self._ATTACHED[key] = cached
+            return cached
+        return scene
+
     def render(self, scene: DeviceScene, resources: Dict, accum,
                total_samples: int, width: int, height: int,
                *, batch: int, depth: int, debug: int = 0,
@@ -413,6 +435,7 @@ class WavefrontPathTracer:
         The reference host loop updates totalSamples += batchSize between
         frames (sample1.cpp:479-490); callers own that counter.
         """
+        scene = self._maybe_attach_multi(scene)
         n = width * height
         pixel_index = jnp.arange(n, dtype=jnp.int32)
         remaining = int(batch)

@@ -173,3 +173,20 @@ def test_multi_tables_dedup_and_traced_frame():
     both = hr & hg & ok
     np.testing.assert_allclose(t_got[both], t_ref[both], rtol=2e-3,
                                atol=1e-4)
+
+
+def test_engine_auto_attach_multi(monkeypatch):
+    """render()'s lazy attach: >8-instance scenes with kernel tables
+    get the sweep tables attached once (cached by BLAS identity)."""
+    import jax
+    from radiance_tpu.engine.pathtracer import WavefrontPathTracer
+
+    ds = _multi_scene(n_inst=9, tris_per=40, seed=6)
+    assert stream3_multi.supports(ds)
+    tracer = WavefrontPathTracer.__new__(WavefrontPathTracer)
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    out = tracer._maybe_attach_multi(ds)
+    assert out.multi is not None
+    out2 = tracer._maybe_attach_multi(ds)
+    assert out2 is out                      # cached
+    assert tracer._maybe_attach_multi(out) is out
