@@ -50,8 +50,10 @@ def walk_all_slots(nodef, scal, smeta, tmaxf, step_cap):
     idx = np.where(alive0, 0, -1).astype(np.int64)
     steps = np.zeros(nslot, np.int64)
     emits = np.zeros(nslot, np.int64)
-    twins = np.zeros(nslot, np.int64)    # treelet window entries
+    twins = np.zeros(nslot, np.int64)    # treelet window entries (8)
+    twins16 = np.zeros(nslot, np.int64)  # 16-row window entries
     prev_win = np.full(nslot, -1, np.int64)
+    prev_win16 = np.full(nslot, -1, np.int64)
     em_slot, em_row, em_tn = [], [], []
 
     live = idx >= 0
@@ -91,6 +93,10 @@ def walk_all_slots(nodef, scal, smeta, tmaxf, step_cap):
         new_win = live & (win != prev_win)
         twins[new_win] += 1
         prev_win = np.where(live, win, prev_win)
+        win16 = np.maximum(idx, 0) // 16
+        new16 = live & (win16 != prev_win16)
+        twins16[new16] += 1
+        prev_win16 = np.where(live, win16, prev_win16)
 
         nxt = np.where(is_leaf, esc, np.where(box_hit, a_f, esc))
         idx = np.where(live, nxt.astype(np.int64), idx)
@@ -101,7 +107,7 @@ def walk_all_slots(nodef, scal, smeta, tmaxf, step_cap):
               np.concatenate(em_tn))
     else:
         em = (np.zeros(0, np.int64),) * 3
-    return steps, emits, capped, twins, em
+    return steps, emits, capped, (twins, twins16), em
 
 
 def pair_counts(nodef, em_slot, em_row, slot_pkt, rows_np, live_np,
@@ -189,14 +195,15 @@ def report(tag, nodef, scal, smeta, order, slot_pkt_sorted, rows_np,
            live_np, step_cap=2048, tmaxf=1e4):
     scal = np.asarray(scal)
     smeta = np.asarray(smeta)
-    steps, emits, capped, twins, (es, er, etn) = walk_all_slots(
-        nodef, scal, smeta, tmaxf, step_cap)
+    steps, emits, capped, (twins, twins16), (es, er, etn) = \
+        walk_all_slots(nodef, scal, smeta, tmaxf, step_cap)
     alive = smeta[:, 1] > 0
     nslot = scal.shape[0]
     # slots are already in score order; lockstep cost = sum of group max
     g = steps.reshape(-1, 8)
     iters = int(g.max(1).sum())
     t_iters = int(np.ceil(twins.reshape(-1, 8).max(1)).sum())
+    t16_iters = int(np.ceil(twins16.reshape(-1, 8).max(1)).sum())
     pc = pair_counts(nodef, es, er, smeta[:, 0].astype(np.int64),
                      rows_np, live_np, tmaxf)
     em_per = emits[alive]
@@ -207,6 +214,7 @@ def report(tag, nodef, scal, smeta, order, slot_pkt_sorted, rows_np,
         "emit_est_ms": round(iters * EMIT_US / 1e3, 1),
         "treelet_group_iters": t_iters,
         "treelet_est_ms": round(t_iters * EMIT_US / 1e3, 1),
+        "treelet16_group_iters": t16_iters,
         "capped_frac": round(float(capped[alive].mean()), 4)
         if alive.any() else 0.0,
         "pcap_over_frac": round(float((em_per > 1024).mean()), 4)
