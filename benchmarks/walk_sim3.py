@@ -202,6 +202,7 @@ def report(tag, nodef, scal, smeta, order, slot_pkt_sorted, rows_np,
     # slots are already in score order; lockstep cost = sum of group max
     g = steps.reshape(-1, 8)
     iters = int(g.max(1).sum())
+    balance = iters / max(steps.sum() / 8.0, 1.0)
     t_iters = int(np.ceil(twins.reshape(-1, 8).max(1)).sum())
     t16_iters = int(np.ceil(twins16.reshape(-1, 8).max(1)).sum())
     pc = pair_counts(nodef, es, er, smeta[:, 0].astype(np.int64),
@@ -212,6 +213,7 @@ def report(tag, nodef, scal, smeta, order, slot_pkt_sorted, rows_np,
         "slots_alive": int(alive.sum()),
         "emit_group_iters": iters,
         "emit_est_ms": round(iters * EMIT_US / 1e3, 1),
+        "emit_balance": round(balance, 2),
         "treelet_group_iters": t_iters,
         "treelet_est_ms": round(t_iters * EMIT_US / 1e3, 1),
         "treelet16_group_iters": t16_iters,
