@@ -143,9 +143,21 @@ def compile_refine():
     return aot_compile(fn, words, emeta, slot_pkt, feats_t, aabb8, lim)
 
 
+def compile_emit_ws():
+    from radiance_tpu.ops import stream3 as s3
+    lim, scal, smeta, bscal, nodef = emit_args()
+
+    def fn(lim, scal, smeta, bscal, nodef):
+        return s3._stage_emit_ws(lim, scal, smeta, bscal, nodef,
+                                 interpret=False)
+
+    return aot_compile(fn, lim, scal, smeta, bscal, nodef)
+
+
 TARGETS = {
     "emit": lambda: compile_emit(False),
     "emit-treelet": lambda: compile_emit(True),
+    "emit-ws": compile_emit_ws,
     "isect": compile_isect,
     "isect-occl": compile_isect_occl,
     "refine": compile_refine,

@@ -817,6 +817,287 @@ def _stage_emit(lim, scal, smeta, bscal, nodef, *, interpret: bool,
     )(lim, smeta, scal, bscal, nodef)
 
 
+def _emit3ws_kernel(lim_ref, meta_ref, scal_ref, bscal_ref, nodef_ref,
+                    words_ref, emeta_ref,
+                    ptr_i, pk_s, bs_s, wbuf_ref, st_ref, cur_ref,
+                    *, salt: int = 0, nlanes: int = 32, nslot: int = 0):
+    """Work-stealing emit walk.
+
+    The lockstep kernel (_emit3_kernel) runs fixed groups of G=8 walks
+    until ALL eight retire: per-8-group iterations measured 2.44x the
+    per-slot mean on the bench wave, and even oracle-sorted groups stay
+    at 1.97x -- the waste is intrinsic walk-length variance inside each
+    group (docs/raystream-design.md, lockstep balance).  Here the eight
+    walk rows instead pull slots from a GLOBAL cursor: whenever a row's
+    walk retires, its word list is copied into the next free output row
+    of the current grid step and the row immediately refills with the
+    next unclaimed slot, so rows idle only in the final tail.
+
+    Mechanics (all previously-validated Mosaic patterns; nothing new):
+      * per-row walk state persists across grid steps in SMEM scratch
+        (st_ref lanes: 0 slot, 1 node idx, 2 words, 3 table base,
+        4 steps-in-slot; slot/idx == -1 means idle), frustum scalars in
+        VMEM scratch rows refilled by dynamic-source/static-destination
+        vector copies;
+      * appends go to the row's SMEM buffer (wbuf_ref) exactly like the
+        lockstep kernel's predicated scalar stores;
+      * at retire, the list is copied scalar-wise into the step's
+        output block row q (mean list ~50 words, so the copy is ~100
+        cycles against a multi-thousand-cycle walk) and emeta lane 5
+        records WHICH slot that row holds -- downstream stages consume
+        the permutation through their existing slot_pkt scalar
+        prefetch, so no wave-sized reorder exists anywhere;
+      * each grid step retires exactly G slots (while cond: q < G);
+        total retires == nslot == ngrp * G, so the final step drains
+        the tail and no output row is left unwritten.
+
+    Step-cap semantics differ from the lockstep kernel deliberately:
+    the cap is per SLOT (st lane 4), not per group, which only ever
+    flags FEWER packets for the residual re-walk.
+    """
+    f32, i32 = jnp.float32, jnp.int32
+    i = pl.program_id(0)
+    tmax = lim_ref[0, 1]
+    nsub = nlanes
+
+    @pl.when(i == 0)
+    def _():
+        cur_ref[0, 0] = jnp.int32(0)      # global slot cursor
+        cur_ref[0, 1] = jnp.int32(0)      # global iteration counter
+        for w in range(G):
+            st_ref[w, 0] = jnp.int32(-1)
+            st_ref[w, 1] = jnp.int32(-1)
+            st_ref[w, 2] = jnp.int32(0)
+            st_ref[w, 3] = jnp.int32(0)
+            st_ref[w, 4] = jnp.int32(0)
+
+    pow2 = jnp.broadcast_to(
+        (1 << jax.lax.broadcasted_iota(i32, (1, 8), 1)
+         ).astype(f32), (G, 8))
+
+    def body(q):
+        # ---- retire finished rows into output rows q.. (q < G) ----
+        for w in range(G):
+            s = st_ref[w, 0]
+            idx = st_ref[w, 1]
+            capped = (st_ref[w, 4] >= STEP_CAP) & (idx >= 0)
+            done = (s >= 0) & ((idx < 0) | capped) & (q < G)
+            cnt = st_ref[w, 2]
+            ncopy = jnp.where(done, jnp.minimum(cnt, PCAP), 0)
+            qd = jnp.where(done, q, 0)
+
+            def cp(j, _, w=w, qd=qd):
+                words_ref[qd, j] = wbuf_ref[w, j]
+                return 0
+            jax.lax.fori_loop(0, ncopy, cp, 0)
+
+            @pl.when(done)
+            def _(w=w, q=q, s=s, cnt=cnt, capped=capped):
+                emeta_ref[q, 0] = cnt
+                emeta_ref[q, 1] = capped.astype(i32)
+                emeta_ref[q, 2] = cur_ref[0, 1]
+                emeta_ref[q, 3] = jnp.int32(salt)
+                emeta_ref[q, 4] = jnp.int32(0)
+                emeta_ref[q, 5] = s
+                emeta_ref[q, 6] = jnp.int32(0)
+                emeta_ref[q, 7] = jnp.int32(0)
+                st_ref[w, 0] = jnp.int32(-1)
+                st_ref[w, 1] = jnp.int32(-1)
+            q = q + done.astype(i32)
+
+        # ---- refill idle rows from the global cursor ----
+        for w in range(G):
+            c = cur_ref[0, 0]
+            grab = (st_ref[w, 0] < 0) & (c < nslot)
+
+            @pl.when(grab)
+            def _(w=w, c=c):
+                # meta is flat-packed 128 lanes/row (SMEM windows pad
+                # the minor dim to 128 lanes; a [nslot, 2] window
+                # would blow the 1 MB SMEM budget)
+                m0 = meta_ref[(2 * c) // 128, (2 * c) % 128]
+                alive = m0 & 1
+                pkt = m0 >> 1
+                st_ref[w, 0] = c
+                st_ref[w, 1] = jnp.where(alive > 0, 0, -1)
+                st_ref[w, 2] = jnp.int32(0)
+                st_ref[w, 3] = meta_ref[(2 * c + 1) // 128,
+                                        (2 * c + 1) % 128]
+                st_ref[w, 4] = jnp.int32(0)
+                pk_s[w:w + 1, :] = scal_ref[pl.ds(c, 1), :]
+                bs_s[w * nsub:(w + 1) * nsub, :] = \
+                    bscal_ref[pl.ds(pkt * nsub, nsub), :]
+                cur_ref[0, 0] = c + 1
+
+        # ---- one walk iteration over the 8 rows (math identical to
+        # _emit3_kernel; scalars/frusta read from the refillable
+        # scratch instead of per-group input blocks) ----
+        idxs = [st_ref[w, 1] for w in range(G)]
+        rows_i = [st_ref[w, 3] + jnp.maximum(idxs[w], 0)
+                  for w in range(G)]
+        tile = jnp.concatenate(
+            [nodef_ref[pl.ds(rows_i[w], 1), :] for w in range(G)],
+            axis=0)                                 # (8, 16)
+        idxv = jnp.concatenate(
+            [jnp.full((1, 1), jnp.where(idxs[w] >= 0, 0.0, -1.0), f32)
+             for w in range(G)], axis=0)
+        alive = idxv >= 0.0                         # (8, 1)
+        a_f = tile[:, 8:9]
+        esc = tile[:, 9:10]
+        ntri = tile[:, 10:11]
+        is_leaf = ntri > 0.0
+
+        pk = pk_s[:, :]                             # (8, 16)
+        sgn = pk[:, 0:3]
+        olo = pk[:, 3:6]
+        ohi = pk[:, 6:9]
+        ilo = pk[:, 9:12]
+        ihi = pk[:, 12:15]
+        mixed = sgn == 0.0
+        b32 = bs_s[:, :]                            # (G*nsub, 16)
+
+        def col(k):
+            return b32[:, k:k + 1].reshape(G, nsub)
+
+        tn = jnp.zeros((G, 1), f32)
+        tf = jnp.full((G, 1), tmax, f32)
+        for k in range(3):
+            bmn = tile[:, k:k + 1]
+            bmx = tile[:, 3 + k:4 + k]
+            sk = sgn[:, k:k + 1]
+            m0 = sk * bmn
+            m1 = sk * bmx
+            near = jnp.minimum(m0, m1)
+            far = jnp.maximum(m0, m1)
+            lo = near - ohi[:, k:k + 1]
+            hi = far - olo[:, k:k + 1]
+            tnk = lo * jnp.where(lo >= 0.0, ilo[:, k:k + 1],
+                                 ihi[:, k:k + 1])
+            tfk = hi * jnp.where(hi >= 0.0, ihi[:, k:k + 1],
+                                 ilo[:, k:k + 1])
+            mk = mixed[:, k:k + 1]
+            tn = jnp.maximum(tn, jnp.where(mk, 0.0, tnk))
+            tf = jnp.minimum(tf, jnp.where(mk, _FMAX, tfk))
+        box_hit = (tf >= tn) & (tn < tmax)
+        emit = alive & is_leaf & box_hit            # (8, 1)
+
+        tn_b = jnp.zeros((G, nsub), f32)
+        tf_b = jnp.full((G, nsub), _FMAX, f32)
+        for k in range(3):
+            bsgn = col(k)
+            bmn = jnp.broadcast_to(tile[:, k:k + 1], (G, nsub))
+            bmx = jnp.broadcast_to(tile[:, 3 + k:4 + k], (G, nsub))
+            m0 = bsgn * bmn
+            m1 = bsgn * bmx
+            near = jnp.minimum(m0, m1)
+            far = jnp.maximum(m0, m1)
+            lo = near - col(6 + k)
+            hi = far - col(3 + k)
+            tnk = lo * jnp.where(lo >= 0.0, col(9 + k), col(12 + k))
+            tfk = hi * jnp.where(hi >= 0.0, col(12 + k), col(9 + k))
+            bmx_m = bsgn == 0.0
+            tn_b = jnp.maximum(tn_b, jnp.where(bmx_m, 0.0, tnk))
+            tf_b = jnp.minimum(tf_b, jnp.where(bmx_m, _FMAX, tfk))
+        keep32 = (tf_b >= tn_b) & (tn_b < tmax)     # (8, nlanes)
+        keep = keep32[:, 0:8]
+        for sx in range(1, nsub // 8):
+            keep = keep | keep32[:, sx * 8:(sx + 1) * 8]
+        kmask = jnp.sum(jnp.where(keep, pow2, 0.0), axis=1,
+                        keepdims=True)
+        kmask_i = kmask.astype(i32)
+
+        tnc = jnp.maximum(tn, 0.0)
+        tq = jnp.clip(
+            (jax.lax.bitcast_convert_type(tnc, i32) >> 18) - TQ_BIAS,
+            0, 511)
+        word = ((a_f.astype(i32) + 1) << W_LEAF_SHIFT) \
+            | (kmask_i << W_KEEP_SHIFT) | tq
+        emit = emit & (kmask_i > 0)
+
+        nxt = jnp.where(is_leaf, esc, jnp.where(box_hit, a_f, esc))
+        idx_new = jnp.where(alive, nxt, idxv)
+        ptr_i[:, 0:3] = jnp.concatenate(
+            [idx_new.astype(i32), emit.astype(i32), word], axis=1)
+
+        for w in range(G):
+            em = ptr_i[w, 1]
+            cw = st_ref[w, 2]
+
+            @pl.when((em > 0) & (cw < PCAP))
+            def _(w=w, cw=cw):
+                wbuf_ref[w, cw] = ptr_i[w, 2]
+            st_ref[w, 1] = ptr_i[w, 0]
+            st_ref[w, 2] = cw + em
+            st_ref[w, 4] = st_ref[w, 4] + 1
+        cur_ref[0, 1] = cur_ref[0, 1] + 1
+        return q
+
+    jax.lax.while_loop(lambda q: q < G, body, jnp.int32(0))
+
+
+def _stage_emit_ws(lim, scal, smeta, bscal, nodef, *, interpret: bool,
+                   salt: int = 0):
+    """Work-stealing emit.  Same (words, emeta) contract as
+    _stage_emit except rows are in slot-RETIRE order: emeta lane 5
+    holds the (sorted-space) slot index each row belongs to.  Callers
+    thread the permutation through slot_pkt / the glue reorder."""
+    nslot = scal.shape[0]
+    assert nslot % G == 0, nslot
+    ngrp = nslot // G
+    nlanes = 8 * (BLK // REFINE_SUB)
+    # per-slot scalars the refill reads from SMEM, flat-packed into
+    # full 128-lane rows (SMEM pads the minor dim to 128 lanes):
+    # element 2s = alive|pkt<<1, element 2s+1 = node-table base row
+    meta_flat = jnp.stack([(smeta[:, 1] & 1) | (smeta[:, 0] << 1),
+                           smeta[:, 2]], axis=1).reshape(-1)
+    mrows = (2 * nslot + 127) // 128
+    meta = jnp.zeros(mrows * 128, jnp.int32).at[:2 * nslot].set(
+        meta_flat).reshape(mrows, 128)
+    return pl.pallas_call(
+        functools.partial(_emit3ws_kernel, salt=salt, nlanes=nlanes,
+                          nslot=nslot),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=0,
+            grid=(ngrp,),
+            in_specs=[
+                pl.BlockSpec((1, 2), lambda i: (0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((mrows, 128), lambda i: (0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((nslot, 16), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(bscal.shape, lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(nodef.shape, lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((G, PCAP), lambda i: (i, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((G, 8), lambda i: (i, 0),
+                             memory_space=pltpu.SMEM),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((G, 128), jnp.int32),          # ptr trip
+                pltpu.VMEM((G, 16), jnp.float32),         # pk_s
+                pltpu.VMEM((G * nlanes, 16), jnp.float32),  # bs_s
+                pltpu.SMEM((G, PCAP), jnp.int32),         # wbuf
+                pltpu.SMEM((G, 8), jnp.int32),            # st
+                pltpu.SMEM((1, 8), jnp.int32),            # cursor/iters
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((nslot, PCAP), jnp.int32),
+            jax.ShapeDtypeStruct((nslot, 8), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True,
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=112 * 1024 * 1024),
+        interpret=interpret,
+    )(lim, meta, scal, bscal, nodef)
+
+
 # ---------------------------------------------------- wave transpose
 
 def _transpose_kernel(xt_ref, xm_ref):
@@ -1404,7 +1685,7 @@ def _run(rows_w, tmin, tmax, nodef, kleaf_k, kprim, ktri_geo, inv0,
          tstart, *, precision: str, interpret: bool, raw: bool = False,
          orient: str = "major", treelet: bool = False,
          presort: bool = False, with_diag: bool = False, live=None,
-         occl: bool = False, exact_refine=None):
+         occl: bool = False, exact_refine=None, ws=None):
     """Full v6 pipeline on world-space component rows.  Returns a
     HitRecord (+ diagnostics when with_diag): packets flagged in
     diag['pkt_flag'] were truncated (step cap / word overflow) and
@@ -1428,9 +1709,24 @@ def _run(rows_w, tmin, tmax, nodef, kleaf_k, kprim, ktri_geo, inv0,
     rows, feats_t, scal, smeta, bscal, lim, pool_of, order = \
         _stage_prep(rows_w, tmin, tmax, nodef, inv0, live=live)
     npk = rows[0].shape[0] // PKT
-    words, emeta = _stage_emit(lim, scal, smeta, bscal, nodef,
-                               interpret=interpret, treelet=treelet)
-    slot_pkt = smeta[:, 0]
+    if ws is None:
+        ws = os.environ.get("RADIANCE_WS", "0") == "1"
+    ws = ws and not treelet       # the stealing walk is the plain walk
+    if ws:
+        words, emeta = _stage_emit_ws(lim, scal, smeta, bscal, nodef,
+                                      interpret=interpret)
+        # rows are in slot-retire order; lane 5 maps row -> sorted slot
+        rowslot = emeta[:, 5]
+        row_of = jnp.zeros_like(rowslot).at[rowslot].set(
+            jnp.arange(rowslot.shape[0], dtype=jnp.int32))
+        slot_pkt = smeta[rowslot, 0]
+        emeta_sorted = emeta[row_of]
+    else:
+        words, emeta = _stage_emit(lim, scal, smeta, bscal, nodef,
+                                   interpret=interpret, treelet=treelet)
+        row_of = None
+        slot_pkt = smeta[:, 0]
+        emeta_sorted = emeta
     words_i, emeta_i = words, emeta
     if exact_refine is None:
         # occlusion waves skip the refine: words arrive ~front-to-back
@@ -1464,7 +1760,9 @@ def _run(rows_w, tmin, tmax, nodef, kleaf_k, kprim, ktri_geo, inv0,
     # the glue's fold stays a tiny extras-only row scatter
     inv_order = jnp.zeros_like(order).at[order].set(
         jnp.arange(order.shape[0], dtype=jnp.int32))
-    out_u = out_s[inv_order]
+    # storage slot -> sorted position (-> retire row under ws): one
+    # composed row gather either way
+    out_u = out_s[row_of[inv_order] if ws else inv_order]
     smeta_u = jnp.zeros_like(smeta).at[order].set(smeta)
     npad2 = rows[0].shape[0]
     rec = _stage_glue(out_u, smeta_u, npk, tmin, tmax, npad2)
@@ -1480,7 +1778,8 @@ def _run(rows_w, tmin, tmax, nodef, kleaf_k, kprim, ktri_geo, inv0,
     rec = HitRecord(t=rec.t[:n], prim=rec.prim[:n], slot=rec.slot[:n],
                     b1=rec.b1[:n], b2=rec.b2[:n])
     alive = smeta[:, 1] > 0
-    trunc = alive & ((emeta[:, 1] > 0) | (emeta[:, 0] > PCAP))
+    trunc = alive & ((emeta_sorted[:, 1] > 0)
+                     | (emeta_sorted[:, 0] > PCAP))
     pkt_flag = jnp.maximum(
         pool_of,
         jnp.zeros(npk, jnp.int32).at[smeta[:, 0]].max(
@@ -1491,14 +1790,18 @@ def _run(rows_w, tmin, tmax, nodef, kleaf_k, kprim, ktri_geo, inv0,
         blk_perm = (jnp.zeros(nb, jnp.int32).at[inv_blk].set(
             jnp.arange(nb, dtype=jnp.int32)) if presort
             else jnp.arange(nb, dtype=jnp.int32))
+        alive_rows = alive[rowslot] if ws else alive
         diag = {"pkt_flag": pkt_flag,    # in SORTED packet space
                 "blk_perm": blk_perm,    # sorted block -> caller block
                 "words": jnp.sum(jnp.minimum(emeta[:, 0], PCAP)
-                                 * alive),
+                                 * alive_rows),
                 "kept_words": jnp.sum(
-                    jnp.minimum(emeta_i[:, 0], PCAP) * alive),
-                "steps": jnp.sum(emeta[::G, 2]),
-                "capped": jnp.sum((emeta[:, 1] > 0) & alive)}
+                    jnp.minimum(emeta_i[:, 0], PCAP) * alive_rows),
+                # ws: lane 2 is a cumulative iteration counter stamped
+                # at retire -> the max is the total walk iterations
+                "steps": (jnp.max(emeta[:, 2]) if ws
+                          else jnp.sum(emeta[::G, 2])),
+                "capped": jnp.sum((emeta_sorted[:, 1] > 0) & alive)}
         return rec, diag
     return rec
 

@@ -497,3 +497,84 @@ def test_stream3_cascade_matches_full_trace():
                                         live=live, occl=True)
     assert ((np.asarray(casc_o.t) < FLT_MAX)
             == (np.asarray(full_o.t) < FLT_MAX)).all()
+
+
+def test_stream3_ws_emit_matches_plain():
+    """The work-stealing emit must produce, per slot, the exact word
+    list and count of the lockstep kernel -- rows arrive in retire
+    order with emeta lane 5 carrying the slot permutation."""
+    ds = _single_instance_scene(n_tris=400, seed=21)
+    rng = np.random.default_rng(7)
+    o, d = gen_rays(rng, stream3.G * stream3.PKT, spread=8.0)
+    rows_w = stream3.rows_from_aos(jnp.asarray(o), jnp.asarray(d))
+    _, _, scal, smeta, bscal, lim, _, _ = stream3._stage_prep(
+        rows_w, 1e-3, 1e3, ds.knode_f, ds.inst_inv[0])
+    wp, ep = stream3._stage_emit(lim, scal, smeta, bscal, ds.knode_f,
+                                 interpret=True)
+    ww, ew = stream3._stage_emit_ws(lim, scal, smeta, bscal,
+                                    ds.knode_f, interpret=True)
+    wp, ep, ww, ew = (np.asarray(a) for a in (wp, ep, ww, ew))
+    rowslot = ew[:, 5]
+    # lane 5 is a permutation of the slot space
+    assert sorted(rowslot.tolist()) == list(range(len(rowslot)))
+    some_words = 0
+    for row, s in enumerate(rowslot):
+        assert ew[row, 0] == ep[s, 0], (row, s)
+        assert ew[row, 1] == 0 and ep[s, 1] == 0
+        cnt = min(ep[s, 0], stream3.PCAP)
+        some_words += cnt
+        np.testing.assert_array_equal(ww[row, :cnt], wp[s, :cnt])
+    assert some_words > 0        # the wave emitted real work
+
+
+def test_stream3_ws_end_to_end_matches_plain():
+    """ws=True must be bit-identical to ws=False end to end (identical
+    per-slot word lists; phase 2 is per-slot independent; the glue
+    reorder composes the retire permutation)."""
+    ds = _single_instance_scene(n_tris=400, seed=21)
+    rng = np.random.default_rng(5)
+    o, d = gen_rays(rng, 2048, spread=8.0)
+    o, d = jnp.asarray(o), jnp.asarray(d)
+    rows_w = stream3.rows_from_aos(o, d)
+    tstart, _ = stream3.leaf_tables(ds.knode_f, ds.kleaf.shape[0])
+    args = (rows_w, 1e-3, 1e3, ds.knode_f, ds.kleaf, ds.kprim,
+            ds.ktri_geo, ds.inst_inv[0], tstart)
+    for occl in (False, True):
+        rec_p = stream3._run(*args, precision="f32", interpret=True,
+                             occl=occl, ws=False)
+        rec_w = stream3._run(*args, precision="f32", interpret=True,
+                             occl=occl, ws=True)
+        for f in ("t", "prim", "b1", "b2"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(rec_p, f)),
+                np.asarray(getattr(rec_w, f)), err_msg=f)
+    # and it must agree with the oracle like the plain path does
+    ref = traversal.trace_rays(ds, o, d, 1e-3, 1e3)
+    _agree(ref, stream3._run(*args, precision="f32", interpret=True,
+                             ws=True))
+
+
+def test_stream3_ws_live_mask_and_diag():
+    """ws with a live mask: masked-dead lanes keep tight frusta and
+    the diag word/step counters stay populated."""
+    ds = _single_instance_scene(n_tris=400, seed=9)
+    rng = np.random.default_rng(11)
+    o, d = gen_rays(rng, 2 * stream3.PKT, spread=8.0)
+    live = jnp.asarray(rng.uniform(size=2 * stream3.PKT) < 0.5)
+    o, d = jnp.asarray(o), jnp.asarray(d)
+    rows_w = stream3.rows_from_aos(o, d)
+    tstart, _ = stream3.leaf_tables(ds.knode_f, ds.kleaf.shape[0])
+    args = (rows_w, 1e-3, 1e3, ds.knode_f, ds.kleaf, ds.kprim,
+            ds.ktri_geo, ds.inst_inv[0], tstart)
+    rec_p, diag_p = stream3._run(*args, precision="f32",
+                                 interpret=True, live=live,
+                                 with_diag=True, ws=False)
+    rec_w, diag_w = stream3._run(*args, precision="f32",
+                                 interpret=True, live=live,
+                                 with_diag=True, ws=True)
+    lv = np.asarray(live)
+    np.testing.assert_array_equal(np.asarray(rec_p.t)[lv],
+                                  np.asarray(rec_w.t)[lv])
+    assert int(diag_w["words"]) == int(diag_p["words"])
+    assert int(diag_w["kept_words"]) == int(diag_p["kept_words"])
+    assert int(diag_w["steps"]) > 0
