@@ -143,13 +143,13 @@ def compile_refine():
     return aot_compile(fn, words, emeta, slot_pkt, feats_t, aabb8, lim)
 
 
-def compile_emit_ws():
+def compile_emit_ws(treelet: bool = False):
     from radiance_tpu.ops import stream3 as s3
     lim, scal, smeta, bscal, nodef = emit_args()
 
     def fn(lim, scal, smeta, bscal, nodef):
         return s3._stage_emit_ws(lim, scal, smeta, bscal, nodef,
-                                 interpret=False)
+                                 interpret=False, treelet=treelet)
 
     return aot_compile(fn, lim, scal, smeta, bscal, nodef)
 
@@ -158,6 +158,7 @@ TARGETS = {
     "emit": lambda: compile_emit(False),
     "emit-treelet": lambda: compile_emit(True),
     "emit-ws": compile_emit_ws,
+    "emit-ws-treelet": lambda: compile_emit_ws(True),
     "isect": compile_isect,
     "isect-occl": compile_isect_occl,
     "refine": compile_refine,

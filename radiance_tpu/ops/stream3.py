@@ -1035,8 +1035,242 @@ def _emit3ws_kernel(lim_ref, meta_ref, scal_ref, bscal_ref, nodef_ref,
     jax.lax.while_loop(lambda q: q < G, body, jnp.int32(0))
 
 
+def _emit3wst_kernel(lim_ref, meta_ref, scal_ref, bscal_ref, nodef_ref,
+                     words_ref, emeta_ref,
+                     ptr_i, pk_s, bs_s, wbuf_ref, st_ref, cur_ref,
+                     *, salt: int = 0, nlanes: int = 32,
+                     nslot: int = 0):
+    """Work-stealing + treelet emit walk: _emit3ws_kernel's global-
+    cursor scheduling around _emit3t_kernel's aligned-8-row-window walk
+    (one node-window load + in-window path-follow per iteration,
+    measured 3.2 nodes/load).  The two levers multiply: the treelet
+    cuts iterations ~3.5x and stealing removes the ~2x lockstep
+    group-max waste on what remains."""
+    f32, i32 = jnp.float32, jnp.int32
+    i = pl.program_id(0)
+    tmax = lim_ref[0, 1]
+    nsub = nlanes
+    nk_local = nodef_ref.shape[0] // 8
+
+    @pl.when(i == 0)
+    def _():
+        cur_ref[0, 0] = jnp.int32(0)
+        cur_ref[0, 1] = jnp.int32(0)
+        for w in range(G):
+            st_ref[w, 0] = jnp.int32(-1)
+            st_ref[w, 1] = jnp.int32(-1)
+            st_ref[w, 2] = jnp.int32(0)
+            st_ref[w, 3] = jnp.int32(0)
+            st_ref[w, 4] = jnp.int32(0)
+
+    pow2 = jnp.broadcast_to(
+        (1 << jax.lax.broadcasted_iota(i32, (1, 8), 1)
+         ).astype(f32), (G * 8, 8))
+    iota_r = jax.lax.broadcasted_iota(i32, (G, 8), 1)
+    pw_row = (1 << iota_r).astype(f32)
+
+    def body(q):
+        # ---- retire / refill: identical to _emit3ws_kernel ----
+        for w in range(G):
+            s = st_ref[w, 0]
+            idx = st_ref[w, 1]
+            capped = (st_ref[w, 4] >= STEP_CAP) & (idx >= 0)
+            done = (s >= 0) & ((idx < 0) | capped) & (q < G)
+            cnt = st_ref[w, 2]
+            ncopy = jnp.where(done, jnp.minimum(cnt, PCAP), 0)
+            qd = jnp.where(done, q, 0)
+
+            def cp(j, _, w=w, qd=qd):
+                words_ref[qd, j] = wbuf_ref[w, j]
+                return 0
+            jax.lax.fori_loop(0, ncopy, cp, 0)
+
+            @pl.when(done)
+            def _(w=w, q=q, s=s, cnt=cnt, capped=capped):
+                emeta_ref[q, 0] = cnt
+                emeta_ref[q, 1] = capped.astype(i32)
+                emeta_ref[q, 2] = cur_ref[0, 1]
+                emeta_ref[q, 3] = jnp.int32(salt)
+                emeta_ref[q, 4] = jnp.int32(0)
+                emeta_ref[q, 5] = s
+                emeta_ref[q, 6] = jnp.int32(0)
+                emeta_ref[q, 7] = jnp.int32(0)
+                st_ref[w, 0] = jnp.int32(-1)
+                st_ref[w, 1] = jnp.int32(-1)
+            q = q + done.astype(i32)
+
+        for w in range(G):
+            c = cur_ref[0, 0]
+            grab = (st_ref[w, 0] < 0) & (c < nslot)
+
+            @pl.when(grab)
+            def _(w=w, c=c):
+                m0 = meta_ref[(2 * c) // 128, (2 * c) % 128]
+                alive = m0 & 1
+                pkt = m0 >> 1
+                st_ref[w, 0] = c
+                st_ref[w, 1] = jnp.where(alive > 0, 0, -1)
+                st_ref[w, 2] = jnp.int32(0)
+                st_ref[w, 3] = meta_ref[(2 * c + 1) // 128,
+                                        (2 * c + 1) % 128]
+                st_ref[w, 4] = jnp.int32(0)
+                pk_s[w:w + 1, :] = scal_ref[pl.ds(c, 1), :]
+                bs_s[w * nsub:(w + 1) * nsub, :] = \
+                    bscal_ref[pl.ds(pkt * nsub, nsub), :]
+                cur_ref[0, 0] = c + 1
+
+        # ---- one treelet iteration (math of _emit3t_kernel, scalars
+        # from the refillable scratch) ----
+        idxs = [st_ref[w, 1] for w in range(G)]
+        base8 = [jnp.clip((jnp.maximum(idxs[w], 0) // 8) * 8,
+                          0, max(nk_local - 8, 0)) for w in range(G)]
+        tile = jnp.concatenate(
+            [nodef_ref[pl.ds(st_ref[w, 3] + base8[w], 8), :]
+             for w in range(G)], axis=0)            # (64, 16)
+        a_f = tile[:, 8:9]
+        esc = tile[:, 9:10]
+        ntri = tile[:, 10:11]
+        is_leaf = ntri > 0.0
+
+        pk = pk_s[:, :]
+        sgn = pk[:, 0:3]
+
+        def repw(a):                                # (8, 3) -> (64, 3)
+            return jnp.broadcast_to(a.reshape(G, 1, 3),
+                                    (G, 8, 3)).reshape(G * 8, 3)
+
+        sgn_r = repw(sgn)
+        olo_r = repw(pk[:, 3:6])
+        ohi_r = repw(pk[:, 6:9])
+        ilo_r = repw(pk[:, 9:12])
+        ihi_r = repw(pk[:, 12:15])
+        mixed_r = sgn_r == 0.0
+
+        b32 = bs_s[:, :]
+
+        def col(k):
+            return b32[:, k:k + 1].reshape(G, nsub)
+
+        def rep(a):                     # (G, nsub) -> (G*8, nsub)
+            return jnp.broadcast_to(a.reshape(G, 1, nsub),
+                                    (G, 8, nsub)).reshape(G * 8, nsub)
+
+        tn = jnp.zeros((G * 8, 1), f32)
+        tf = jnp.full((G * 8, 1), tmax, f32)
+        for k in range(3):
+            bmn = tile[:, k:k + 1]
+            bmx = tile[:, 3 + k:4 + k]
+            sk = sgn_r[:, k:k + 1]
+            m0 = sk * bmn
+            m1 = sk * bmx
+            near = jnp.minimum(m0, m1)
+            far = jnp.maximum(m0, m1)
+            lo = near - ohi_r[:, k:k + 1]
+            hi = far - olo_r[:, k:k + 1]
+            tnk = lo * jnp.where(lo >= 0.0, ilo_r[:, k:k + 1],
+                                 ihi_r[:, k:k + 1])
+            tfk = hi * jnp.where(hi >= 0.0, ihi_r[:, k:k + 1],
+                                 ilo_r[:, k:k + 1])
+            mk = mixed_r[:, k:k + 1]
+            tn = jnp.maximum(tn, jnp.where(mk, 0.0, tnk))
+            tf = jnp.minimum(tf, jnp.where(mk, _FMAX, tfk))
+        box_hit = (tf >= tn) & (tn < tmax)          # (64, 1)
+
+        nxt_row = jnp.where(is_leaf, esc,
+                            jnp.where(box_hit, a_f, esc))
+
+        nxt_l = nxt_row.reshape(G, 8)
+        base8_l = jnp.concatenate(
+            [jnp.full((1, 1), base8[w], i32) for w in range(G)],
+            axis=0)
+        entry_l = jnp.concatenate(
+            [jnp.full((1, 1), jnp.maximum(idxs[w], 0) - base8[w], i32)
+             for w in range(G)], axis=0)
+        aliv_l = jnp.concatenate(
+            [jnp.full((1, 1), (idxs[w] >= 0).astype(f32))
+             for w in range(G)], axis=0)
+        P = (iota_r == entry_l).astype(f32) * aliv_l
+        visited = P
+        exit_acc = jnp.zeros((G, 1), f32)
+        for _hop in range(8):
+            nxt_g = jnp.sum(P * nxt_l, axis=1, keepdims=True)
+            has = jnp.sum(P, axis=1, keepdims=True) > 0.0
+            loc = nxt_g.astype(i32) - base8_l
+            inw = has & (loc > entry_l) & (loc < 8) & (nxt_g >= 0.0)
+            exit_acc = exit_acc + jnp.where(has & ~inw, nxt_g, 0.0)
+            P = jnp.where(inw, (iota_r == loc).astype(f32), 0.0)
+            visited = jnp.maximum(visited, P)
+            entry_l = jnp.where(inw, loc, entry_l)
+        idx_l = jnp.concatenate(
+            [jnp.full((1, 1), idxs[w], i32) for w in range(G)],
+            axis=0).astype(f32)
+        nxt_fin_l = jnp.where(aliv_l > 0.0, exit_acc, idx_l)
+
+        emit88 = (visited > 0.0) & (is_leaf.reshape(G, 8)) \
+            & (box_hit.reshape(G, 8))
+
+        tn_b = jnp.zeros((G * 8, nsub), f32)
+        tf_b = jnp.full((G * 8, nsub), _FMAX, f32)
+        for k in range(3):
+            bsgn = rep(col(k))
+            bmn = jnp.broadcast_to(tile[:, k:k + 1], (G * 8, nsub))
+            bmx = jnp.broadcast_to(tile[:, 3 + k:4 + k], (G * 8, nsub))
+            m0 = bsgn * bmn
+            m1 = bsgn * bmx
+            near = jnp.minimum(m0, m1)
+            far = jnp.maximum(m0, m1)
+            lo = near - rep(col(6 + k))
+            hi = far - rep(col(3 + k))
+            tnk = lo * jnp.where(lo >= 0.0, rep(col(9 + k)),
+                                 rep(col(12 + k)))
+            tfk = hi * jnp.where(hi >= 0.0, rep(col(12 + k)),
+                                 rep(col(9 + k)))
+            bmx_m = bsgn == 0.0
+            tn_b = jnp.maximum(tn_b, jnp.where(bmx_m, 0.0, tnk))
+            tf_b = jnp.minimum(tf_b, jnp.where(bmx_m, _FMAX, tfk))
+        keep32 = (tf_b >= tn_b) & (tn_b < tmax)     # (64, nlanes)
+        keep = keep32[:, 0:8]
+        for sx in range(1, nsub // 8):
+            keep = keep | keep32[:, sx * 8:(sx + 1) * 8]
+        kmask = jnp.sum(jnp.where(keep, pow2, 0.0), axis=1,
+                        keepdims=True).astype(i32)  # (64, 1)
+        tnc = jnp.maximum(tn, 0.0)
+        tq = jnp.clip(
+            (jax.lax.bitcast_convert_type(tnc, i32) >> 18) - TQ_BIAS,
+            0, 511)
+        word = ((a_f.astype(i32) + 1) << W_LEAF_SHIFT) \
+            | (kmask << W_KEEP_SHIFT) | tq          # (64, 1)
+
+        emit88 = emit88 & (kmask.reshape(G, 8) > 0)
+        emask_l = jnp.sum(emit88.astype(f32) * pw_row, axis=1,
+                          keepdims=True)
+
+        ptr_i[:, 0:1] = nxt_fin_l.astype(i32)
+        ptr_i[:, 1:2] = emask_l.astype(i32)
+        ptr_i[:, 8:16] = word.reshape(G, 8)
+
+        for w in range(G):
+            em = ptr_i[w, 1]
+            c = st_ref[w, 2]
+            # flat predicated appends (no nested pl.when chains)
+            for j in range(8):
+                bit = (em >> j) & 1
+
+                @pl.when((bit > 0) & (c < PCAP))
+                def _(w=w, j=j, c=c):
+                    wbuf_ref[w, c] = ptr_i[w, 8 + j]
+                c = c + bit
+            st_ref[w, 1] = ptr_i[w, 0]
+            st_ref[w, 2] = c
+            st_ref[w, 4] = st_ref[w, 4] + 1
+        cur_ref[0, 1] = cur_ref[0, 1] + 1
+        return q
+
+    jax.lax.while_loop(lambda q: q < G, body, jnp.int32(0))
+
+
 def _stage_emit_ws(lim, scal, smeta, bscal, nodef, *, interpret: bool,
-                   salt: int = 0):
+                   salt: int = 0, treelet: bool = False):
     """Work-stealing emit.  Same (words, emeta) contract as
     _stage_emit except rows are in slot-RETIRE order: emeta lane 5
     holds the (sorted-space) slot index each row belongs to.  Callers
@@ -1053,8 +1287,9 @@ def _stage_emit_ws(lim, scal, smeta, bscal, nodef, *, interpret: bool,
     mrows = (2 * nslot + 127) // 128
     meta = jnp.zeros(mrows * 128, jnp.int32).at[:2 * nslot].set(
         meta_flat).reshape(mrows, 128)
+    kern = _emit3wst_kernel if treelet else _emit3ws_kernel
     return pl.pallas_call(
-        functools.partial(_emit3ws_kernel, salt=salt, nlanes=nlanes,
+        functools.partial(kern, salt=salt, nlanes=nlanes,
                           nslot=nslot),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=0,
@@ -1711,10 +1946,10 @@ def _run(rows_w, tmin, tmax, nodef, kleaf_k, kprim, ktri_geo, inv0,
     npk = rows[0].shape[0] // PKT
     if ws is None:
         ws = os.environ.get("RADIANCE_WS", "0") == "1"
-    ws = ws and not treelet       # the stealing walk is the plain walk
     if ws:
         words, emeta = _stage_emit_ws(lim, scal, smeta, bscal, nodef,
-                                      interpret=interpret)
+                                      interpret=interpret,
+                                      treelet=treelet)
         # rows are in slot-retire order; lane 5 maps row -> sorted slot
         rowslot = emeta[:, 5]
         row_of = jnp.zeros_like(rowslot).at[rowslot].set(

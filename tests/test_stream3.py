@@ -578,3 +578,43 @@ def test_stream3_ws_live_mask_and_diag():
     assert int(diag_w["words"]) == int(diag_p["words"])
     assert int(diag_w["kept_words"]) == int(diag_p["kept_words"])
     assert int(diag_w["steps"]) > 0
+
+
+def test_stream3_ws_treelet_matches_lockstep_treelet():
+    """ws+treelet must produce, per slot, the exact word lists of the
+    lockstep treelet kernel, and its end-to-end result must match the
+    plain pipeline on the same wave."""
+    ds = _single_instance_scene(n_tris=400, seed=21)
+    rng = np.random.default_rng(7)
+    o, d = gen_rays(rng, stream3.G * stream3.PKT, spread=8.0)
+    rows_w = stream3.rows_from_aos(jnp.asarray(o), jnp.asarray(d))
+    _, _, scal, smeta, bscal, lim, _, _ = stream3._stage_prep(
+        rows_w, 1e-3, 1e3, ds.knode_f, ds.inst_inv[0])
+    wp, ep = stream3._stage_emit(lim, scal, smeta, bscal, ds.knode_f,
+                                 interpret=True, treelet=True)
+    ww, ew = stream3._stage_emit_ws(lim, scal, smeta, bscal,
+                                    ds.knode_f, interpret=True,
+                                    treelet=True)
+    wp, ep, ww, ew = (np.asarray(a) for a in (wp, ep, ww, ew))
+    rowslot = ew[:, 5]
+    assert sorted(rowslot.tolist()) == list(range(len(rowslot)))
+    total = 0
+    for row, s in enumerate(rowslot):
+        assert ew[row, 0] == ep[s, 0], (row, s)
+        cnt = min(ep[s, 0], stream3.PCAP)
+        total += cnt
+        np.testing.assert_array_equal(ww[row, :cnt], wp[s, :cnt])
+    assert total > 0
+
+    # end to end vs the oracle-agreeing plain pipeline
+    tstart, _ = stream3.leaf_tables(ds.knode_f, ds.kleaf.shape[0])
+    args = (rows_w, 1e-3, 1e3, ds.knode_f, ds.kleaf, ds.kprim,
+            ds.ktri_geo, ds.inst_inv[0], tstart)
+    rec_p = stream3._run(*args, precision="f32", interpret=True,
+                         ws=False)
+    rec_w = stream3._run(*args, precision="f32", interpret=True,
+                         ws=True, treelet=True)
+    for f in ("t", "prim", "b1", "b2"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(rec_p, f)),
+            np.asarray(getattr(rec_w, f)), err_msg=f)
