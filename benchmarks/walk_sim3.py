@@ -205,6 +205,20 @@ def report(tag, nodef, scal, smeta, order, slot_pkt_sorted, rows_np,
     balance = iters / max(steps.sum() / 8.0, 1.0)
     t_iters = int(np.ceil(twins.reshape(-1, 8).max(1)).sum())
     t16_iters = int(np.ceil(twins16.reshape(-1, 8).max(1)).sum())
+
+    def ws_makespan(per_slot):
+        """Exact iteration count of the work-stealing kernel: 8 rows,
+        each retire immediately pulls the next slot from the cursor
+        (greedy list scheduling; rows advance one iteration per kernel
+        iteration, so makespan == max row finish time)."""
+        import heapq
+        h = [0] * 8
+        for s in per_slot:
+            heapq.heappush(h, heapq.heappop(h) + int(s))
+        return max(h)
+
+    ws_iters = ws_makespan(steps)
+    wst_iters = ws_makespan(np.ceil(twins).astype(np.int64))
     pc = pair_counts(nodef, es, er, smeta[:, 0].astype(np.int64),
                      rows_np, live_np, tmaxf)
     em_per = emits[alive]
@@ -217,6 +231,10 @@ def report(tag, nodef, scal, smeta, order, slot_pkt_sorted, rows_np,
         "treelet_group_iters": t_iters,
         "treelet_est_ms": round(t_iters * EMIT_US / 1e3, 1),
         "treelet16_group_iters": t16_iters,
+        "ws_iters": ws_iters,
+        "ws_est_ms": round(ws_iters * EMIT_US / 1e3, 1),
+        "ws_treelet_iters": wst_iters,
+        "ws_treelet_est_ms": round(wst_iters * EMIT_US / 1e3, 1),
         "capped_frac": round(float(capped[alive].mean()), 4)
         if alive.any() else 0.0,
         "pcap_over_frac": round(float((em_per > 1024).mean()), 4)
