@@ -106,13 +106,20 @@ def _trace_dispatch(scene, o, d, tmin, tmax, *, any_hit_terminate=False,
                                 any_hit_program=any_hit_program)
 
 
-def _stream3_wavefront_supported(scene, trace_kw):
+def _stream3_wavefront_supported(scene, trace_kw, wave="primary"):
     """The stream3 live-mask path applies: single-instance scene with
     kernel tables, TPU backend, no custom any-hit program (stream3's
-    occlusion shares the closest-hit pipeline)."""
+    occlusion shares the closest-hit pipeline).  The global
+    RADIANCE_ENGINE_STREAM3 knob can be overridden per wave type by
+    RADIANCE_ENGINE_{PRIMARY,BOUNCE,SHADOW} in {stream3, xla, gen1}."""
     if trace_kw.get("any_hit_program") is not None:
         return False
     knob = os.environ.get("RADIANCE_ENGINE_STREAM3", "0")
+    wroute = os.environ.get(f"RADIANCE_ENGINE_{wave.upper()}", "")
+    if wroute == "stream3":
+        knob = "1" if knob == "0" else knob
+    elif wroute in ("xla", "gen1"):
+        return False
     if knob == "0":
         return False
     # "1": TPU only; "force": any backend (interpret mode, for tests)
@@ -123,7 +130,7 @@ def _stream3_wavefront_supported(scene, trace_kw):
 
 
 def _traced_wavefront(scene, o, d, tmin, tmax, alive, sort_key=None,
-                      **trace_kw):
+                      wave="primary", **trace_kw):
     """Trace only live rays, the wavefront-compaction way (SURVEY 7:
     generate -> traverse -> shade -> compact; BASELINE north-star).
 
@@ -146,7 +153,28 @@ def _traced_wavefront(scene, o, d, tmin, tmax, alive, sort_key=None,
     chunks retire in one iteration; within a chunk, parked lanes never
     gate convergence.
     """
-    if _stream3_wavefront_supported(scene, trace_kw):
+    # per-wave backend routing for measurement and tuning:
+    # RADIANCE_ENGINE_BOUNCE / RADIANCE_ENGINE_SHADOW = "xla" sends
+    # that wave type to the per-ray XLA wavefront walk with dead lanes
+    # PARKED IN PLACE -- no element argsort/gather compaction at all
+    # (the sort pays ~212 ms per 2M-ray wave on the axon backend, and
+    # a per-ray walk has no packet-union tax to amortize it against).
+    route = os.environ.get(f"RADIANCE_ENGINE_{wave.upper()}", "")
+    if route == "xla" and trace_kw.get("any_hit_program") is None:
+        o_c = jnp.where(alive[:, None], o, _PARK_ORIGIN)
+        d_c = jnp.where(alive[:, None], d, 1.0)
+        rec = traversal.trace_rays(
+            scene, o_c, d_c, tmin, tmax,
+            any_hit_terminate=bool(trace_kw.get("any_hit_terminate",
+                                                False)))
+        miss = ~alive
+        return traversal.HitRecord(
+            t=jnp.where(miss, FLT_MAX, rec.t),
+            prim=jnp.where(miss, -1, rec.prim),
+            slot=jnp.where(miss, -1, rec.slot),
+            b1=jnp.where(miss, 0.0, rec.b1),
+            b2=jnp.where(miss, 0.0, rec.b2))
+    if _stream3_wavefront_supported(scene, trace_kw, wave):
         from radiance_tpu.ops import stream3
         rows = stream3.rows_from_aos_fast(o, d)
         rec = stream3.trace_rows_stream3(
@@ -287,7 +315,8 @@ class WavefrontPathTracer:
                                       tmin, tmax, **kw)
             else:
                 rec = _traced_wavefront(scene, origin, direction,
-                                        tmin, tmax, active, **kw)
+                                        tmin, tmax, active,
+                                        wave="shadow", **kw)
             return rec.hit
 
         def one_sample(scene, resources, pixel_index, frame_id, total_samples0):
@@ -307,10 +336,10 @@ class WavefrontPathTracer:
             full = functools.partial(_trace_dispatch, scene)
             hit_anyhit = sbt.make_any_hit_program(hit_offset, resources)
 
-            def bounce(b, st):
+            def bounce(b, st, wave="bounce"):
                 color, contribution, alive, o, d = st
                 hits = _traced_wavefront(scene, o, d, self.tmin, self.tmax,
-                                         alive,
+                                         alive, wave=wave,
                                          any_hit_program=hit_anyhit)
                 ctx = _make_context(
                     scene, hits, o, d, pixel_index, frame_id, b,
@@ -345,6 +374,13 @@ class WavefrontPathTracer:
             init = (jnp.zeros((n, 3), jnp.float32),
                     jnp.ones((n, 3), jnp.float32),
                     jnp.ones(n, bool), origin, direction)
+            if effective_depth < 1:
+                return init[0]
+            # the primary wave is unrolled out of the loop so its
+            # backend routing (coherent: packet/stream paths) can
+            # differ statically from the scattered bounce waves'
+            st1 = bounce(jnp.int32(0), init, wave="primary")
+
             # bounce loop with early exit: when every path has died, the
             # remaining bounces are skipped entirely (the reference's
             # per-ray `if !hit break`, shader.cl:243-252, in bulk)
@@ -357,7 +393,7 @@ class WavefrontPathTracer:
                 return b + 1, bounce(b, st)
 
             _, (color, *_rest) = jax.lax.while_loop(
-                bounce_cond, bounce_body, (jnp.int32(0), init))
+                bounce_cond, bounce_body, (jnp.int32(1), st1))
             return color
 
         def sample_sum(scene, resources, pixel_index, first_frame_id,

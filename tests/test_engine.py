@@ -180,3 +180,21 @@ def test_make_context_single_instance_elides_gathers():
                                   np.asarray(ds.inst_id[slot]))
     np.testing.assert_array_equal(np.asarray(ctx.sbt_offset),
                                   np.asarray(ds.inst_sbt[slot]))
+
+
+def test_engine_wave_routing_xla_matches_default(monkeypatch, tracer,
+                                                 cornell):
+    """RADIANCE_ENGINE_BOUNCE/SHADOW=xla (parked-lane per-ray walk, no
+    element compaction) must render the same image as the default
+    sort+dispatch route (identical hits; only the lane ordering inside
+    the trace differs)."""
+    a1, _ = render(tracer, cornell, batch=1, depth=3)
+    monkeypatch.setenv("RADIANCE_ENGINE_BOUNCE", "xla")
+    monkeypatch.setenv("RADIANCE_ENGINE_SHADOW", "xla")
+    sbt = ShaderBindingTable.from_json(shaders.DEFAULT_SBT_RECORDS,
+                                       shaders.SHADER_REGISTRY)
+    tracer2 = WavefrontPathTracer(
+        ray_generator=camera.physical_camera_raygen, sbt=sbt)
+    a2, _ = render(tracer2, cornell, batch=1, depth=3)
+    np.testing.assert_allclose(np.asarray(a1), np.asarray(a2),
+                               rtol=1e-5, atol=1e-6)
