@@ -135,6 +135,12 @@ def render_loop(callback: Callable, data=None, *, frames: int = 0,
     """
     from radiance_tpu.utils import image as image_io
 
+    def stamp_path():
+        # timestamped saves land NEXT TO out_path, not in the cwd
+        d = os.path.dirname(os.path.abspath(out_path))
+        return os.path.join(d, image_io.timestamped_path("output",
+                                                         "png"))
+
     image = None
     frame = 0
     try:
@@ -144,7 +150,7 @@ def render_loop(callback: Callable, data=None, *, frames: int = 0,
                 if updates.pop("_quit", None):
                     break
                 if updates.pop("_save", None) and image is not None:
-                    p = image_io.timestamped_path("output", "png")
+                    p = stamp_path()
                     image_io.write_image(p, image)
                     print(f"saved {p}")
                 if updates and on_change is not None:
@@ -163,7 +169,7 @@ def render_loop(callback: Callable, data=None, *, frames: int = 0,
         print("\nviewer stopped.")
     if image is not None:
         # "Save" button analog: timestamped copy (inspector.cpp:234-243)
-        final = image_io.timestamped_path("output", "png")
+        final = stamp_path()
         image_io.write_image(final, image)
         print(f"saved {final}")
     return image
