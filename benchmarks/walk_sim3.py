@@ -111,8 +111,15 @@ def walk_all_slots(nodef, scal, smeta, tmaxf, step_cap):
 
 
 def pair_counts(nodef, em_slot, em_row, slot_pkt, rows_np, live_np,
-                tmaxf):
-    """Pair counts for refine granularities 32/16/8 and exact."""
+                tmaxf, em_tn=None, tfinal=None):
+    """Pair counts for refine granularities 32/16/8 and exact.  With
+    em_tn + tfinal (true closest-hit t per ray), also reports the
+    PERFECT-CULL ceiling: exact pairs whose packet-level leaf tn is
+    within the block's worst final best-t -- the number of matmuls a
+    tq-ordered (near-first) word list would leave for the isect
+    kernel's occlusion cull in the best case.  Blocks containing any
+    live ray that ultimately misses can never cull (their worst best
+    stays FLT_MAX)."""
     ox, oy, oz, dx, dy, dz = rows_np
     out = {}
     E = len(em_slot)
@@ -170,6 +177,7 @@ def pair_counts(nodef, em_slot, em_row, slot_pkt, rows_np, live_np,
         out[f"pairs{gran}"] = total
     # exact per-(emission, block): any LIVE ray's slab interval hits
     total = 0
+    total_cull = 0
     for c0 in range(0, E, 1024):
         sl = slice(c0, min(c0 + 1024, E))
         p = pkts[sl]
@@ -186,13 +194,22 @@ def pair_counts(nodef, em_slot, em_row, slot_pkt, rows_np, live_np,
             tn = np.maximum(tn, np.minimum(t0, t1))
             tf = np.minimum(tf, np.maximum(t0, t1))
         ok = (tf >= np.maximum(tn, 0.0)) & (tn < tmaxf) & live_np[ridx]
-        total += int(ok.reshape(len(p), 8, 128).any(2).sum())
+        okb = ok.reshape(len(p), 8, 128).any(2)
+        total += int(okb.sum())
+        if em_tn is not None and tfinal is not None:
+            lv = live_np[ridx].reshape(len(p), 8, 128)
+            tfin = tfinal[ridx].reshape(len(p), 8, 128)
+            bound = np.where(lv, tfin, -np.inf).max(2)  # [chunk, 8]
+            wtn = em_tn[sl][:, None]                 # packet-level tn
+            total_cull += int((okb & (wtn <= bound)).sum())
     out["pairs_exact"] = total
+    if em_tn is not None and tfinal is not None:
+        out["pairs_cull_ceiling"] = total_cull
     return out
 
 
 def report(tag, nodef, scal, smeta, order, slot_pkt_sorted, rows_np,
-           live_np, step_cap=2048, tmaxf=1e4):
+           live_np, step_cap=2048, tmaxf=1e4, tfinal=None):
     scal = np.asarray(scal)
     smeta = np.asarray(smeta)
     steps, emits, capped, (twins, twins16), (es, er, etn) = \
@@ -220,7 +237,8 @@ def report(tag, nodef, scal, smeta, order, slot_pkt_sorted, rows_np,
     ws_iters = ws_makespan(steps)
     wst_iters = ws_makespan(np.ceil(twins).astype(np.int64))
     pc = pair_counts(nodef, es, er, smeta[:, 0].astype(np.int64),
-                     rows_np, live_np, tmaxf)
+                     rows_np, live_np, tmaxf, em_tn=etn,
+                     tfinal=tfinal)
     em_per = emits[alive]
     line = {
         "wave": tag,
@@ -319,8 +337,19 @@ def main():
             if len(live_np) < npad:     # prep pads dead lanes
                 live_np = np.concatenate(
                     [live_np, np.zeros(npad - len(live_np), bool)])
+        tfinal = None
+        if os.environ.get("SIM_CULL", "1") == "1":
+            tf_w = trace_cpu(ow, dw, tmaxf)
+            npadw = rows_np[0].shape[0]
+            tfinal = np.full(npadw, _FMAX, np.float32)
+            tfinal[:len(tf_w)] = tf_w
+            if presort:
+                # rays were block-permuted by _block_sort; tfinal must
+                # follow (recompute from the sorted rows is wrong for
+                # object space; permute instead)
+                tfinal = None   # presort variants skip the cull bound
         report(tag, nodef, scal, smeta, np.asarray(order),
-               None, rows_np, live_np, tmaxf=tmaxf)
+               None, rows_np, live_np, tmaxf=tmaxf, tfinal=tfinal)
 
     if {"bounce", "shadow", "ggx"} & set(waves):
         t1 = trace_cpu(o, d)

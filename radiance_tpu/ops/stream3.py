@@ -1396,7 +1396,8 @@ def rows_from_aos_fast(origin, direction, interpret=None):
 # ------------------------------------------------- exact block refine
 
 def _refine3_kernel(slot_pkt, lim_ref, emeta_ref, words_ref, xt_ref,
-                    aabb_ref, words_out, emeta_out, ptr_s):
+                    aabb_ref, words_out, emeta_out, ptr_s, stage_s,
+                    cnt_s, *, sort: bool = False):
     """Stage 1.5: exact per-RAY leaf-slab refine of the emitted word
     lists, one slot per grid step.
 
@@ -1462,11 +1463,42 @@ def _refine3_kernel(slot_pkt, lim_ref, emeta_ref, words_ref, xt_ref,
 
             @pl.when(keep)
             def _(c=c, wd2=wd2):
-                words_out[r, c] = wd2
+                if sort:
+                    stage_s[r, c] = wd2
+                else:
+                    words_out[r, c] = wd2
             c = c + keep.astype(i32)
         return c
 
     kept = jax.lax.fori_loop(0, (cnt + 7) // 8, body, jnp.int32(0))
+    if sort:
+        # tq counting sort (stable, 32 buckets of 16 tq steps): near
+        # leaves first maximize the isect kernel's per-block occlusion
+        # cull (a matmul is skipped once the block's worst best-t is
+        # inside the leaf's entry distance).  Pure scalar SMEM work,
+        # ~2*kept + 64 ops per slot.
+        for b in range(32):
+            cnt_s[0, b] = jnp.int32(0)
+
+        def count(j, _):
+            b = (stage_s[r, j] & 511) >> 4
+            cnt_s[0, b] = cnt_s[0, b] + 1
+            return 0
+        jax.lax.fori_loop(0, kept, count, 0)
+        off = jnp.int32(0)
+        for b in range(32):
+            cb = cnt_s[0, b]
+            cnt_s[0, b] = off
+            off = off + cb
+
+        def place(j, _):
+            wd = stage_s[r, j]
+            b = (wd & 511) >> 4
+            o = cnt_s[0, b]
+            words_out[r, o] = wd
+            cnt_s[0, b] = o + 1
+            return 0
+        jax.lax.fori_loop(0, kept, place, 0)
     emeta_out[r, 0] = kept
     emeta_out[r, 1] = emeta_ref[r, 1]
     emeta_out[r, 2] = emeta_ref[r, 2]
@@ -1478,14 +1510,15 @@ def _refine3_kernel(slot_pkt, lim_ref, emeta_ref, words_ref, xt_ref,
 
 
 def _stage_refine_exact(words, emeta, slot_pkt, feats_t, aabb8, lim,
-                        *, interpret: bool):
+                        *, interpret: bool, sort: bool = False):
     """Run the exact block refine over all slots.  Returns
     (words', emeta') with compacted lists; emeta' lane 4 carries the
-    pre-refine word count for diagnostics."""
+    pre-refine word count for diagnostics.  sort=True additionally
+    tq-orders each list (near leaves first) for the isect cull."""
     nslot = words.shape[0]
     npadl = aabb8.shape[0]
     return pl.pallas_call(
-        _refine3_kernel,
+        functools.partial(_refine3_kernel, sort=sort),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(nslot,),
@@ -1512,6 +1545,8 @@ def _stage_refine_exact(words, emeta, slot_pkt, feats_t, aabb8, lim,
                 # ptr_i pattern -- scalar stores can't target VMEM,
                 # vector stores can't target SMEM)
                 pltpu.VMEM((8, 128), jnp.int32),
+                pltpu.SMEM((8, PCAP), jnp.int32),   # tq-sort staging
+                pltpu.SMEM((1, 64), jnp.int32),     # tq-sort buckets
             ],
         ),
         out_shape=[
@@ -1980,7 +2015,8 @@ def _run(rows_w, tmin, tmax, nodef, kleaf_k, kprim, ktri_geo, inv0,
         aabb8 = jnp.zeros((nlp, 8), jnp.float32).at[:nl, :6].set(aabb)
         words_i, emeta_i = _stage_refine_exact(
             words, emeta, slot_pkt, feats_t, aabb8, lim,
-            interpret=interpret)
+            interpret=interpret,
+            sort=os.environ.get("RADIANCE_TQSORT", "0") == "1")
     if orient == "major" and not interpret:
         feats = feats_rows_to_major(feats_t)
     elif orient == "major":

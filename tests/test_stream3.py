@@ -618,3 +618,59 @@ def test_stream3_ws_treelet_matches_lockstep_treelet():
         np.testing.assert_array_equal(
             np.asarray(getattr(rec_p, f)),
             np.asarray(getattr(rec_w, f)), err_msg=f)
+
+
+def test_stream3_tqsort_refine(monkeypatch):
+    """RADIANCE_TQSORT=1: refine outputs the same word multiset per
+    slot, bucket-ordered by tq ascending; end-to-end t is identical
+    (the phase-2 min-fold is order independent up to exact-t ties)."""
+    ds = _single_instance_scene(n_tris=400, seed=21)
+    rng = np.random.default_rng(5)
+    o, d = gen_rays(rng, 2048, spread=8.0)
+    o, d = jnp.asarray(o), jnp.asarray(d)
+    rows_w = stream3.rows_from_aos(o, d)
+    tstart, _ = stream3.leaf_tables(ds.knode_f, ds.kleaf.shape[0])
+    args = (rows_w, 1e-3, 1e3, ds.knode_f, ds.kleaf, ds.kprim,
+            ds.ktri_geo, ds.inst_inv[0], tstart)
+    rec_p = stream3._run(*args, precision="f32", interpret=True)
+    monkeypatch.setenv("RADIANCE_TQSORT", "1")
+    rec_s = stream3._run(*args, precision="f32", interpret=True)
+    np.testing.assert_array_equal(np.asarray(rec_p.t),
+                                  np.asarray(rec_s.t))
+    tp = np.asarray(rec_p.t)
+    both = tp < FLT_MAX
+    agree = (np.asarray(rec_p.prim)[both]
+             == np.asarray(rec_s.prim)[both]).mean()
+    assert agree > 0.99       # only exact-t ties may differ
+
+    # unit check on the refine stage itself: same multiset, tq-bucket
+    # monotone
+    pad = (-rows_w[0].shape[0]) % (stream3.G * stream3.PKT)
+    rows_p = tuple(jnp.concatenate([r, jnp.broadcast_to(r[:1], (pad,))])
+                   for r in rows_w)
+    _, feats_t, scal, smeta, bscal, lim, _, _ = stream3._stage_prep(
+        rows_p, 1e-3, 1e3, ds.knode_f, ds.inst_inv[0])
+    words, emeta = stream3._stage_emit(lim, scal, smeta, bscal,
+                                       ds.knode_f, interpret=True)
+    _, aabb = stream3.leaf_tables(ds.knode_f, ds.kleaf.shape[0])
+    nl = aabb.shape[0]
+    nlp = ((nl + 7) // 8) * 8
+    aabb8 = jnp.zeros((nlp, 8), jnp.float32).at[:nl, :6].set(aabb)
+    w0, e0 = stream3._stage_refine_exact(
+        words, emeta, smeta[:, 0], feats_t, aabb8, lim,
+        interpret=True, sort=False)
+    w1, e1 = stream3._stage_refine_exact(
+        words, emeta, smeta[:, 0], feats_t, aabb8, lim,
+        interpret=True, sort=True)
+    w0, e0, w1, e1 = (np.asarray(a) for a in (w0, e0, w1, e1))
+    np.testing.assert_array_equal(e0[:, 0], e1[:, 0])
+    checked = 0
+    for s in range(w0.shape[0]):
+        k = min(e0[s, 0], stream3.PCAP)
+        if k == 0:
+            continue
+        assert sorted(w0[s, :k].tolist()) == sorted(w1[s, :k].tolist())
+        buckets = (w1[s, :k] & 511) >> 4
+        assert (np.diff(buckets) >= 0).all(), s
+        checked += k
+    assert checked > 0
