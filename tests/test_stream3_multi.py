@@ -190,3 +190,27 @@ def test_engine_auto_attach_multi(monkeypatch):
     out2 = tracer._maybe_attach_multi(ds)
     assert out2 is out                      # cached
     assert tracer._maybe_attach_multi(out) is out
+
+
+def test_multi_ws_matches_default(monkeypatch):
+    """RADIANCE_WS=1 reaches the per-instance _run inside the multi
+    sweep and must not change results."""
+    ds = _multi_scene()
+    mt = stream3_multi.MultiTables(ds)
+    rng = np.random.default_rng(1)
+    n = 1024
+    o = rng.uniform(-12, 12, (n, 3)).astype(np.float32)
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    rows = stream3.rows_from_aos(jnp.asarray(o), jnp.asarray(d))
+    base = stream3_multi.trace_rows_multi(ds, mt, rows, 1e-3, 1e3,
+                                          precision="f32",
+                                          interpret=True)
+    monkeypatch.setenv("RADIANCE_WS", "1")
+    got = stream3_multi.trace_rows_multi(ds, mt, rows, 1e-3, 1e3,
+                                         precision="f32",
+                                         interpret=True)
+    for f in ("t", "prim", "slot", "b1", "b2"):
+        np.testing.assert_array_equal(np.asarray(getattr(base, f)),
+                                      np.asarray(getattr(got, f)),
+                                      err_msg=f)
