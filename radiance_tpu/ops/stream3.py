@@ -1566,7 +1566,8 @@ def _isect3_kernel(slot_pkt, lim_ref, emeta_ref, words_ref,
                    x_ref, kleaf_any, out_ref,
                    w_s, sem, best_t, best_prim, best_b1, best_b2, *,
                    precision: str, orient: str = "major",
-                   cull: bool = True, salt: int = 0):
+                   cull: bool = True, salt: int = 0,
+                   epi: str = "f32"):
     """Slot-direct pair intersection.  One grid step = one slot: walk
     its word list (leaf matrices DMA-pipelined S_SLOTS deep), and for
     each set keep bit k run a statically-sliced [BLK, 16] x [16, 4T]
@@ -1577,6 +1578,10 @@ def _isect3_kernel(slot_pkt, lim_ref, emeta_ref, words_ref,
     NO wave-sized gathers.  Flush once per slot into [1, PKT, 4]
     (t, prim, b1, b2)."""
     f32, i32 = jnp.float32, jnp.int32
+    # bf16 epilogue: barycentric fold arrays (and their selects) run
+    # at half the vreg count.  t and primID stay f32-exact -- b1/b2
+    # only interpolate attributes, where 4e-3 is invisible.
+    bdt = jnp.bfloat16 if epi == "bf16" else f32
     r = pl.program_id(0) % 8       # slot row within the 8-row block
     tmin = lim_ref[0, 0]
     tmax = lim_ref[0, 1]
@@ -1586,8 +1591,8 @@ def _isect3_kernel(slot_pkt, lim_ref, emeta_ref, words_ref,
 
     best_t[:, :] = jnp.full((PKT, T), _FMAX, f32)
     best_prim[:, :] = jnp.full((PKT, T), -1.0, f32)
-    best_b1[:, :] = jnp.zeros((PKT, T), f32)
-    best_b2[:, :] = jnp.zeros((PKT, T), f32)
+    best_b1[:, :] = jnp.zeros((PKT, T), bdt)
+    best_b2[:, :] = jnp.zeros((PKT, T), bdt)
 
     def word_at(j):
         return words_ref[r, j]
@@ -1675,10 +1680,10 @@ def _isect3_kernel(slot_pkt, lim_ref, emeta_ref, words_ref,
                         improve, jnp.broadcast_to(prim_row, (BLK, T)),
                         best_prim[k * BLK:(k + 1) * BLK, :])
                     best_b1[k * BLK:(k + 1) * BLK, :] = jnp.where(
-                        improve, s2 * rv,
+                        improve, (s2 * rv).astype(bdt),
                         best_b1[k * BLK:(k + 1) * BLK, :])
                     best_b2[k * BLK:(k + 1) * BLK, :] = jnp.where(
-                        improve, s0 * rv,
+                        improve, (s0 * rv).astype(bdt),
                         best_b2[k * BLK:(k + 1) * BLK, :])
 
         @pl.when(i + S_SLOTS - 1 < cnt)
@@ -1695,8 +1700,10 @@ def _isect3_kernel(slot_pkt, lim_ref, emeta_ref, words_ref,
     jmin = jnp.min(jnp.where(match, lanes_p, T), axis=1, keepdims=True)
     first = (lanes_p == jmin).astype(f32)
     prim = jnp.sum(best_prim[:, :] * first, axis=1, keepdims=True)
-    b1w = jnp.sum(best_b1[:, :] * first, axis=1, keepdims=True)
-    b2w = jnp.sum(best_b2[:, :] * first, axis=1, keepdims=True)
+    b1w = jnp.sum(best_b1[:, :].astype(f32) * first, axis=1,
+                  keepdims=True)
+    b2w = jnp.sum(best_b2[:, :].astype(f32) * first, axis=1,
+                  keepdims=True)
     out_ref[0, :, 0:1] = pr
     out_ref[0, :, 1:2] = prim
     out_ref[0, :, 2:3] = b1w
@@ -1852,10 +1859,15 @@ def _stage_isect(words, emeta, slot_pkt, feats, lim, kleaf_k,
                                  salt=salt)
         best_scratch = [pltpu.VMEM((PKT, T), jnp.float32)]
     else:
+        epi = os.environ.get("RADIANCE_ISECT_EPI", "f32")
+        bdt = jnp.bfloat16 if epi == "bf16" else jnp.float32
         kern = functools.partial(_isect3_kernel, precision=precision,
-                                 orient=orient, cull=cull, salt=salt)
-        best_scratch = [pltpu.VMEM((PKT, T), jnp.float32)
-                        for _ in range(4)]
+                                 orient=orient, cull=cull, salt=salt,
+                                 epi=epi)
+        best_scratch = [pltpu.VMEM((PKT, T), jnp.float32),
+                        pltpu.VMEM((PKT, T), jnp.float32),
+                        pltpu.VMEM((PKT, T), bdt),
+                        pltpu.VMEM((PKT, T), bdt)]
     return pl.pallas_call(
         kern,
         grid_spec=pltpu.PrefetchScalarGridSpec(

@@ -674,3 +674,28 @@ def test_stream3_tqsort_refine(monkeypatch):
         assert (np.diff(buckets) >= 0).all(), s
         checked += k
     assert checked > 0
+
+
+def test_stream3_bf16_epilogue(monkeypatch):
+    """RADIANCE_ISECT_EPI=bf16: t and prim stay exact; b1/b2 within
+    bf16 tolerance of the f32 epilogue."""
+    ds = _single_instance_scene(n_tris=400, seed=21)
+    rng = np.random.default_rng(5)
+    o, d = gen_rays(rng, 2048, spread=8.0)
+    o, d = jnp.asarray(o), jnp.asarray(d)
+    rows_w = stream3.rows_from_aos(o, d)
+    tstart, _ = stream3.leaf_tables(ds.knode_f, ds.kleaf.shape[0])
+    args = (rows_w, 1e-3, 1e3, ds.knode_f, ds.kleaf, ds.kprim,
+            ds.ktri_geo, ds.inst_inv[0], tstart)
+    rec_p = stream3._run(*args, precision="f32", interpret=True)
+    monkeypatch.setenv("RADIANCE_ISECT_EPI", "bf16")
+    rec_b = stream3._run(*args, precision="f32", interpret=True)
+    np.testing.assert_array_equal(np.asarray(rec_p.t),
+                                  np.asarray(rec_b.t))
+    np.testing.assert_array_equal(np.asarray(rec_p.prim),
+                                  np.asarray(rec_b.prim))
+    hit = np.asarray(rec_p.t) < FLT_MAX
+    np.testing.assert_allclose(np.asarray(rec_b.b1)[hit],
+                               np.asarray(rec_p.b1)[hit], atol=5e-3)
+    np.testing.assert_allclose(np.asarray(rec_b.b2)[hit],
+                               np.asarray(rec_p.b2)[hit], atol=5e-3)
