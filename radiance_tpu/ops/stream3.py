@@ -820,7 +820,8 @@ def _stage_emit(lim, scal, smeta, bscal, nodef, *, interpret: bool,
 def _emit3ws_kernel(lim_ref, meta_ref, scal_ref, bscal_ref, nodef_ref,
                     words_ref, emeta_ref,
                     ptr_i, pk_s, bs_s, wbuf_ref, st_ref, cur_ref,
-                    *, salt: int = 0, nlanes: int = 32, nslot: int = 0):
+                    *, salt: int = 0, nlanes: int = 32, nslot: int = 0,
+                    wg: int = G):
     """Work-stealing emit walk.
 
     The lockstep kernel (_emit3_kernel) runs fixed groups of G=8 walks
@@ -854,7 +855,14 @@ def _emit3ws_kernel(lim_ref, meta_ref, scal_ref, bscal_ref, nodef_ref,
     Step-cap semantics differ from the lockstep kernel deliberately:
     the cap is per SLOT (st lane 4), not per group, which only ever
     flags FEWER packets for the residual re-walk.
+
+    `wg` is the number of concurrent walk rows.  Under lockstep
+    scheduling wider groups LOSE (the group-max tax grows with G); a
+    stealing scheduler only gains -- one scalar round trip serves wg
+    rows, so wg=16 roughly halves the per-row latency floor at 2x the
+    (cheap) vector work.
     """
+    G = wg      # shadows the module G inside this kernel body
     f32, i32 = jnp.float32, jnp.int32
     i = pl.program_id(0)
     tmax = lim_ref[0, 1]
@@ -1039,13 +1047,15 @@ def _emit3wst_kernel(lim_ref, meta_ref, scal_ref, bscal_ref, nodef_ref,
                      words_ref, emeta_ref,
                      ptr_i, pk_s, bs_s, wbuf_ref, st_ref, cur_ref,
                      *, salt: int = 0, nlanes: int = 32,
-                     nslot: int = 0):
+                     nslot: int = 0, wg: int = G):
     """Work-stealing + treelet emit walk: _emit3ws_kernel's global-
     cursor scheduling around _emit3t_kernel's aligned-8-row-window walk
     (one node-window load + in-window path-follow per iteration,
     measured 3.2 nodes/load).  The two levers multiply: the treelet
     cuts iterations ~3.5x and stealing removes the ~2x lockstep
-    group-max waste on what remains."""
+    group-max waste on what remains.  `wg` widens the row count (see
+    _emit3ws_kernel)."""
+    G = wg      # shadows the module G inside this kernel body
     f32, i32 = jnp.float32, jnp.int32
     i = pl.program_id(0)
     tmax = lim_ref[0, 1]
@@ -1270,14 +1280,26 @@ def _emit3wst_kernel(lim_ref, meta_ref, scal_ref, bscal_ref, nodef_ref,
 
 
 def _stage_emit_ws(lim, scal, smeta, bscal, nodef, *, interpret: bool,
-                   salt: int = 0, treelet: bool = False):
+                   salt: int = 0, treelet: bool = False, wg=None):
     """Work-stealing emit.  Same (words, emeta) contract as
     _stage_emit except rows are in slot-RETIRE order: emeta lane 5
     holds the (sorted-space) slot index each row belongs to.  Callers
-    thread the permutation through slot_pkt / the glue reorder."""
+    thread the permutation through slot_pkt / the glue reorder.
+
+    wg (RADIANCE_WSG, default 8) = concurrent walk rows; when nslot is
+    not a multiple, dead pad slots are appended and the returned
+    arrays carry the padded row count (pad rows retire with cnt 0)."""
+    if wg is None:
+        wg = int(os.environ.get("RADIANCE_WSG", "8"))
     nslot = scal.shape[0]
-    assert nslot % G == 0, nslot
-    ngrp = nslot // G
+    pad = (-nslot) % wg
+    if pad:
+        scal = jnp.concatenate(
+            [scal, jnp.zeros((pad, 16), scal.dtype)])
+        smeta = jnp.concatenate(
+            [smeta, jnp.zeros((pad, 8), smeta.dtype)])
+        nslot = nslot + pad
+    ngrp = nslot // wg
     nlanes = 8 * (BLK // REFINE_SUB)
     # per-slot scalars the refill reads from SMEM, flat-packed into
     # full 128-lane rows (SMEM pads the minor dim to 128 lanes):
@@ -1290,7 +1312,7 @@ def _stage_emit_ws(lim, scal, smeta, bscal, nodef, *, interpret: bool,
     kern = _emit3wst_kernel if treelet else _emit3ws_kernel
     return pl.pallas_call(
         functools.partial(kern, salt=salt, nlanes=nlanes,
-                          nslot=nslot),
+                          nslot=nslot, wg=wg),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=0,
             grid=(ngrp,),
@@ -1307,17 +1329,17 @@ def _stage_emit_ws(lim, scal, smeta, bscal, nodef, *, interpret: bool,
                              memory_space=pltpu.VMEM),
             ],
             out_specs=[
-                pl.BlockSpec((G, PCAP), lambda i: (i, 0),
+                pl.BlockSpec((wg, PCAP), lambda i: (i, 0),
                              memory_space=pltpu.SMEM),
-                pl.BlockSpec((G, 8), lambda i: (i, 0),
+                pl.BlockSpec((wg, 8), lambda i: (i, 0),
                              memory_space=pltpu.SMEM),
             ],
             scratch_shapes=[
-                pltpu.VMEM((G, 128), jnp.int32),          # ptr trip
-                pltpu.VMEM((G, 16), jnp.float32),         # pk_s
-                pltpu.VMEM((G * nlanes, 16), jnp.float32),  # bs_s
-                pltpu.SMEM((G, PCAP), jnp.int32),         # wbuf
-                pltpu.SMEM((G, 8), jnp.int32),            # st
+                pltpu.VMEM((wg, 128), jnp.int32),         # ptr trip
+                pltpu.VMEM((wg, 16), jnp.float32),        # pk_s
+                pltpu.VMEM((wg * nlanes, 16), jnp.float32),  # bs_s
+                pltpu.SMEM((wg, PCAP), jnp.int32),        # wbuf
+                pltpu.SMEM((wg, 8), jnp.int32),           # st
                 pltpu.SMEM((1, 8), jnp.int32),            # cursor/iters
             ],
         ),
@@ -1514,7 +1536,8 @@ def _stage_refine_exact(words, emeta, slot_pkt, feats_t, aabb8, lim,
     """Run the exact block refine over all slots.  Returns
     (words', emeta') with compacted lists; emeta' lane 4 carries the
     pre-refine word count for diagnostics.  sort=True additionally
-    tq-orders each list (near leaves first) for the isect cull."""
+    tq-orders each list (near leaves first) for the isect cull.
+    """
     nslot = words.shape[0]
     npadl = aabb8.shape[0]
     return pl.pallas_call(
@@ -1997,12 +2020,16 @@ def _run(rows_w, tmin, tmax, nodef, kleaf_k, kprim, ktri_geo, inv0,
         words, emeta = _stage_emit_ws(lim, scal, smeta, bscal, nodef,
                                       interpret=interpret,
                                       treelet=treelet)
-        # rows are in slot-retire order; lane 5 maps row -> sorted slot
+        # rows are in slot-retire order; lane 5 maps row -> sorted
+        # slot.  The stage may have appended dead pad slots (wg
+        # rounding): their rows carry cnt 0 and slot ids >= nsl.
+        nsl = smeta.shape[0]
         rowslot = emeta[:, 5]
         row_of = jnp.zeros_like(rowslot).at[rowslot].set(
             jnp.arange(rowslot.shape[0], dtype=jnp.int32))
-        slot_pkt = smeta[rowslot, 0]
-        emeta_sorted = emeta[row_of]
+        rs_c = jnp.minimum(rowslot, nsl - 1)
+        slot_pkt = jnp.where(rowslot < nsl, smeta[rs_c, 0], 0)
+        emeta_sorted = emeta[row_of[:nsl]]
     else:
         words, emeta = _stage_emit(lim, scal, smeta, bscal, nodef,
                                    interpret=interpret, treelet=treelet)
@@ -2073,7 +2100,13 @@ def _run(rows_w, tmin, tmax, nodef, kleaf_k, kprim, ktri_geo, inv0,
         blk_perm = (jnp.zeros(nb, jnp.int32).at[inv_blk].set(
             jnp.arange(nb, dtype=jnp.int32)) if presort
             else jnp.arange(nb, dtype=jnp.int32))
-        alive_rows = alive[rowslot] if ws else alive
+        if ws:
+            alive_rows = jnp.where(rowslot < smeta.shape[0],
+                                   alive[jnp.minimum(
+                                       rowslot, smeta.shape[0] - 1)],
+                                   False)
+        else:
+            alive_rows = alive
         diag = {"pkt_flag": pkt_flag,    # in SORTED packet space
                 "blk_perm": blk_perm,    # sorted block -> caller block
                 "words": jnp.sum(jnp.minimum(emeta[:, 0], PCAP)

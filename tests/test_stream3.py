@@ -515,10 +515,14 @@ def test_stream3_ws_emit_matches_plain():
                                     ds.knode_f, interpret=True)
     wp, ep, ww, ew = (np.asarray(a) for a in (wp, ep, ww, ew))
     rowslot = ew[:, 5]
-    # lane 5 is a permutation of the slot space
+    # lane 5 is a permutation of the slot space (incl. wg pad slots)
     assert sorted(rowslot.tolist()) == list(range(len(rowslot)))
+    nslot = wp.shape[0]
     some_words = 0
     for row, s in enumerate(rowslot):
+        if s >= nslot:               # dead wg-rounding pad slot
+            assert ew[row, 0] == 0
+            continue
         assert ew[row, 0] == ep[s, 0], (row, s)
         assert ew[row, 1] == 0 and ep[s, 1] == 0
         cnt = min(ep[s, 0], stream3.PCAP)
@@ -598,8 +602,12 @@ def test_stream3_ws_treelet_matches_lockstep_treelet():
     wp, ep, ww, ew = (np.asarray(a) for a in (wp, ep, ww, ew))
     rowslot = ew[:, 5]
     assert sorted(rowslot.tolist()) == list(range(len(rowslot)))
+    nslot = wp.shape[0]
     total = 0
     for row, s in enumerate(rowslot):
+        if s >= nslot:               # dead wg-rounding pad slot
+            assert ew[row, 0] == 0
+            continue
         assert ew[row, 0] == ep[s, 0], (row, s)
         cnt = min(ep[s, 0], stream3.PCAP)
         total += cnt
@@ -699,3 +707,38 @@ def test_stream3_bf16_epilogue(monkeypatch):
                                np.asarray(rec_p.b1)[hit], atol=5e-3)
     np.testing.assert_allclose(np.asarray(rec_b.b2)[hit],
                                np.asarray(rec_p.b2)[hit], atol=5e-3)
+
+
+def test_stream3_ws_wide_groups():
+    """wg=16 (RADIANCE_WSG): one scalar round trip serves 16 walk
+    rows.  Per-slot lists must still bit-match the lockstep kernel,
+    including when nslot is not a multiple of wg (dead pad slots)."""
+    ds = _single_instance_scene(n_tris=400, seed=21)
+    rng = np.random.default_rng(7)
+    o, d = gen_rays(rng, stream3.G * stream3.PKT, spread=8.0)
+    rows_w = stream3.rows_from_aos(jnp.asarray(o), jnp.asarray(d))
+    _, _, scal, smeta, bscal, lim, _, _ = stream3._stage_prep(
+        rows_w, 1e-3, 1e3, ds.knode_f, ds.inst_inv[0])
+    nslot = scal.shape[0]
+    assert nslot % 16 != 0      # exercises the pad path
+    wp, ep = stream3._stage_emit(lim, scal, smeta, bscal, ds.knode_f,
+                                 interpret=True)
+    for treelet in (False, True):
+        ref_w, ref_e = (wp, ep) if not treelet else stream3._stage_emit(
+            lim, scal, smeta, bscal, ds.knode_f, interpret=True,
+            treelet=True)
+        ww, ew = stream3._stage_emit_ws(lim, scal, smeta, bscal,
+                                        ds.knode_f, interpret=True,
+                                        treelet=treelet, wg=16)
+        ww, ew = np.asarray(ww), np.asarray(ew)
+        rp, re = np.asarray(ref_w), np.asarray(ref_e)
+        assert ww.shape[0] % 16 == 0 and ww.shape[0] >= nslot
+        rowslot = ew[:, 5]
+        assert sorted(rowslot.tolist()) == list(range(ww.shape[0]))
+        for row, s in enumerate(rowslot):
+            if s >= nslot:            # dead pad slot
+                assert ew[row, 0] == 0
+                continue
+            assert ew[row, 0] == re[s, 0], (treelet, row, s)
+            cnt = min(re[s, 0], stream3.PCAP)
+            np.testing.assert_array_equal(ww[row, :cnt], rp[s, :cnt])
