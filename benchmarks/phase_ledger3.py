@@ -43,8 +43,13 @@ def main():
 
     j_prep = jax.jit(s3._stage_prep)
     treelet = os.environ.get("S3_TREELET", "0") == "1"
-    j_emit = jax.jit(functools.partial(s3._stage_emit, interpret=False,
-                                       treelet=treelet))
+    ws = os.environ.get("RADIANCE_WS", "0") == "1"
+    if ws:
+        j_emit = jax.jit(functools.partial(
+            s3._stage_emit_ws, interpret=False, treelet=treelet))
+    else:
+        j_emit = jax.jit(functools.partial(
+            s3._stage_emit, interpret=False, treelet=treelet))
     j_isect = jax.jit(functools.partial(
         s3._stage_isect, precision=precision, interpret=False,
         orient=orient, cull=cull))
@@ -64,14 +69,28 @@ def main():
     dt, (words, emeta) = timed_chain(j_emit, lim, scal, smeta, bscal,
                                      nodef, iters=8)
     em = np.asarray(emeta)
+    if ws:
+        # rows are in retire order (possibly wg-padded); realign the
+        # alive mask + slot_pkt to row space
+        rowslot = em[:, 5]
+        nsl = smeta.shape[0]
+        alive_s = alive
+        alive = np.where(rowslot < nsl,
+                         alive_s[np.minimum(rowslot, nsl - 1)], 0)
+        slot_pkt = jnp.asarray(np.where(
+            rowslot < nsl,
+            np.asarray(smeta[:, 0])[np.minimum(rowslot, nsl - 1)], 0)
+            .astype(np.int32))
+        steps_str = f"steps(ws max)={em[:, 2].max()}"
+    else:
+        slot_pkt = smeta[:, 0]
+        steps_str = f"steps(sum groups)={em[::s3.G, 2].sum()}"
     cnt = np.minimum(em[:, 0], s3.PCAP) * alive
     print(f"emit:   {dt*1e3:7.1f} ms  words/slot mean={cnt[alive>0].mean():.1f} "
           f"p95={np.percentile(cnt[alive>0], 95):.0f} total={cnt.sum()} "
           f"capped={int(((em[:,1]>0)&(alive>0)).sum())} "
           f"of={int((em[:,0]>s3.PCAP).sum())} "
-          f"steps(sum groups)={em[::s3.G,2].sum()}")
-
-    slot_pkt = smeta[:, 0]
+          + steps_str)
     if os.environ.get("RADIANCE_EXACT_REFINE", "1") == "1":
         _, aabb = leaf_tables(nodef, scene.kleaf.shape[0])
         nl = aabb.shape[0]
@@ -97,7 +116,7 @@ def main():
     # pair estimate: popcount of keepmasks
     w_h = np.asarray(words)
     pairs = 0
-    for s in range(nslot):
+    for s in range(w_h.shape[0]):
         if alive[s] and cnt[s]:
             km = (w_h[s, :cnt[s]] >> s3.W_KEEP_SHIFT) & 255
             pairs += int(np.bitwise_count(km.astype(np.uint8)).sum()) \
@@ -106,7 +125,13 @@ def main():
     print(f"isect:  {dt*1e3:7.1f} ms  pairs~{pairs} "
           f"({dt/max(pairs,1)*1e6:.2f} us/pair)")
 
-    inv_order = np.argsort(np.asarray(order)).astype(np.int32)
+    if ws:
+        row_of = np.zeros(len(em), np.int32)
+        row_of[em[:, 5]] = np.arange(len(em), dtype=np.int32)
+        inv_order = row_of[np.argsort(np.asarray(order)).astype(
+            np.int32)]
+    else:
+        inv_order = np.argsort(np.asarray(order)).astype(np.int32)
     out_u = out_s[jnp.asarray(inv_order)]
     smeta_u = np.zeros_like(np.asarray(smeta))
     smeta_u[np.asarray(order)] = np.asarray(smeta)
