@@ -480,12 +480,17 @@ def run_engine_bench():
     # upper bound (batch * depth * 2 * n) like the reference's
     # sample-count bookkeeping
     rays = BATCH * DEPTH * 2 * n
+    # output integrity: route A/Bs must agree here -- a backend that
+    # silently poisons truncated packets to miss would look "fast"
+    # while darkening the image
+    amean = float(jnp.mean(accum))
     print(json.dumps({
         "metric": "engine_mrays_per_sec_1Mtri_1080p",
         "value": round(rays / dt / 1e6, 3),
         "unit": "Mrays/s",
         "ms_per_frame": round(dt * 1e3, 1),
         "batch": BATCH, "depth": DEPTH,
+        "accum_mean": round(amean, 6),
     }))
 
 
