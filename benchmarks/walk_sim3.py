@@ -196,6 +196,8 @@ def pair_counts(nodef, em_slot, em_row, slot_pkt, rows_np, live_np,
         ok = (tf >= np.maximum(tn, 0.0)) & (tn < tmaxf) & live_np[ridx]
         okb = ok.reshape(len(p), 8, 128).any(2)
         total += int(okb.sum())
+        out["pairs_exact32"] = out.get("pairs_exact32", 0) + int(
+            ok.reshape(len(p), 32, 32).any(2).sum())
         if em_tn is not None and tfinal is not None:
             lv = live_np[ridx].reshape(len(p), 8, 128)
             tfin = tfinal[ridx].reshape(len(p), 8, 128)
