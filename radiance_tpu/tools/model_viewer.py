@@ -4,7 +4,7 @@ Equivalent of the reference's modelViewer (reference:
 tools/modelViewer.cpp): dumps meshes, materials, textures, and the node
 tree with accumulated transforms.
 
-Usage: python -m radiance_tpu.tools.model_viewer <asset.glb|asset.obj>
+Usage: python -m radiance_tpu.tools.model_viewer <asset.glb|obj|stl|ply>
 """
 
 from __future__ import annotations
@@ -57,11 +57,11 @@ def print_glb(path: str) -> None:
         walk(r, np.eye(4, dtype=np.float32), 0)
 
 
-def print_obj(path: str) -> None:
-    from radiance_tpu.scene import objmesh
+def print_mesh(path: str) -> None:
+    from radiance_tpu.scene import meshformats
 
-    verts, tris, normals, uvs = objmesh.load_obj(path)
-    print(f"OBJ: {path}")
+    verts, tris, normals, uvs = meshformats.load_mesh(path)
+    print(f"Mesh: {path}")
     print(f"  {len(verts)} vertices, {len(tris)} triangles")
     print(f"  bounds: {verts.min(axis=0)} .. {verts.max(axis=0)}")
 
@@ -70,8 +70,8 @@ def main():
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("asset")
     args = ap.parse_args()
-    if args.asset.lower().endswith(".obj"):
-        print_obj(args.asset)
+    if args.asset.lower().endswith((".obj", ".stl", ".ply")):
+        print_mesh(args.asset)
     else:
         print_glb(args.asset)
 
