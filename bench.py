@@ -32,6 +32,32 @@ CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                      ".bench_cache", f"cloud_{N_TRIS}.tlas")
 
 
+def apply_bench_env():
+    """Apply the fastest VALIDATED configuration recorded by
+    tools/pick_bench_env.py (.bench_cache/bench_env) via setdefault --
+    explicit env always wins.  Only configs that already compiled AND
+    ran on this chip are ever recorded, so this can never make the
+    bench first-compile an unvalidated kernel (remote Mosaic compile
+    hangs wedge the device queue; see BASELINE.md)."""
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        ".bench_cache", "bench_env")
+    if not os.path.exists(path):
+        return
+    applied = []
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if not line or line.startswith("#") or "=" not in line:
+                continue
+            k, v = line.split("=", 1)
+            if k not in os.environ:
+                os.environ[k] = v
+                applied.append(f"{k}={v}")
+    if applied:
+        print(f"# bench_env applied: {' '.join(applied)}",
+              file=sys.stderr)
+
+
 def preflight_device(timeout_s: int = 240) -> bool:
     """Probe the accelerator in a SUBPROCESS with a hard timeout.  A
     wedged backend (e.g. a hung server-side kernel compile) blocks
@@ -581,6 +607,7 @@ def main():
 
 
 if __name__ == "__main__":
+    apply_bench_env()
     if not preflight_device():
         print(json.dumps({
             "metric": "traversal_mrays_per_sec_1Mtri_1080p",
