@@ -10,6 +10,16 @@ flat-color closest-hit and miss shaders, one primary ray per pixel,
 import os
 import sys
 
+if "--cpu" in sys.argv:
+    # the axon TPU plugin ignores the JAX_PLATFORMS env var; forcing
+    # the platform via jax.config is the only reliable off-chip switch
+    # (tests/conftest.py does the same) and must happen before any
+    # backend use
+    sys.argv.remove("--cpu")
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import numpy as np
