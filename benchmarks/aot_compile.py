@@ -154,6 +154,61 @@ def compile_emit_ws(treelet: bool = False):
     return aot_compile(fn, lim, scal, smeta, bscal, nodef)
 
 
+def compile_tlas_native():
+    """TLAS-native multi shapes (trace_rows_tlas): the same three
+    kernels, but at the native slot regime -- nslot ~ 2 * npk (4064 on
+    the 64-instance 1080p bench wave), per-SLOT feature blocks, a
+    concatenated ~188k-row nodef, and a ~12k-leaf flat table.  Compiles
+    all three stages; returns total seconds."""
+    from radiance_tpu.ops import stream3 as s3
+    rng = np.random.default_rng(0)
+    nslot = 512                  # slot regime scaled for harness RAM;
+    nk = 188000                  # nodef/bscal/aabb at REAL bench size
+    nleaf = 12000
+    lim = np.asarray([[1e-3, 1e4]], np.float32)
+    scal = rng.standard_normal((nslot, 16)).astype(np.float32)
+    smeta = np.zeros((nslot, 8), np.int32)
+    smeta[:, 0] = np.arange(nslot)          # per-slot bscal groups
+    smeta[:, 1] = 1
+    smeta[:, 2] = rng.integers(0, nk - 64, nslot)
+    bscal = rng.standard_normal((nslot * 32, 16)).astype(np.float32)
+    nodef = rng.standard_normal((nk, 16)).astype(np.float32)
+
+    def fn_emit(lim, scal, smeta, bscal, nodef):
+        return s3._stage_emit(lim, scal, smeta, bscal, nodef,
+                              interpret=False, treelet=False)
+
+    total = aot_compile(fn_emit, lim, scal, smeta, bscal, nodef)
+
+    words = np.zeros((nslot, s3.PCAP), np.int32)
+    emeta = np.zeros((nslot, 8), np.int32)
+    slot_pkt = np.arange(nslot, dtype=np.int32)     # identity: feats
+    feats_t = rng.standard_normal(                  # are per-SLOT
+        (16, nslot * s3.PKT)).astype(np.float32)
+    nlp = ((nleaf + 7) // 8) * 8
+    aabb8 = rng.standard_normal((nlp, 8)).astype(np.float32)
+
+    def fn_refine(words, emeta, slot_pkt, feats_t, aabb8, lim):
+        return s3._stage_refine_exact(words, emeta, slot_pkt, feats_t,
+                                      aabb8, lim, interpret=False)
+
+    total += aot_compile(fn_refine, words, emeta, slot_pkt, feats_t,
+                         aabb8, lim)
+
+    feats = rng.standard_normal(
+        (nslot * s3.PKT, 16)).astype(np.float32)
+    kleaf = rng.standard_normal((64, 16, 512)).astype(np.float32)
+
+    def fn_isect(words, emeta, slot_pkt, feats, lim, kleaf):
+        return s3._stage_isect(words, emeta, slot_pkt, feats, lim,
+                               kleaf, precision="default",
+                               interpret=False, orient="major")
+
+    total += aot_compile(fn_isect, words, emeta, slot_pkt, feats, lim,
+                         kleaf)
+    return total
+
+
 TARGETS = {
     "emit": lambda: compile_emit(False),
     "emit-treelet": lambda: compile_emit(True),
@@ -162,6 +217,7 @@ TARGETS = {
     "isect": compile_isect,
     "isect-occl": compile_isect_occl,
     "refine": compile_refine,
+    "tlas": compile_tlas_native,
 }
 
 

@@ -17,6 +17,7 @@ walk per instance.
 """
 
 import functools
+import os
 
 import numpy as np
 import jax
@@ -51,7 +52,13 @@ class MultiTables:
     sweep; this host-built class needs a concrete scene."""
 
     _FIELDS = ("nodef", "kleaf", "kprim", "ktri_geo", "tstart",
-               "inst_idx", "aabb_w")
+               "inst_idx", "aabb_w",
+               # TLAS-native slot path (trace_rows_tlas): CONCATENATED
+               # unique-BLAS tables with GLOBAL leaf ids baked into the
+               # nodef leaf rows, so the single-instance Pallas kernels
+               # serve every instance unchanged
+               "nodef_cat", "kleaf_cat", "aabb8_cat",
+               "inst_node_off", "inst_nk")
 
     def __init__(self, scene):
         uniq = sorted(set(scene.inst_kblas))
@@ -99,6 +106,50 @@ class MultiTables:
         self.tstart = jnp.asarray(tstart_s)
         self.inst_idx = jnp.asarray(inst_idx)
         self.ninst = ninst
+
+        # --- TLAS-native concatenated tables (trace_rows_tlas) ---
+        # Concatenate the unique-BLAS tables UNPADDED and rewrite each
+        # leaf row's kleaf index (nodef lane 8, leaf rows only) to the
+        # GLOBAL row in kleaf_cat.  The emit walk then packs global
+        # leaf ids into its words, so the refine/isect kernels address
+        # one flat leaf table regardless of instance -- no kernel
+        # changes, no per-slot leaf base.
+        node_off_u = np.zeros(nuniq, np.int64)
+        leaf_off_u = np.zeros(nuniq, np.int64)
+        nodef_cat, aabb_cat = [], []
+        row_acc = leaf_acc = 0
+        for i in range(nuniq):
+            nd = nodefs[i].copy()
+            isleaf = nd[:, 10] > 0
+            nd[isleaf, 8] += leaf_acc
+            node_off_u[i] = row_acc
+            leaf_off_u[i] = leaf_acc
+            nodef_cat.append(nd)
+            nk_u = nodefs[i].shape[0] // 8
+            rows0 = nodefs[i][:nk_u]
+            l0 = rows0[:, 10] > 0
+            nl_u = kleafs[i].shape[0]
+            ab = np.zeros((nl_u, 6), np.float32)
+            ab[rows0[l0, 8].astype(np.int64)] = rows0[l0, 0:6]
+            aabb_cat.append(ab)
+            row_acc += nd.shape[0]
+            leaf_acc += nl_u
+        nodef_cat = np.concatenate(nodef_cat, axis=0)
+        aabb_cat = np.concatenate(aabb_cat, axis=0)
+        nlp = ((leaf_acc + 7) // 8) * 8
+        aabb8 = np.zeros((nlp, 8), np.float32)
+        aabb8[:leaf_acc, :6] = aabb_cat
+        self.nodef_cat = jnp.asarray(nodef_cat)
+        self.kleaf_cat = jnp.asarray(
+            np.concatenate([np.asarray(k) for k in kleafs], axis=0))
+        self.aabb8_cat = jnp.asarray(aabb8)
+        # per-INSTANCE walk bases: start row of the instance's BLAS in
+        # nodef_cat plus its per-octant stride (rows are octant-major
+        # within each BLAS, so base = off + oct * nk)
+        self.inst_node_off = jnp.asarray(
+            node_off_u[inst_idx].astype(np.int32))
+        self.inst_nk = jnp.asarray(np.asarray(
+            [nodefs[u].shape[0] // 8 for u in inst_idx], np.int32))
 
         # world AABB per instance: transform the BLAS root box
         aabbs = np.zeros((ninst, 6), np.float32)
@@ -177,9 +228,21 @@ def trace_rows_multi(scene, mt, rows_w, tmin, tmax,
     instances process their first bcap blocks and the rest fall back
     conservatively to a full-wave... they are simply truncated --
     callers size bcap for their scene, and the returned `slot` of -2
-    marks rays whose block overflowed some instance's list)."""
+    marks rays whose block overflowed some instance's list).
+
+    RADIANCE_MULTI=native routes to the TLAS-native slot pipeline
+    (trace_rows_tlas: one emit/refine/isect invocation over (packet,
+    instance) slots) when the global leaf table fits the packed-word
+    field; the default remains this instance scan until the native
+    path is validated faster on chip."""
     if isinstance(mt, tuple):
         mt = MultiTables.from_tuple(mt)
+    if (os.environ.get("RADIANCE_MULTI", "scan") == "native"
+            and supports_native(mt)):
+        return trace_rows_tlas(scene, mt, rows_w, tmin, tmax,
+                               precision=precision,
+                               interpret=interpret, live=live,
+                               occl=occl)
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     n = rows_w[0].shape[0]
@@ -281,6 +344,275 @@ def trace_rows_multi(scene, mt, rows_w, tmin, tmax,
         slot=jnp.where(hit, bs, -1)[:n],
         b1=b1[:n], b2=b2[:n])
     bad = (jnp.repeat(blk_overflowed, BLK) | bbad)[:n]
+    return HitRecord(t=jnp.where(bad, FLT_MAX, rec.t),
+                     prim=jnp.where(bad, -1, rec.prim),
+                     slot=jnp.where(bad, -2, rec.slot),
+                     b1=jnp.where(bad, 0.0, rec.b1),
+                     b2=jnp.where(bad, 0.0, rec.b2))
+
+
+# ------------------------------------------------- TLAS-native slots
+
+def supports_native(mt) -> bool:
+    """The native slot path applies when every emitted GLOBAL leaf id
+    fits the packed word's 14-bit field (same bound as the
+    single-instance stream3.supports)."""
+    if isinstance(mt, tuple):
+        mt = MultiTables.from_tuple(mt)
+    return mt.kleaf_cat.shape[0] + 1 < (1 << 14)
+
+
+def _prep_tlas(mt, inst_inv, rows_p, tmin, tmax, live_p, scap):
+    """XLA prep for the native path.  Slot = (packet, instance) pair
+    surviving the TLAS block cull; each slot gets its packet's rays
+    TRANSFORMED into its instance's object space, so every downstream
+    stage is the unchanged single-instance pipeline over a per-SLOT
+    feature table.
+
+    Plays the emit kernels' one indexing convention: smeta lane 0
+    (read only as the bscal group base) carries the slot's own storage
+    index, because refine scalars are per-slot here, not per-packet.
+    Lanes 3/4 carry the true (packet, instance) for the glue.
+
+    Returns (feats_t [16, scap*PKT], scal, smeta (both score-sorted),
+    bscal, lim, order, pkt_of, inst_of, alive, pool_of [npk])."""
+    f32, i32 = jnp.float32, jnp.int32
+    npad = rows_p[0].shape[0]
+    npk = npad // PKT
+    ninst = mt.aabb_w.shape[0]
+
+    ov = _block_overlap(rows_p, mt.aabb_w, tmin, tmax,
+                        live=live_p)                 # [nblk, ninst]
+    ovp = jnp.any(ov.reshape(npk, PKT // BLK, ninst), axis=1)
+    valid0 = ovp.reshape(-1)                         # pkt-major
+    rank = jnp.cumsum(valid0.astype(i32)) - 1
+    fit = valid0 & (rank < scap)
+    sidx = jnp.where(fit, rank, scap)
+    pkt_ids = (jnp.arange(npk * ninst, dtype=i32) // ninst)
+    inst_ids = (jnp.arange(npk * ninst, dtype=i32) % ninst)
+    pkt_of = jnp.full(scap, npk, i32).at[sidx].set(pkt_ids, mode="drop")
+    inst_of = jnp.zeros(scap, i32).at[sidx].set(inst_ids, mode="drop")
+    valid = jnp.zeros(scap, bool).at[sidx].set(True, mode="drop")
+    pool_of = jnp.zeros(npk, i32).at[pkt_ids].max(
+        (valid0 & ~fit).astype(i32), mode="drop")
+
+    pc = jnp.minimum(pkt_of, npk - 1)
+    gw = [r.reshape(npk, PKT)[pc] for r in rows_p]   # 6 x [scap, PKT]
+    live_s = valid[:, None] & (jnp.ones((scap, PKT), bool)
+                               if live_p is None
+                               else live_p.reshape(npk, PKT)[pc])
+    m = inst_inv[inst_of]                            # [scap, 4, 4]
+
+    def mc(r, c):
+        return m[:, r, c][:, None]
+    ox = mc(0, 0) * gw[0] + mc(0, 1) * gw[1] + mc(0, 2) * gw[2] + mc(0, 3)
+    oy = mc(1, 0) * gw[0] + mc(1, 1) * gw[1] + mc(1, 2) * gw[2] + mc(1, 3)
+    oz = mc(2, 0) * gw[0] + mc(2, 1) * gw[1] + mc(2, 2) * gw[2] + mc(2, 3)
+    dx = mc(0, 0) * gw[3] + mc(0, 1) * gw[4] + mc(0, 2) * gw[5]
+    dy = mc(1, 0) * gw[3] + mc(1, 1) * gw[4] + mc(1, 2) * gw[5]
+    dz = mc(2, 0) * gw[3] + mc(2, 1) * gw[4] + mc(2, 2) * gw[5]
+    # park dead lanes AFTER the transform (garbage world rays would
+    # otherwise poison the frusta through inf/nan arithmetic)
+    park = jnp.float32(1e30)
+    ox = jnp.where(live_s, ox, park)
+    oy = jnp.where(live_s, oy, park)
+    oz = jnp.where(live_s, oz, park)
+    dx = jnp.where(live_s, dx, 1.0)
+    dy = jnp.where(live_s, dy, 1.0)
+    dz = jnp.where(live_s, dz, 1.0)
+    rows_o = tuple(a.reshape(-1) for a in (ox, oy, oz, dx, dy, dz))
+
+    oxf, oyf, ozf, dxf, dyf, dzf = rows_o
+    mx = oyf * dzf - ozf * dyf
+    my = ozf * dxf - oxf * dzf
+    mz = oxf * dyf - oyf * dxf
+    ones = jnp.ones(scap * PKT, f32)
+    zeros = jnp.zeros(scap * PKT, f32)
+    feats_t = jnp.stack([dxf, dyf, dzf, mx, my, mz, oxf, oyf, ozf,
+                         ones, zeros, zeros, zeros, zeros, zeros,
+                         zeros])
+
+    scal = s3._group_scalars(rows_o, PKT, mask=live_s)   # [scap, 16]
+    spb = BLK // s3.REFINE_SUB
+    nlanes = 8 * spb
+    bscal32 = s3._group_scalars(
+        rows_o, s3.REFINE_SUB,
+        mask=live_s.reshape(-1, s3.REFINE_SUB))
+    bscal = bscal32.reshape(scap, 8, spb, 16).transpose(0, 2, 1, 3) \
+        .reshape(scap * nlanes, 16)
+
+    oct_full = ((scal[:, 0] < 0).astype(i32)
+                + 2 * (scal[:, 1] < 0).astype(i32)
+                + 4 * (scal[:, 2] < 0).astype(i32))
+    base = mt.inst_node_off[inst_of] + oct_full * mt.inst_nk[inst_of]
+    alive = valid & jnp.any(live_s, axis=1)
+
+    smeta = jnp.zeros((scap, 8), i32)
+    smeta = smeta.at[:, 0].set(jnp.arange(scap, dtype=i32))
+    smeta = smeta.at[:, 1].set(alive.astype(i32))
+    smeta = smeta.at[:, 2].set(base)
+    smeta = smeta.at[:, 3].set(pkt_of)
+    smeta = smeta.at[:, 4].set(inst_of)
+
+    # walk-length proxy sort (see stream3._stage_prep): heavy first so
+    # lockstep groups run similar lengths; dead slots last
+    ihi_s = scal[:, 12:15]
+    spread = scal[:, 6:9] - scal[:, 3:6]
+    score = jnp.sum(jnp.log2(jnp.clip(ihi_s, 1.0, 1e8)), axis=1) \
+        + jnp.sum(jnp.log2(jnp.clip(spread, 1e-3, 1e4)), axis=1)
+    score = jnp.where(alive, score, -jnp.float32(1e30))
+    order = jnp.argsort(-score).astype(i32)
+    scal_s = scal[order]
+    smeta_s = smeta[order]
+
+    lim = jnp.stack([jnp.float32(tmin),
+                     jnp.float32(tmax)]).reshape(1, 2)
+    return (feats_t, scal_s, smeta_s, bscal, lim, order,
+            pkt_of, inst_of, alive, pool_of)
+
+
+def _glue_tlas(out_u, pkt_of, inst_of, alive, npk, n):
+    """Fold per-slot results (STORAGE order) into per-ray winners.
+    Ties across instances resolve per field by the max trick (exact
+    float-t ties between different surfaces are measure-zero; the
+    reference's sequential walk has the same ambiguity)."""
+    f32, i32 = jnp.float32, jnp.int32
+    fmax_bits = jax.lax.bitcast_convert_type(jnp.float32(FLT_MAX),
+                                             i32)
+    t_all = jnp.where(alive[:, None], out_u[:, :, 0], FLT_MAX)
+    kx = jax.lax.bitcast_convert_type(t_all, i32)
+    tgt = jnp.where(alive, pkt_of, npk)
+    kmin = jnp.full((npk, PKT), fmax_bits, i32).at[tgt].min(
+        kx, mode="drop")
+    t = jax.lax.bitcast_convert_type(kmin, f32)
+    km_g = kmin[jnp.minimum(pkt_of, npk - 1)]        # [scap, PKT]
+    match = alive[:, None] & (kx == km_g)
+    prim = jnp.full((npk, PKT), -_FMAX_F, f32).at[tgt].max(
+        jnp.where(match, out_u[:, :, 1], -_FMAX_F), mode="drop")
+    b1 = jnp.full((npk, PKT), -_FMAX_F, f32).at[tgt].max(
+        jnp.where(match, out_u[:, :, 2], -_FMAX_F), mode="drop")
+    b2 = jnp.full((npk, PKT), -_FMAX_F, f32).at[tgt].max(
+        jnp.where(match, out_u[:, :, 3], -_FMAX_F), mode="drop")
+    inst = jnp.full((npk, PKT), -1, i32).at[tgt].max(
+        jnp.where(match, inst_of[:, None], -1), mode="drop")
+
+    t = t.reshape(-1)[:n]
+    prim = prim.reshape(-1)[:n]
+    b1 = b1.reshape(-1)[:n]
+    b2 = b2.reshape(-1)[:n]
+    inst = inst.reshape(-1)[:n]
+    hit = (t < FLT_MAX) & (prim >= 0.0)
+    return HitRecord(
+        t=jnp.where(hit, t, FLT_MAX),
+        prim=jnp.where(hit, prim.astype(i32), -1),
+        slot=jnp.where(hit, inst, -1),
+        b1=jnp.where(hit, b1, 0.0),
+        b2=jnp.where(hit, b2, 0.0))
+
+
+_FMAX_F = 3.4028235e38
+
+
+def trace_rows_tlas(scene, mt, rows_w, tmin, tmax,
+                    precision: str = "default", interpret=None,
+                    live=None, occl: bool = False, scap=None,
+                    ws=None, treelet: bool = False) -> HitRecord:
+    """Jit-traceable TLAS-native many-instance trace.
+
+    One emit + one refine + one isect invocation over (packet,
+    instance) SLOTS: the TLAS block cull keeps a slot only where a
+    packet's frustum touches an instance's world AABB, so cost scales
+    with real overlap -- not with instance count like the lax.scan
+    sweep (trace_rows_multi's default), and not with a full pipeline
+    launch per instance.  The Pallas kernels are the UNCHANGED
+    single-instance stream3 binaries: instance dispatch lives entirely
+    in the tables (concatenated nodef with global leaf ids + per-slot
+    object-space features), so this path adds zero Mosaic compile
+    surface.  Reference semantics: the two-level walk + per-instance
+    inverse transform of radiance.cl:110-192.
+
+    `scap` = slot capacity (static; default 2 packets' worth of slots
+    per packet, env RADIANCE_TLAS_SCAP overrides the multiplier).
+    Packets whose slots overflow the pool, step-cap, or overflow their
+    word lists are POISONED to miss with slot == -2 (same contract as
+    trace_rows_multi)."""
+    if isinstance(mt, tuple):
+        mt = MultiTables.from_tuple(mt)
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    if ws is None:
+        ws = os.environ.get("RADIANCE_WS", "0") == "1"
+    n = rows_w[0].shape[0]
+    pad = (-n) % (s3.G * PKT)
+    rows_p = tuple(
+        jnp.concatenate([r.astype(jnp.float32),
+                         jnp.broadcast_to(r[:1].astype(jnp.float32),
+                                          (pad,))])
+        if pad else r.astype(jnp.float32) for r in rows_w)
+    live_p = None
+    if live is not None:
+        live_p = (jnp.concatenate([live, jnp.zeros(pad, bool)])
+                  if pad else live)
+    npad = rows_p[0].shape[0]
+    npk = npad // PKT
+    if scap is None:
+        # exact upper bound (npk * ninst) when small -- no overflow is
+        # possible; bounded by a per-packet multiplier at wave scale
+        mult = float(os.environ.get("RADIANCE_TLAS_SCAP", "2"))
+        scap = min(npk * mt.ninst, max(int(npk * mult), 1024))
+    scap = max(((scap + 7) // 8) * 8, s3.G)
+
+    inst_inv = scene.inst_inv[:mt.ninst]
+    (feats_t, scal, smeta, bscal, lim, order,
+     pkt_of, inst_of, alive, pool_of) = _prep_tlas(
+        mt, inst_inv, rows_p, tmin, tmax, live_p, scap)
+
+    if ws:
+        words, emeta = s3._stage_emit_ws(
+            lim, scal, smeta, bscal, mt.nodef_cat,
+            interpret=interpret, treelet=treelet)
+        nsl = smeta.shape[0]
+        rowslot = emeta[:, 5]
+        row_of = jnp.zeros_like(rowslot).at[rowslot].set(
+            jnp.arange(rowslot.shape[0], dtype=jnp.int32))
+        rs_c = jnp.minimum(rowslot, nsl - 1)
+        slot_pkt = jnp.where(rowslot < nsl, smeta[rs_c, 0], 0)
+        emeta_sorted = emeta[row_of[:nsl]]
+    else:
+        words, emeta = s3._stage_emit(
+            lim, scal, smeta, bscal, mt.nodef_cat,
+            interpret=interpret, treelet=treelet)
+        row_of = None
+        slot_pkt = smeta[:, 0]
+        emeta_sorted = emeta
+
+    words_i, emeta_i = words, emeta
+    if not occl and os.environ.get("RADIANCE_EXACT_REFINE", "1") == "1":
+        words_i, emeta_i = s3._stage_refine_exact(
+            words, emeta, slot_pkt, feats_t, mt.aabb8_cat, lim,
+            interpret=interpret,
+            sort=os.environ.get("RADIANCE_TQSORT", "0") == "1")
+    if interpret:
+        feats = feats_t.T
+    else:
+        feats = s3.feats_rows_to_major(feats_t)
+    out_s = s3._stage_isect(words_i, emeta_i, slot_pkt, feats, lim,
+                            mt.kleaf_cat, precision=precision,
+                            interpret=interpret, occl=occl)
+    inv_order = jnp.zeros_like(order).at[order].set(
+        jnp.arange(order.shape[0], dtype=jnp.int32))
+    out_u = out_s[row_of[inv_order] if ws else inv_order]
+    rec = _glue_tlas(out_u, pkt_of, inst_of, alive, npk, n)
+
+    # truncation flags (sorted slot space) -> packets
+    alive_sorted = smeta[:, 1] > 0
+    trunc = alive_sorted & ((emeta_sorted[:, 1] > 0)
+                            | (emeta_sorted[:, 0] > s3.PCAP))
+    pkt_flag = jnp.maximum(
+        pool_of,
+        jnp.zeros(npk, jnp.int32).at[smeta[:, 3]].max(
+            trunc.astype(jnp.int32), mode="drop"))
+    bad = jnp.repeat(pkt_flag > 0, PKT)[:n]
     return HitRecord(t=jnp.where(bad, FLT_MAX, rec.t),
                      prim=jnp.where(bad, -1, rec.prim),
                      slot=jnp.where(bad, -2, rec.slot),

@@ -214,3 +214,142 @@ def test_multi_ws_matches_default(monkeypatch):
         np.testing.assert_array_equal(np.asarray(getattr(base, f)),
                                       np.asarray(getattr(got, f)),
                                       err_msg=f)
+
+
+def _mat_rot(rng):
+    import math
+    a, b = rng.uniform(0, 6.28, 2)
+    Rz = np.array([[math.cos(a), -math.sin(a), 0],
+                   [math.sin(a), math.cos(a), 0], [0, 0, 1]])
+    Ry = np.array([[math.cos(b), 0, math.sin(b)], [0, 1, 0],
+                   [-math.sin(b), 0, math.cos(b)]])
+    return (Rz @ Ry).astype(np.float32)
+
+
+def _tlas_scene(n_inst=9, n_uniq=3, tris_per=150, seed=7):
+    """Shared-BLAS instances under rotation + non-uniform placement +
+    scale: exercises the native path's per-slot object transform."""
+    rng = np.random.default_rng(seed)
+    blas_list = []
+    for u in range(n_uniq):
+        centers = rng.uniform(-2, 2, size=(tris_per, 3)).astype(
+            np.float32)
+        offs = rng.normal(scale=0.35, size=(tris_per, 3, 3)).astype(
+            np.float32)
+        verts = (centers[:, None, :] + offs).reshape(-1, 3)
+        tris = np.arange(len(verts), dtype=np.uint32).reshape(-1, 3)
+        blas_list.append(
+            accel.BuildBottomAccelStruct(types.Mesh(verts, tris)))
+    instances = []
+    for i in range(n_inst):
+        tf = np.eye(4, dtype=np.float32)
+        tf[:3, :3] = _mat_rot(rng) * rng.uniform(0.5, 2.0)
+        tf[:3, 3] = rng.uniform(-10, 10, 3)
+        instances.append(types.Instance(tf, 0, i,
+                                        blas_list[i % n_uniq]))
+    return accel.BuildTopAccelStruct(instances).device_scene()
+
+
+def test_tlas_native_vs_oracle():
+    """TLAS-native slot path (one emit/refine/isect invocation over
+    (packet, instance) slots; reference two-level semantics
+    radiance.cl:110-192) matches the XLA oracle under rotation, scale,
+    and shared BLAS tables."""
+    ds = _tlas_scene()
+    mt = stream3_multi.MultiTables(ds)
+    assert stream3_multi.supports_native(mt)
+    rng = np.random.default_rng(2)
+    n = 2048
+    o = rng.uniform(-14, 14, (n, 3)).astype(np.float32)
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    oj, dj = jnp.asarray(o), jnp.asarray(d)
+    ref = traversal.trace_rays(ds, oj, dj, 1e-3, 1e3)
+    rows = stream3.rows_from_aos(oj, dj)
+    t_ref = np.asarray(ref.t)
+    hr = t_ref < FLT_MAX
+    assert hr.sum() > 50                    # scene actually hit
+
+    for kw in ({}, dict(ws=True)):
+        got = stream3_multi.trace_rows_tlas(
+            ds, mt, rows, 1e-3, 1e3, precision="f32",
+            interpret=True, **kw)
+        ok = np.asarray(got.slot) != -2
+        assert ok.all()                     # capacity covers the wave
+        t_got = np.asarray(got.t)
+        hg = t_got < FLT_MAX
+        assert (hr == hg).all()
+        np.testing.assert_allclose(t_got[hr], t_ref[hr], rtol=2e-3,
+                                   atol=1e-4)
+        close = hr & (np.abs(t_got - t_ref) < 1e-5)
+        assert (np.asarray(got.slot)[close]
+                == np.asarray(ref.slot)[close]).all()
+
+    occ = stream3_multi.trace_rows_tlas(
+        ds, mt, rows, 1e-3, 1e3, precision="f32", interpret=True,
+        occl=True)
+    ok = np.asarray(occ.slot) != -2
+    assert ((np.asarray(occ.t)[ok] < FLT_MAX) == hr[ok]).all()
+
+
+def test_tlas_native_live_mask_and_dispatch(monkeypatch):
+    """Dead lanes (NaN rays) are excluded from every native-slot
+    frustum; RADIANCE_MULTI=native routes trace_rows_multi to the
+    native pipeline (including under jit with attached tables)."""
+    import jax
+
+    ds = _tlas_scene(n_inst=6, seed=11)
+    mt = stream3_multi.MultiTables(ds)
+    n = 2 * stream3.PKT
+    rng = np.random.default_rng(5)
+    o = rng.uniform(-12, 12, (n, 3)).astype(np.float32)
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    live = rng.random(n) > 0.4
+    o_bad = np.array(o, copy=True)
+    o_bad[~live] = np.float32(np.nan)
+    ref = traversal.trace_rays(ds, jnp.asarray(o), jnp.asarray(d),
+                               1e-3, 1e3)
+    hr = np.asarray(ref.t) < FLT_MAX
+    rows = stream3.rows_from_aos(jnp.asarray(o_bad), jnp.asarray(d))
+    rec = stream3_multi.trace_rows_tlas(
+        ds, mt, rows, 1e-3, 1e3, interpret=True,
+        live=jnp.asarray(live))
+    ok = live & (np.asarray(rec.slot) != -2)
+    hg = np.asarray(rec.t) < FLT_MAX
+    assert (hg[ok] == hr[ok]).all()
+    assert not hg[~live].any()              # dead lanes report miss
+
+    # env dispatch: trace_rows_multi routes to the native path and
+    # works under jit with the pytree table form
+    monkeypatch.setenv("RADIANCE_MULTI", "native")
+    ds2 = stream3_multi.attach_multi_tables(ds)
+
+    @jax.jit
+    def traced(scene, rows):
+        return stream3_multi.trace_rows_multi(
+            scene, scene.multi, rows, 1e-3, 1e3, interpret=True)
+
+    got = traced(ds2, stream3.rows_from_aos(jnp.asarray(o),
+                                            jnp.asarray(d)))
+    ok = np.asarray(got.slot) != -2
+    hg = np.asarray(got.t) < FLT_MAX
+    assert (hg[ok] == hr[ok]).all()
+
+
+def test_tlas_native_pool_overflow_poisons():
+    """Slots past the static capacity poison their packets (slot -2,
+    forced miss) rather than silently dropping hits."""
+    ds = _tlas_scene(n_inst=9, seed=7)
+    mt = stream3_multi.MultiTables(ds)
+    rng = np.random.default_rng(3)
+    n = 2048
+    o = rng.uniform(-14, 14, (n, 3)).astype(np.float32)
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    rows = stream3.rows_from_aos(jnp.asarray(o), jnp.asarray(d))
+    got = stream3_multi.trace_rows_tlas(
+        ds, mt, rows, 1e-3, 1e3, interpret=True, scap=8)
+    slot = np.asarray(got.slot)
+    assert (slot == -2).any()
+    assert (np.asarray(got.t)[slot == -2] == FLT_MAX).all()

@@ -83,8 +83,22 @@ tm, tx = np.asarray(r_m.t), np.asarray(r_x.t)
 magree = ((tm < FLT_MAX) == (tx < FLT_MAX)).mean()
 assert magree > 0.995, f"multi-instance sweep hit agreement {magree}"
 
+# TLAS-native slot path (compiled kernels over the concatenated
+# global-leaf-id tables) vs the same XLA two-level walk
+from radiance_tpu.ops import stream3, stream3_multi
+mt = stream3_multi.MultiTables(ds2)
+assert stream3_multi.supports_native(mt)
+rows = stream3.rows_from_aos(o, d)
+r_n = jax.jit(lambda r: stream3_multi.trace_rows_tlas(
+    ds2, mt, r, 1e-3, 1e3))(rows)
+tn = np.asarray(r_n.t)
+nok = np.asarray(r_n.slot) != -2
+nagree = ((tn[nok] < FLT_MAX) == (tx[nok] < FLT_MAX)).mean()
+assert nok.mean() > 0.9, f"native slot pool poisoned {1-nok.mean():.2%}"
+assert nagree > 0.995, f"TLAS-native hit agreement {nagree}"
+
 print("TPU_SMOKE_OK", dev.platform, float(agree), float(pagree),
-      float(magree))
+      float(magree), float(nagree))
 """
 
 
