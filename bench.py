@@ -404,6 +404,22 @@ def run_multi_bench():
                  axis=-1).astype(np.float32)
     d /= np.linalg.norm(d, axis=-1, keepdims=True)
     rows = tuple(jnp.asarray(o[:, k]) for k in range(3))         + tuple(jnp.asarray(d[:, k]) for k in range(3))
+    route = os.environ.get("RADIANCE_MULTI", "scan")
+    if route == "native":
+        # TLAS overlap stats, so on-chip A/B numbers are interpretable
+        # (slot count drives the native path's cost)
+        pad = (-n) % (stream3.G * stream3.PKT)
+        rows_p = tuple(jnp.concatenate(
+            [r, jnp.broadcast_to(r[:1], (pad,))]) for r in rows)
+        ov = stream3_multi._block_overlap(rows_p, mt.aabb_w,
+                                          1e-3, 1e4)
+        npk = rows_p[0].shape[0] // stream3.PKT
+        ovp = jnp.any(ov.reshape(npk, stream3.PKT // stream3.BLK, -1),
+                      axis=1)
+        pairs = int(jnp.sum(ovp))
+        print(f"# native route: {pairs} (pkt,inst) slots over "
+              f"{npk} packets ({pairs / npk:.2f} inst/pkt)",
+              file=sys.stderr)
     j = jax.jit(lambda scn, r: stream3_multi.trace_rows_multi(
         scn, mt, r, 1e-3, 1e4, precision=os.environ.get(
             "RADIANCE_BENCH_PRECISION", "default")))
@@ -428,6 +444,7 @@ def run_multi_bench():
         "value": round(n / dt / 1e6, 3),
         "unit": "Mrays/s",
         "instances": 64,
+        "route": route,
         "block_overflow_frac": round(of, 5),
     }))
 
