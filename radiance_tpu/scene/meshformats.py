@@ -202,7 +202,7 @@ def _vertex_columns(arr: np.ndarray, cols):
 
 
 def load_mesh(path: str) -> Mesh:
-    """Extension-dispatched mesh import (obj/stl/ply)."""
+    """Extension-dispatched mesh import (obj/stl/ply/dae)."""
     low = path.lower()
     if low.endswith(".obj"):
         from radiance_tpu.scene.objmesh import load_obj
@@ -211,4 +211,7 @@ def load_mesh(path: str) -> Mesh:
         return load_stl(path)
     if low.endswith(".ply"):
         return load_ply(path)
+    if low.endswith(".dae"):
+        from radiance_tpu.scene.collada import load_dae
+        return load_dae(path)
     raise ValueError(f"unsupported mesh format: {path}")

@@ -156,3 +156,131 @@ def test_stl_renders_end_to_end(tmp_path):
     t = np.asarray(rec.t)
     assert t[0] < FLT_MAX and abs(t[0] - 4.0) < 1e-3   # hits z=1 face
     assert t[1] == FLT_MAX                             # misses
+
+
+_DAE_DOC = """<?xml version="1.0" encoding="utf-8"?>
+<COLLADA xmlns="http://www.collada.org/2005/11/COLLADASchema" version="1.4.1">
+  <asset>
+    <unit name="centimeter" meter="0.01"/>
+    <up_axis>Z_UP</up_axis>
+  </asset>
+  <library_geometries>
+    <geometry id="tri" name="tri">
+      <mesh>
+        <source id="tri-pos">
+          <float_array id="tri-pos-array" count="9">0 0 0 100 0 0 0 100 0</float_array>
+          <technique_common>
+            <accessor source="#tri-pos-array" count="3" stride="3">
+              <param name="X" type="float"/><param name="Y" type="float"/><param name="Z" type="float"/>
+            </accessor>
+          </technique_common>
+        </source>
+        <source id="tri-nrm">
+          <float_array id="tri-nrm-array" count="3">0 0 1</float_array>
+          <technique_common>
+            <accessor source="#tri-nrm-array" count="1" stride="3"/>
+          </technique_common>
+        </source>
+        <source id="tri-uv">
+          <float_array id="tri-uv-array" count="6">0 0 1 0 0 1</float_array>
+          <technique_common>
+            <accessor source="#tri-uv-array" count="3" stride="2"/>
+          </technique_common>
+        </source>
+        <vertices id="tri-verts">
+          <input semantic="POSITION" source="#tri-pos"/>
+        </vertices>
+        <triangles count="1">
+          <input semantic="VERTEX" source="#tri-verts" offset="0"/>
+          <input semantic="NORMAL" source="#tri-nrm" offset="1"/>
+          <input semantic="TEXCOORD" source="#tri-uv" offset="2"/>
+          <p>0 0 0 1 0 1 2 0 2</p>
+        </triangles>
+      </mesh>
+    </geometry>
+    <geometry id="quad" name="quad">
+      <mesh>
+        <source id="quad-pos">
+          <float_array id="quad-pos-array" count="12">0 0 0 100 0 0 100 100 0 0 100 0</float_array>
+          <technique_common>
+            <accessor source="#quad-pos-array" count="4" stride="3"/>
+          </technique_common>
+        </source>
+        <vertices id="quad-verts">
+          <input semantic="POSITION" source="#quad-pos"/>
+        </vertices>
+        <polylist count="1">
+          <input semantic="VERTEX" source="#quad-verts" offset="0"/>
+          <vcount>4</vcount>
+          <p>0 1 2 3</p>
+        </polylist>
+      </mesh>
+    </geometry>
+  </library_geometries>
+  <library_visual_scenes>
+    <visual_scene id="scene">
+      <node id="n1">
+        <translate>100 0 0</translate>
+        <instance_geometry url="#tri"/>
+      </node>
+      <node id="n2">
+        <instance_geometry url="#quad"/>
+      </node>
+    </visual_scene>
+  </library_visual_scenes>
+  <scene><instance_visual_scene url="#scene"/></scene>
+</COLLADA>
+"""
+
+
+def test_collada_dae(tmp_path):
+    """COLLADA import: unit scale, Z_UP conversion, node transforms,
+    triangles + fan-triangulated polylist, normals and UVs.
+    Reference capability: assimp import in sceneBuilder.cpp:32-67."""
+    path = tmp_path / "scene.dae"
+    path.write_text(_DAE_DOC)
+    verts, tris, nrm, uvs = meshformats.load_mesh(str(path))
+    # 1 triangle + 1 quad (2 tris) = 3 triangles
+    assert tris.shape == (3, 3)
+    assert verts.dtype == np.float32 and tris.dtype == np.uint32
+    # centimeter unit: 100 model units -> 1.0 meters
+    assert abs(float(np.max(np.abs(verts))) - 2.0) < 1e-5  # tri at x+1
+    # Z_UP -> Y_UP: the source plane z=0 maps to y=0
+    assert np.allclose(verts[:, 1], 0.0, atol=1e-6)
+    # the tri's +Z normal maps to +Y
+    tri_sel = uvs[:, :2].sum(axis=1) > 0       # tri corners carry UVs
+    assert np.allclose(nrm[tri_sel], [[0, 1, 0]] * int(tri_sel.sum()),
+                       atol=1e-5)
+    # quad had no normals: smooth normals generated, unit length
+    lens = np.linalg.norm(nrm, axis=1)
+    assert np.allclose(lens, 1.0, atol=1e-4)
+    # node translate applied: tri x-range sits at [1.0, 2.0] m
+    tri_x = verts[tri_sel][:, 0]
+    assert tri_x.min() >= 1.0 - 1e-6 and tri_x.max() <= 2.0 + 1e-6
+
+
+def test_collada_renders_end_to_end(tmp_path):
+    """A DAE quad builds an AS and traces (the full import->BVH->
+    traversal path)."""
+    import jax.numpy as jnp
+    from radiance_tpu.api import accel
+    from radiance_tpu.core import types
+    from radiance_tpu.ops import traversal
+    from radiance_tpu.ops.intersect import FLT_MAX
+
+    doc = _DAE_DOC.replace('<translate>100 0 0</translate>', '')
+    path = tmp_path / "flat.dae"
+    path.write_text(doc)
+    verts, tris, nrm, uvs = meshformats.load_mesh(str(path))
+    blas = accel.BuildBottomAccelStruct(types.Mesh(verts, tris))
+    tlas = accel.BuildTopAccelStruct([types.Instance(
+        transform=np.eye(4, dtype=np.float32), sbt_offset=0,
+        custom_instance_id=0, bottom_accel_struct=blas)])
+    ds = tlas.device_scene()
+    # the geometry lies in the y=0 plane (Z_UP converted); shoot down
+    o = jnp.asarray([[0.5, 5.0, -0.5], [3.0, 5.0, 3.0]], jnp.float32)
+    d = jnp.asarray([[0.0, -1.0, 0.0], [0.0, -1.0, 0.0]], jnp.float32)
+    rec = traversal.trace_rays(ds, o, d, 1e-3, 1e3)
+    t = np.asarray(rec.t)
+    assert t[0] < FLT_MAX and abs(t[0] - 5.0) < 1e-3
+    assert t[1] == FLT_MAX
