@@ -553,6 +553,13 @@ def trace_rows_tlas(scene, mt, rows_w, tmin, tmax,
     if live is not None:
         live_p = (jnp.concatenate([live, jnp.zeros(pad, bool)])
                   if pad else live)
+        # park dead world lanes (garbage rays of retired paths) so the
+        # residual XLA re-walk stays finite; the slot pipeline parks
+        # its own object-space copies regardless
+        rows_p = tuple(
+            jnp.where(live_p, r,
+                      jnp.float32(1e30) if k < 3 else jnp.float32(1.0))
+            for k, r in enumerate(rows_p))
     npad = rows_p[0].shape[0]
     npk = npad // PKT
     if scap is None:
@@ -604,7 +611,8 @@ def trace_rows_tlas(scene, mt, rows_w, tmin, tmax,
     out_u = out_s[row_of[inv_order] if ws else inv_order]
     rec = _glue_tlas(out_u, pkt_of, inst_of, alive, npk, n)
 
-    # truncation flags (sorted slot space) -> packets
+    # truncation flags (sorted slot space) -> packets (caller order;
+    # smeta lane 3 carries the slot's packet)
     alive_sorted = smeta[:, 1] > 0
     trunc = alive_sorted & ((emeta_sorted[:, 1] > 0)
                             | (emeta_sorted[:, 0] > s3.PCAP))
@@ -612,7 +620,50 @@ def trace_rows_tlas(scene, mt, rows_w, tmin, tmax,
         pool_of,
         jnp.zeros(npk, jnp.int32).at[smeta[:, 3]].max(
             trunc.astype(jnp.int32), mode="drop"))
-    bad = jnp.repeat(pkt_flag > 0, PKT)[:n]
+
+    # up to RES_CAP flagged packets are exactly re-walked IN-JIT by
+    # the XLA two-level traversal (it handles the full TLAS); flags
+    # beyond that poison their packets to slot=-2 (mirrors
+    # trace_rows_stream3's residual contract)
+    from radiance_tpu.ops import traversal as _trav
+    fidx = jnp.nonzero(pkt_flag > 0, size=s3.RES_CAP,
+                       fill_value=npk)[0].astype(jnp.int32)
+    fvalid = fidx < npk
+    sel = (jnp.where(fvalid, fidx, 0)[:, None] * PKT
+           + jnp.arange(PKT, dtype=jnp.int32)[None, :]).reshape(-1)
+    smask = jnp.repeat(fvalid, PKT) & (sel < n)
+    sel_g = jnp.minimum(sel, npad - 1)
+
+    def run_residual(rec):
+        ow = jnp.stack([rows_p[0][sel_g], rows_p[1][sel_g],
+                        rows_p[2][sel_g]], axis=1)
+        dw = jnp.stack([rows_p[3][sel_g], rows_p[4][sel_g],
+                        rows_p[5][sel_g]], axis=1)
+        sub = _trav.trace_rays(scene, ow, dw, tmin, tmax)
+        tgt = jnp.where(smask, sel_g, n)
+
+        def patch(dst, src_):
+            return dst.at[tgt].set(src_, mode="drop")
+
+        return HitRecord(t=patch(rec.t, sub.t),
+                         prim=patch(rec.prim, sub.prim),
+                         slot=patch(rec.slot, sub.slot),
+                         b1=patch(rec.b1, sub.b1),
+                         b2=patch(rec.b2, sub.b2))
+
+    rec = jax.lax.cond(jnp.any(fvalid), run_residual, lambda r: r,
+                       rec)
+
+    nflag = jnp.sum((pkt_flag > 0).astype(jnp.int32))
+    rank = jnp.cumsum((pkt_flag > 0).astype(jnp.int32)) - 1
+    late = (pkt_flag > 0) & (rank >= s3.RES_CAP)
+    bad = jnp.repeat(late, PKT)[:n] & (nflag > s3.RES_CAP)
+    if live is not None:
+        rec = HitRecord(t=jnp.where(live, rec.t, FLT_MAX),
+                        prim=jnp.where(live, rec.prim, -1),
+                        slot=jnp.where(live, rec.slot, -1),
+                        b1=jnp.where(live, rec.b1, 0.0),
+                        b2=jnp.where(live, rec.b2, 0.0))
     return HitRecord(t=jnp.where(bad, FLT_MAX, rec.t),
                      prim=jnp.where(bad, -1, rec.prim),
                      slot=jnp.where(bad, -2, rec.slot),

@@ -337,19 +337,43 @@ def test_tlas_native_live_mask_and_dispatch(monkeypatch):
     assert (hg[ok] == hr[ok]).all()
 
 
-def test_tlas_native_pool_overflow_poisons():
-    """Slots past the static capacity poison their packets (slot -2,
-    forced miss) rather than silently dropping hits."""
+def test_tlas_native_pool_overflow_residual_and_poison():
+    """Packets whose slots overflow the static capacity are exactly
+    re-walked in-jit by the XLA two-level traversal (up to RES_CAP
+    packets), so results still match the oracle; flags BEYOND RES_CAP
+    poison to slot -2 / forced miss rather than silently dropping
+    hits."""
     ds = _tlas_scene(n_inst=9, seed=7)
     mt = stream3_multi.MultiTables(ds)
     rng = np.random.default_rng(3)
-    n = 2048
+
+    # <= RES_CAP flagged packets: the residual makes results exact
+    n = 2048                        # pads to 8 packets == RES_CAP
     o = rng.uniform(-14, 14, (n, 3)).astype(np.float32)
     d = rng.normal(size=(n, 3)).astype(np.float32)
     d /= np.linalg.norm(d, axis=-1, keepdims=True)
     rows = stream3.rows_from_aos(jnp.asarray(o), jnp.asarray(d))
+    ref = traversal.trace_rays(ds, jnp.asarray(o), jnp.asarray(d),
+                               1e-3, 1e3)
     got = stream3_multi.trace_rows_tlas(
         ds, mt, rows, 1e-3, 1e3, interpret=True, scap=8)
     slot = np.asarray(got.slot)
-    assert (slot == -2).any()
-    assert (np.asarray(got.t)[slot == -2] == FLT_MAX).all()
+    assert not (slot == -2).any()           # all re-walked exactly
+    hr = np.asarray(ref.t) < FLT_MAX
+    hg = np.asarray(got.t) < FLT_MAX
+    assert (hr == hg).all()
+    np.testing.assert_allclose(np.asarray(got.t)[hr],
+                               np.asarray(ref.t)[hr],
+                               rtol=2e-3, atol=1e-4)
+
+    # > RES_CAP flagged packets: the excess poisons (slot -2, miss)
+    n2 = 16 * stream3.PKT
+    o2 = rng.uniform(-14, 14, (n2, 3)).astype(np.float32)
+    d2 = rng.normal(size=(n2, 3)).astype(np.float32)
+    d2 /= np.linalg.norm(d2, axis=-1, keepdims=True)
+    rows2 = stream3.rows_from_aos(jnp.asarray(o2), jnp.asarray(d2))
+    got2 = stream3_multi.trace_rows_tlas(
+        ds, mt, rows2, 1e-3, 1e3, interpret=True, scap=8)
+    slot2 = np.asarray(got2.slot)
+    assert (slot2 == -2).any()
+    assert (np.asarray(got2.t)[slot2 == -2] == FLT_MAX).all()
