@@ -26,7 +26,8 @@ structural, and v6 removes the structures:
   * **Scalar-append emission, no event buffer.**  v5 wrote a 67 MB
     [ngrp, EMAX, G, 16] event stream and re-read it in an 8-lane-minor
     XLA mid stage (96 ms of relayout).  v6's walk packs each emission
-    into ONE i32 word -- (leaf+1) << 17 | keepmask << 9 | tq -- and
+    into ONE i32 word -- (leaf+1) << 17 | keepmask << 9 | tq by
+    default; RADIANCE_TQ_BITS trades tq width for leaf-id reach -- and
     appends it to the slot's SMEM list with one predicated scalar
     store.  The whole phase-1 -> phase-2 interface is [NSLOT, PCAP]
     i32 (~2 MB); there is no mid stage at all.
@@ -58,7 +59,7 @@ from jax.experimental.pallas import tpu as pltpu
 from radiance_tpu.bvh.kernel_pack import KERNEL_MAX_TRIS, KERNEL_LEAF_LANES
 from radiance_tpu.ops.intersect import FLT_MAX
 from radiance_tpu.ops.traversal import HitRecord
-from radiance_tpu.ops.stream_trace import TQ_BIAS, S_SLOTS, leaf_tables
+from radiance_tpu.ops.stream_trace import S_SLOTS, leaf_tables
 RES_CAP = 8             # packets exactly re-walked in-jit per wave
 
 _FMAX = 3.4028235e38
@@ -79,16 +80,44 @@ STEP_CAP = 2048         # walk iterations per group before flagging
 # refine arithmetic and 2x the bscal VMEM footprint.  Monkeypatch /
 # env-tune; the phase ledger measures both.
 REFINE_SUB = int(os.environ.get("RADIANCE_REFINE_SUB", "32"))
-W_LEAF_SHIFT = 17       # word = (leaf+1) << 17 | keepmask << 9 | tq
-W_KEEP_SHIFT = 9
-W_TQ_MASK = 511
+# Emit-word format: (leaf+1) << W_LEAF_SHIFT | keepmask << W_KEEP_SHIFT
+# | tq.  The keepmask is always 8 bits (one per 128-ray block); tq is a
+# quantized lower bound on the leaf entry distance used only for the
+# isect kernel's occlusion-cull ordering, so it can shrink to buy leaf-
+# id reach: bits 9 (default) address 2^14-2 = 16382 kernel leaves, bits
+# 7 address 65534 (the TLAS-native multi path's concatenated tables and
+# smaller leaf-collapse caps need the headroom).  RADIANCE_TQ_BITS sets
+# the split at import; tests retune via _apply_tq_bits().
+
+
+def _apply_tq_bits(bits: int) -> None:
+    """Recompute the word-format constant family for a tq width of
+    `bits` (5..9).  tq = clamp((float_bits(tn) >> TQ_SHIFT) - TQ_BIAS3,
+    0, W_TQ_MASK): 4 exponent bits + (bits-4) mantissa bits covering tn
+    in [0.25, 16384); decode is the inverse shift, a lower bound on tn
+    (see stream_trace.TQ_BIAS for the 9-bit original)."""
+    global W_TQ_BITS, W_KEEP_SHIFT, W_LEAF_SHIFT, W_TQ_MASK
+    global TQ_SHIFT, TQ_BIAS3, TQ_BUCKET_SHIFT, W_LEAF_MAX
+    if not 5 <= bits <= 9:
+        raise ValueError(f"RADIANCE_TQ_BITS must be in [5, 9], got {bits}")
+    W_TQ_BITS = bits
+    W_KEEP_SHIFT = bits
+    W_LEAF_SHIFT = bits + 8
+    W_TQ_MASK = (1 << bits) - 1
+    TQ_SHIFT = 27 - bits            # f32 bits kept: 4 exp + (bits-4) mant
+    TQ_BIAS3 = 125 << (bits - 4)
+    TQ_BUCKET_SHIFT = bits - 5      # 32 counting-sort buckets
+    W_LEAF_MAX = 1 << (31 - W_LEAF_SHIFT)  # leaf+1 must stay below this
+
+
+_apply_tq_bits(int(os.environ.get("RADIANCE_TQ_BITS", "9")))
 
 
 def supports(scene) -> bool:
     """True when the single-instance v6 fast path applies."""
     return (getattr(scene, "knode_f", None) is not None
             and scene.inst_inv.shape[0] == 1
-            and scene.kleaf.shape[0] + 1 < (1 << 14))
+            and scene.kleaf.shape[0] + 1 < W_LEAF_MAX)
 
 
 def rows_from_aos(origin, direction):
@@ -497,8 +526,8 @@ def _emit3_kernel(lim_ref, smeta_ref, scal_ref, bscal_ref, nodef_ref,
 
         tnc = jnp.maximum(tn, 0.0)
         tq = jnp.clip(
-            (jax.lax.bitcast_convert_type(tnc, i32) >> 18) - TQ_BIAS,
-            0, 511)
+            (jax.lax.bitcast_convert_type(tnc, i32) >> TQ_SHIFT)
+            - TQ_BIAS3, 0, W_TQ_MASK)
         word = ((a_f.astype(i32) + 1) << W_LEAF_SHIFT) \
             | (kmask_i << W_KEEP_SHIFT) | tq        # (8, 1) i32
 
@@ -714,8 +743,8 @@ def _emit3t_kernel(lim_ref, smeta_ref, scal_ref, bscal_ref, nodef_ref,
                         keepdims=True).astype(i32)  # (64, 1)
         tnc = jnp.maximum(tn, 0.0)
         tq = jnp.clip(
-            (jax.lax.bitcast_convert_type(tnc, i32) >> 18) - TQ_BIAS,
-            0, 511)
+            (jax.lax.bitcast_convert_type(tnc, i32) >> TQ_SHIFT)
+            - TQ_BIAS3, 0, W_TQ_MASK)
         word = ((a_f.astype(i32) + 1) << W_LEAF_SHIFT) \
             | (kmask << W_KEEP_SHIFT) | tq          # (64, 1)
 
@@ -1016,8 +1045,8 @@ def _emit3ws_kernel(lim_ref, meta_ref, scal_ref, bscal_ref, nodef_ref,
 
         tnc = jnp.maximum(tn, 0.0)
         tq = jnp.clip(
-            (jax.lax.bitcast_convert_type(tnc, i32) >> 18) - TQ_BIAS,
-            0, 511)
+            (jax.lax.bitcast_convert_type(tnc, i32) >> TQ_SHIFT)
+            - TQ_BIAS3, 0, W_TQ_MASK)
         word = ((a_f.astype(i32) + 1) << W_LEAF_SHIFT) \
             | (kmask_i << W_KEEP_SHIFT) | tq
         emit = emit & (kmask_i > 0)
@@ -1246,8 +1275,8 @@ def _emit3wst_kernel(lim_ref, meta_ref, scal_ref, bscal_ref, nodef_ref,
                         keepdims=True).astype(i32)  # (64, 1)
         tnc = jnp.maximum(tn, 0.0)
         tq = jnp.clip(
-            (jax.lax.bitcast_convert_type(tnc, i32) >> 18) - TQ_BIAS,
-            0, 511)
+            (jax.lax.bitcast_convert_type(tnc, i32) >> TQ_SHIFT)
+            - TQ_BIAS3, 0, W_TQ_MASK)
         word = ((a_f.astype(i32) + 1) << W_LEAF_SHIFT) \
             | (kmask << W_KEEP_SHIFT) | tq          # (64, 1)
 
@@ -1503,7 +1532,7 @@ def _refine3_kernel(slot_pkt, lim_ref, emeta_ref, words_ref, xt_ref,
             cnt_s[0, b] = jnp.int32(0)
 
         def count(j, _):
-            b = (stage_s[r, j] & 511) >> 4
+            b = (stage_s[r, j] & W_TQ_MASK) >> TQ_BUCKET_SHIFT
             cnt_s[0, b] = cnt_s[0, b] + 1
             return 0
         jax.lax.fori_loop(0, kept, count, 0)
@@ -1515,7 +1544,7 @@ def _refine3_kernel(slot_pkt, lim_ref, emeta_ref, words_ref, xt_ref,
 
         def place(j, _):
             wd = stage_s[r, j]
-            b = (wd & 511) >> 4
+            b = (wd & W_TQ_MASK) >> TQ_BUCKET_SHIFT
             o = cnt_s[0, b]
             words_out[r, o] = wd
             cnt_s[0, b] = o + 1
@@ -1637,7 +1666,7 @@ def _isect3_kernel(slot_pkt, lim_ref, emeta_ref, words_ref,
         kmask = (wd >> W_KEEP_SHIFT) & 255
         tq = wd & W_TQ_MASK
         cp(i, i % S_SLOTS).wait()
-        lb_bits = jnp.where(tq == 0, 0, (tq + TQ_BIAS) << 18)
+        lb_bits = jnp.where(tq == 0, 0, (tq + TQ_BIAS3) << TQ_SHIFT)
         wf = w_s[i % S_SLOTS]
         prim_row = wf[10:11, 0:T]                   # [1, T] f32 exact
         if precision == "bf16":

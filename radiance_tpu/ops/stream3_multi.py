@@ -355,11 +355,13 @@ def trace_rows_multi(scene, mt, rows_w, tmin, tmax,
 
 def supports_native(mt) -> bool:
     """The native slot path applies when every emitted GLOBAL leaf id
-    fits the packed word's 14-bit field (same bound as the
-    single-instance stream3.supports)."""
+    fits the packed word's leaf field (same bound as the
+    single-instance stream3.supports; 14 bits by default, wider under
+    RADIANCE_TQ_BITS < 9 -- concatenated many-BLAS tables are exactly
+    what the tq trade is for)."""
     if isinstance(mt, tuple):
         mt = MultiTables.from_tuple(mt)
-    return mt.kleaf_cat.shape[0] + 1 < (1 << 14)
+    return mt.kleaf_cat.shape[0] + 1 < s3.W_LEAF_MAX
 
 
 def _prep_tlas(mt, inst_inv, rows_p, tmin, tmax, live_p, scap):

@@ -678,10 +678,45 @@ def test_stream3_tqsort_refine(monkeypatch):
         if k == 0:
             continue
         assert sorted(w0[s, :k].tolist()) == sorted(w1[s, :k].tolist())
-        buckets = (w1[s, :k] & 511) >> 4
+        buckets = ((w1[s, :k] & stream3.W_TQ_MASK)
+                   >> stream3.TQ_BUCKET_SHIFT)
         assert (np.diff(buckets) >= 0).all(), s
         checked += k
     assert checked > 0
+
+
+def test_stream3_tq7_word_format(monkeypatch):
+    """RADIANCE_TQ_BITS=7 (via _apply_tq_bits): the narrower tq field
+    quadruples leaf-id reach for concatenated multi-BLAS tables.  The
+    winner (t, prim) must stay exact -- tq only orders the occlusion
+    cull -- including with the tq counting sort enabled (exercises the
+    rescaled bucket shift)."""
+    ds = _single_instance_scene(n_tris=400, seed=21)
+    rng = np.random.default_rng(5)
+    o, d = gen_rays(rng, 2048, spread=8.0)
+    o, d = jnp.asarray(o), jnp.asarray(d)
+    rows_w = stream3.rows_from_aos(o, d)
+    tstart, _ = stream3.leaf_tables(ds.knode_f, ds.kleaf.shape[0])
+    args = (rows_w, 1e-3, 1e3, ds.knode_f, ds.kleaf, ds.kprim,
+            ds.ktri_geo, ds.inst_inv[0], tstart)
+    rec_9 = stream3._run(*args, precision="f32", interpret=True)
+    try:
+        stream3._apply_tq_bits(7)
+        assert stream3.W_LEAF_MAX == 1 << 16
+        rec_7 = stream3._run(*args, precision="f32", interpret=True)
+        monkeypatch.setenv("RADIANCE_TQSORT", "1")
+        rec_7s = stream3._run(*args, precision="f32", interpret=True)
+    finally:
+        stream3._apply_tq_bits(9)
+    for rec in (rec_7, rec_7s):
+        np.testing.assert_array_equal(np.asarray(rec_9.t),
+                                      np.asarray(rec.t))
+    np.testing.assert_array_equal(np.asarray(rec_9.prim),
+                                  np.asarray(rec_7.prim))
+    both = np.asarray(rec_9.t) < FLT_MAX
+    agree = (np.asarray(rec_9.prim)[both]
+             == np.asarray(rec_7s.prim)[both]).mean()
+    assert agree > 0.99       # sort may reorder exact-t ties
 
 
 def test_stream3_bf16_epilogue(monkeypatch):

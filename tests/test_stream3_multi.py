@@ -377,3 +377,26 @@ def test_tlas_native_pool_overflow_residual_and_poison():
     slot2 = np.asarray(got2.slot)
     assert (slot2 == -2).any()
     assert (np.asarray(got2.t)[slot2 == -2] == FLT_MAX).all()
+
+
+def test_supports_native_tracks_tq_bits():
+    """supports_native's leaf-id bound follows the word format: 16382
+    global leaves at the default 9 tq bits, 65534 at 7 (the tq trade
+    exists exactly to lift concatenated many-BLAS tables over the
+    14-bit ceiling)."""
+    ds = _multi_scene(n_inst=2)
+    mt = stream3_multi.MultiTables(ds)
+
+    class Fake:
+        kleaf_cat = np.zeros((20_000, 1, 1), np.float32)
+    fake = Fake()
+    for attr in ("nodef_cat",):
+        if hasattr(mt, attr):
+            setattr(fake, attr, getattr(mt, attr))
+    assert not stream3_multi.supports_native(fake)
+    try:
+        stream3._apply_tq_bits(7)
+        assert stream3_multi.supports_native(fake)
+    finally:
+        stream3._apply_tq_bits(9)
+    assert stream3_multi.supports_native(mt)
