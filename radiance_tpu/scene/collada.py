@@ -35,7 +35,6 @@ from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
-from radiance_tpu.scene.objmesh import smooth_normals
 
 Mesh = Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]
 
@@ -276,25 +275,7 @@ def load_dae(path: str) -> Mesh:
 
     if not pos_all:
         raise ValueError(f"no triangle geometry in {path}")
-    pos = np.concatenate(pos_all).astype(np.float32)
-    nrm = np.concatenate(nrm_all).astype(np.float32)
-    uv = np.concatenate(uv_all).astype(np.float32)
-
-    # join identical corners on (position, normal, uv) and index
-    key = np.concatenate([pos.round(6), nrm.round(4), uv.round(6)],
-                         axis=1)
-    uniq, inv = np.unique(key, axis=0, return_inverse=True)
-    order = np.zeros(len(uniq), np.int64)
-    order[inv[::-1]] = np.arange(len(pos))[::-1]    # first occurrence
-    verts = pos[order]
-    normals = nrm[order]
-    uvs2 = uv[order]
-    tris = inv.reshape(-1, 3).astype(np.uint32)
-
-    if not have_nrm or not np.isfinite(normals).all() \
-            or (np.abs(normals).sum(axis=1) == 0).any():
-        normals = smooth_normals(verts, tris)
-    uvs = np.concatenate(
-        [uvs2, np.zeros((len(uvs2), 1), np.float32)], axis=1)
-    return (verts.astype(np.float32), tris,
-            normals.astype(np.float32), uvs.astype(np.float32))
+    from radiance_tpu.scene.meshformats import corners_to_mesh
+    return corners_to_mesh(np.concatenate(pos_all),
+                           np.concatenate(nrm_all),
+                           np.concatenate(uv_all), have_nrm)

@@ -201,8 +201,37 @@ def _vertex_columns(arr: np.ndarray, cols):
     return verts, nrm, uv
 
 
+def corners_to_mesh(pos: np.ndarray, nrm: np.ndarray, uv: np.ndarray,
+                    have_nrm: bool) -> Mesh:
+    """Per-triangle-corner streams [C,3]/[C,3]/[C,2] -> indexed Mesh.
+
+    Joins corners identical on (position, normal, uv), keeps first-
+    occurrence order, and rebuilds smooth normals when the source had
+    none (or produced non-finite / zero ones)."""
+    pos = np.asarray(pos, np.float32)
+    nrm = np.asarray(nrm, np.float32)
+    uv = np.asarray(uv, np.float32)
+    key = np.concatenate([pos.round(6), nrm.round(4), uv.round(6)],
+                         axis=1)
+    uniq, inv = np.unique(key, axis=0, return_inverse=True)
+    order = np.zeros(len(uniq), np.int64)
+    order[inv[::-1]] = np.arange(len(pos))[::-1]    # first occurrence
+    verts = pos[order]
+    normals = nrm[order]
+    uvs2 = uv[order]
+    tris = inv.reshape(-1, 3).astype(np.uint32)
+
+    if not have_nrm or not np.isfinite(normals).all() \
+            or (np.abs(normals).sum(axis=1) == 0).any():
+        normals = smooth_normals(verts, tris)
+    uvs = np.concatenate(
+        [uvs2, np.zeros((len(uvs2), 1), np.float32)], axis=1)
+    return (verts.astype(np.float32), tris,
+            normals.astype(np.float32), uvs.astype(np.float32))
+
+
 def load_mesh(path: str) -> Mesh:
-    """Extension-dispatched mesh import (obj/stl/ply/dae)."""
+    """Extension-dispatched mesh import (obj/stl/ply/dae/fbx)."""
     low = path.lower()
     if low.endswith(".obj"):
         from radiance_tpu.scene.objmesh import load_obj
@@ -214,4 +243,7 @@ def load_mesh(path: str) -> Mesh:
     if low.endswith(".dae"):
         from radiance_tpu.scene.collada import load_dae
         return load_dae(path)
+    if low.endswith(".fbx"):
+        from radiance_tpu.scene.fbx import load_fbx
+        return load_fbx(path)
     raise ValueError(f"unsupported mesh format: {path}")

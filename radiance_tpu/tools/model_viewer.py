@@ -4,7 +4,7 @@ Equivalent of the reference's modelViewer (reference:
 tools/modelViewer.cpp): dumps meshes, materials, textures, and the node
 tree with accumulated transforms.
 
-Usage: python -m radiance_tpu.tools.model_viewer <asset.glb|obj|stl|ply|dae>
+Usage: python -m radiance_tpu.tools.model_viewer <asset.glb|obj|stl|ply|dae|fbx>
 """
 
 from __future__ import annotations
@@ -70,7 +70,7 @@ def main():
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("asset")
     args = ap.parse_args()
-    if args.asset.lower().endswith((".obj", ".stl", ".ply", ".dae")):
+    if args.asset.lower().endswith((".obj", ".stl", ".ply", ".dae", ".fbx")):
         print_mesh(args.asset)
     else:
         print_glb(args.asset)

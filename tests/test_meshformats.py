@@ -118,7 +118,7 @@ def test_load_mesh_dispatch(tmp_path):
     verts, tris, nrm, uvs = meshformats.load_mesh(str(path))
     assert len(tris) == 12
     try:
-        meshformats.load_mesh("scene.fbx")
+        meshformats.load_mesh("scene.x3d")
         assert False
     except ValueError as e:
         assert "unsupported" in str(e)
