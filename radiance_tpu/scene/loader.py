@@ -1,4 +1,4 @@
-"""Scene loader: RD::Scene::Load parity for glTF/GLB assets.
+"""Scene loader: RD::Scene::Load parity for glTF/GLB and raw mesh assets.
 
 Reference: tools/sceneBuilder.{h,cpp}.  Loads a GLB, decodes and resizes
 every embedded texture into one image array (sceneBuilder.cpp:42-67),
@@ -44,16 +44,41 @@ def _decode_textures(images: List[bytes], tex_dim: int) -> Optional[np.ndarray]:
     return out
 
 
+_MESH_EXTS = (".obj", ".stl", ".ply", ".dae", ".fbx")
+
+
+def _mesh_as_gltf_scene(path: str) -> gltf.GLTFScene:
+    """Adapt a raw mesh file (obj/stl/ply/dae/fbx) into a one-primitive
+    GLTFScene with a neutral diffuse material, so every format the mesh
+    importers read gets the full Scene::Load pipeline (the reference
+    gets this via assimp, sceneBuilder.cpp:32-67)."""
+    from radiance_tpu.scene.meshformats import load_mesh
+
+    v, t, n, uv = load_mesh(path)
+    prim = gltf.Primitive(positions=v, normals=n,
+                          uvs=np.ascontiguousarray(uv[:, :2]),
+                          indices=t, material=0)
+    mat = gltf.GLTFMaterial(name=os.path.basename(path),
+                            base_color=(0.8, 0.8, 0.8, 1.0),
+                            metallic=0.0, roughness=0.8)
+    return gltf.GLTFScene(meshes=[[prim]], materials=[mat], images=[],
+                          nodes=[{"mesh": 0}], roots=[0])
+
+
 def load_scene(path: str, use_cache: bool = False,
                tex_dim: int = DEFAULT_TEX_DIM,
                verbose: bool = True) -> HostScene:
-    """Load a GLB into a HostScene (bindings + TLAS).
+    """Load a GLB — or any raw mesh format the importers read — into a
+    HostScene (bindings + TLAS).
 
     use_cache: reuse/produce `<path>.cache` (the serialized TLAS with
     embedded BLAS blobs), skipping the SAH build like the reference's
     LOAD_FROM_CACHE path (sceneBuilder.cpp:222-263).
     """
-    scene = gltf.parse_glb(path)
+    if path.lower().endswith(_MESH_EXTS):
+        scene = _mesh_as_gltf_scene(path)
+    else:
+        scene = gltf.parse_glb(path)
     textures = _decode_textures(scene.images, tex_dim)
 
     # flatten primitives: each becomes a "mesh" (assimp flattens the same

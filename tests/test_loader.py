@@ -134,6 +134,37 @@ f 1/1/1 2/2/1 4/3/1 3/1/1
     np.testing.assert_allclose(normals, [[0, 0, 1]] * len(verts))
 
 
+def test_load_scene_raw_mesh(tmp_path):
+    """load_scene accepts any mesh format the importers read, producing
+    a full renderable HostScene with a neutral material (reference:
+    Scene::Load via assimp, sceneBuilder.cpp:32-67)."""
+    obj = """
+v 0 0 0
+v 1 0 0
+v 0 1 0
+v 1 1 0
+f 1 2 4 3
+"""
+    p = tmp_path / "quad.obj"
+    p.write_text(obj)
+    scene = loader.load_scene(str(p), use_cache=False, verbose=False)
+    assert len(scene.mesh_infos) == 1
+    res = scene.resources
+    assert res["textures"] is None      # raw meshes carry no images
+    np.testing.assert_allclose(np.asarray(res["mat_albedo"])[0, :3], 0.8)
+    assert float(res["mat_metallic"][0]) == 0.0
+
+    from radiance_tpu.ops import traversal
+    ds = scene.device_scene()
+    o = jnp.asarray(np.array([[0.5, 0.5, 3.0], [5.0, 5.0, 3.0]],
+                             np.float32))
+    d = jnp.asarray(np.array([[0.0, 0.0, -1.0]] * 2, np.float32))
+    hit = traversal.trace_rays(ds, o, d, 1e-3, 1e3)
+    assert bool(hit.hit[0]) and np.isclose(float(hit.t[0]), 3.0,
+                                           atol=1e-4)
+    assert not bool(hit.hit[1])
+
+
 def test_external_file_gltf(tmp_path):
     """.gltf + external .bin + .png next to it (the common on-disk
     layout; reference resolves the same way via assimp,
