@@ -28,8 +28,19 @@ import numpy as np
 
 N_TRIS = 1_000_000
 WIDTH, HEIGHT = 1920, 1080
-CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                     ".bench_cache", f"cloud_{N_TRIS}.tlas")
+
+
+def scene_kind() -> str:
+    """Benchmark scene shape: 'city' (open triangle-cloud, hit rate
+    ~0.18) or 'interior' (closed reference-shaped hall, hit rate ~1.0
+    -- the regime of the reference's house/cathedral targets)."""
+    return os.environ.get("RADIANCE_BENCH_SCENE", "city")
+
+
+def _cache_path():
+    name = ("cloud" if scene_kind() == "city" else scene_kind())
+    return os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        ".bench_cache", f"{name}_{N_TRIS}.tlas")
 
 
 def apply_bench_env():
@@ -79,32 +90,74 @@ def build_or_load_scene():
     from radiance_tpu.api import accel
     from radiance_tpu.core import types
 
-    if os.path.exists(CACHE):
-        return accel.FileToTopAccelStruct(CACHE).device_scene()
+    cache = _cache_path()
+    if os.path.exists(cache):
+        return accel.FileToTopAccelStruct(cache).device_scene()
 
-    rng = np.random.default_rng(7)
-    # a diffuse "city" of boxes-ish triangle clusters: spatially coherent,
-    # unlike a pure random soup, so traversal behaves like a real scene
-    n_clusters = 1000
-    per = N_TRIS // n_clusters
-    centers = rng.uniform(-50, 50, size=(n_clusters, 3)).astype(np.float32)
-    verts_all = []
-    for c in centers:
-        local = rng.uniform(-1.5, 1.5, size=(per, 3)).astype(np.float32)
-        offs = rng.normal(scale=0.08, size=(per, 3, 3)).astype(np.float32)
-        verts_all.append((c + local)[:, None, :] + offs)
-    verts = np.concatenate(verts_all).reshape(-1, 3)
-    tris = np.arange(len(verts), dtype=np.uint32).reshape(-1, 3)
+    if scene_kind() == "interior":
+        from radiance_tpu.scene.procedural import interior_hall
+        verts, tris, _meta = interior_hall(N_TRIS)
+    else:
+        rng = np.random.default_rng(7)
+        # a diffuse "city" of boxes-ish triangle clusters: spatially
+        # coherent, unlike a pure random soup, so traversal behaves
+        # like a real scene
+        n_clusters = 1000
+        per = N_TRIS // n_clusters
+        centers = rng.uniform(-50, 50, size=(n_clusters, 3)).astype(np.float32)
+        verts_all = []
+        for c in centers:
+            local = rng.uniform(-1.5, 1.5, size=(per, 3)).astype(np.float32)
+            offs = rng.normal(scale=0.08, size=(per, 3, 3)).astype(np.float32)
+            verts_all.append((c + local)[:, None, :] + offs)
+        verts = np.concatenate(verts_all).reshape(-1, 3)
+        tris = np.arange(len(verts), dtype=np.uint32).reshape(-1, 3)
 
     t0 = time.time()
     blas = accel.BuildBottomAccelStruct(types.Mesh(verts, tris))
     inst = types.Instance(np.eye(4, dtype=np.float32), 0, 0, blas)
     tlas = accel.BuildTopAccelStruct([inst])
-    print(f"# built {N_TRIS}-tri BVH in {time.time() - t0:.1f}s "
-          f"({len(blas.nodes)} nodes)", file=sys.stderr)
-    os.makedirs(os.path.dirname(CACHE), exist_ok=True)
-    accel.TopAccelStructToFile(tlas, CACHE)
+    print(f"# built {len(tris)}-tri {scene_kind()} BVH in "
+          f"{time.time() - t0:.1f}s ({len(blas.nodes)} nodes)",
+          file=sys.stderr)
+    os.makedirs(os.path.dirname(cache), exist_ok=True)
+    accel.TopAccelStructToFile(tlas, cache)
     return tlas.device_scene()
+
+
+def camera_rays():
+    """Tile-ordered primary rays for the active bench scene: packets
+    are tight screen tiles (a row strip has a much wider frustum ->
+    more node/leaf visits per packet).  Returns (o [N,3], d [N,3])."""
+    from radiance_tpu.ops.packet_trace import PACKET
+
+    n = WIDTH * HEIGHT
+    ts = max(int(PACKET ** 0.5), 1)
+    px = np.arange(n, dtype=np.int64) % WIDTH
+    py = np.arange(n, dtype=np.int64) // WIDTH
+    tile = (py // ts) * (WIDTH // ts) + (px // ts)
+    order = np.argsort(tile * PACKET + (py % ts) * ts + (px % ts))
+    xs = px[order] / WIDTH - 0.5
+    ys = py[order] / HEIGHT - 0.5
+    o = np.zeros((n, 3), np.float32)
+    if scene_kind() == "interior":
+        o[:, 1] = 6.0
+        o[:, 2] = 46.0
+        d = np.stack([xs * 1.2, ys * 0.7, np.full(n, -1.0)], axis=-1)
+    else:
+        o[:, 2] = 140.0
+        d = np.stack([xs * 1.2, ys * 0.7, np.full(n, -1.0)], axis=-1)
+    d = d.astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    return o, d
+
+
+def light_vec():
+    """Unit to-light direction for the active bench scene (the
+    interior's points up through the ceiling window openings)."""
+    v = np.array([0.15, 1.0, 0.05] if scene_kind() == "interior"
+                 else [0.5, 1.5, 1.0], np.float64)
+    return (v / np.linalg.norm(v)).astype(np.float32)
 
 
 def make_tracer(scene, probe_rays=None):
@@ -545,25 +598,10 @@ def main():
     scene = build_or_load_scene()
     n = WIDTH * HEIGHT
 
-    # camera rays looking into the cloud, in square-pixel-tile order so
-    # each packet is a tight screen tile (a row strip has a much wider
-    # frustum -> more node/leaf visits per packet)
-    from radiance_tpu.ops.packet_trace import PACKET
-    ts = max(int(PACKET ** 0.5), 1)
-    px = np.arange(n, dtype=np.int64) % WIDTH
-    py = np.arange(n, dtype=np.int64) // WIDTH
-    tile = (py // ts) * (WIDTH // ts) + (px // ts)
-    order = np.argsort(tile * PACKET + (py % ts) * ts + (px % ts))
-    xs = px[order] / WIDTH - 0.5
-    ys = py[order] / HEIGHT - 0.5
-    o = np.zeros((n, 3), np.float32)
-    o[:, 2] = 140.0
-    d = np.stack([xs * 1.2, ys * 0.7, np.full(n, -1.0)], axis=-1).astype(np.float32)
-    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    o, d = camera_rays()
     o = jnp.asarray(o)
     d = jnp.asarray(d)
-    light = jnp.asarray(np.tile([0.26726124, 0.8017837, 0.5345225],
-                                (n, 1)).astype(np.float32))
+    light = jnp.asarray(np.tile(light_vec(), (n, 1)).astype(np.float32))
     FLT_MAX = np.float32(3.402823466e38)
 
     name, trace = make_tracer(scene, probe_rays=(o, d))

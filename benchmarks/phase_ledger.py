@@ -54,21 +54,10 @@ def timed_chain(fn, *args, iters=8):
 
 
 def bench_rays():
+    """The bench's tile-ordered primary wave (scene-aware: honors
+    RADIANCE_BENCH_SCENE via bench.camera_rays)."""
     import bench
-    W, H = bench.WIDTH, bench.HEIGHT
-    n = W * H
-    ts = 32
-    px = np.arange(n, dtype=np.int64) % W
-    py = np.arange(n, dtype=np.int64) // W
-    tile = (py // ts) * (W // ts) + (px // ts)
-    order = np.argsort(tile * (ts * ts) + (py % ts) * ts + (px % ts))
-    xs = px[order] / W - 0.5
-    ys = py[order] / H - 0.5
-    o0 = np.zeros((n, 3), np.float32)
-    o0[:, 2] = 140.0
-    d0 = np.stack([xs * 1.2, ys * 0.7, np.full(n, -1.0)], -1).astype(np.float32)
-    d0 /= np.linalg.norm(d0, axis=-1, keepdims=True)
-    return o0, d0
+    return bench.camera_rays()
 
 
 def main():

@@ -295,8 +295,7 @@ def main():
     inv0 = np.asarray(scene.inst_inv[0])
 
     t1 = hit = o2 = d2 = None
-    light = np.tile(np.asarray([0.26726124, 0.8017837, 0.5345225],
-                               np.float32), (n, 1))
+    light = np.tile(bench.light_vec(), (n, 1))
 
     def trace_cpu(ow, dw, tmx=1e4):
         outs = []

@@ -38,22 +38,10 @@ def main():
     FLT_MAX = np.float32(3.402823466e38)
 
     # bench primary rays (tile order), identical to bench.main()
-    from radiance_tpu.ops.packet_trace import PACKET
-    ts = max(int(PACKET ** 0.5), 1)
-    px = np.arange(n, dtype=np.int64) % B.WIDTH
-    py = np.arange(n, dtype=np.int64) // B.WIDTH
-    tile = (py // ts) * (B.WIDTH // ts) + (px // ts)
-    order = np.argsort(tile * PACKET + (py % ts) * ts + (px % ts))
-    xs = px[order] / B.WIDTH - 0.5
-    ys = py[order] / B.HEIGHT - 0.5
-    o = np.zeros((n, 3), np.float32)
-    o[:, 2] = 140.0
-    d = np.stack([xs * 1.2, ys * 0.7, np.full(n, -1.0)],
-                 axis=-1).astype(np.float32)
-    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    o, d = B.camera_rays()
     o = jnp.asarray(o)
     d = jnp.asarray(d)
-    light = jnp.asarray(np.tile([0.26726124, 0.8017837, 0.5345225],
+    light = jnp.asarray(np.tile(B.light_vec(),
                                 (n, 1)).astype(np.float32))
 
     @jax.jit

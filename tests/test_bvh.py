@@ -162,3 +162,51 @@ def test_device_scene_shapes():
     # bundles: every leaf count <= width, prim ids valid where set
     prim = _np.asarray(ds.bundle_prim)
     assert prim.shape[1] == 8
+
+
+def test_interior_hall_scene():
+    """The interior bench scene (procedural.interior_hall) is closed:
+    rays from inside terminate on geometry except through the ceiling
+    window openings aligned with the bench light direction."""
+    import jax.numpy as jnp
+    from radiance_tpu.ops import traversal
+    from radiance_tpu.ops.intersect import FLT_MAX
+    from radiance_tpu.scene.procedural import interior_hall
+
+    verts, tris, meta = interior_hall(30_000)
+    assert abs(len(tris) - 30_000) < 300          # budget respected
+    blas = accel.BuildBottomAccelStruct(types.Mesh(verts, tris))
+    tlas = accel.BuildTopAccelStruct([types.Instance(
+        transform=np.eye(4, dtype=np.float32), sbt_offset=0,
+        custom_instance_id=0, bottom_accel_struct=blas)])
+    ds = tlas.device_scene()
+
+    rng = np.random.default_rng(0)
+    n = 512
+    o = np.tile(np.asarray([0.0, 6.0, 0.0], np.float32), (n, 1))
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    t = np.asarray(traversal.trace_rays(
+        ds, jnp.asarray(o), jnp.asarray(d), 1e-3, 1e4).t)
+    hit = t < FLT_MAX
+    # closed shell: only upward rays through windows may escape
+    esc = ~hit
+    assert hit.mean() > 0.8
+    assert np.all(d[esc, 1] > 0.0)
+    # near-horizontal rays cannot reach a ceiling window before a
+    # wall (rise < 1.5 units over the longest in-hall run), so they
+    # always terminate inside the hall extent
+    horiz = np.abs(d[:, 1]) < 0.03
+    assert hit[horiz].all()
+    assert t[horiz].max() <= 110.0
+    # shadow wave toward the bench light from points spread through
+    # the hall: a real mixed wave (some occluded, some escaping
+    # through the ceiling windows)
+    lv = np.asarray(meta["light_dir"], np.float32)
+    os_ = np.stack([rng.uniform(-15, 15, n), rng.uniform(0.5, 8, n),
+                    rng.uniform(-45, 45, n)], -1).astype(np.float32)
+    ts = np.asarray(traversal.trace_rays(
+        ds, jnp.asarray(os_), jnp.asarray(np.tile(lv, (n, 1))),
+        1e-3, 1e4, any_hit_terminate=True).t)
+    frac_lit = float((ts >= FLT_MAX).mean())
+    assert 0.02 < frac_lit < 0.6

@@ -22,6 +22,8 @@ rc=0
 {"metric": "engine_mrays_per_sec_1Mtri_1080p", "value": 3.0, "unit": "Mrays/s"}
 === [X1] RADIANCE_WS=1 python bench.py Tue
 {"metric": "traversal_mrays_per_sec_1Mtri_1080p", "value": 99.0, "error": "accelerator unresponsive"}
+=== [I1] RADIANCE_BENCH_SCENE=interior RADIANCE_WS=1 python bench.py Tue
+{"metric": "traversal_mrays_per_sec_1Mtri_1080p", "value": 55.0, "unit": "Mrays/s"}
 """
 
 
@@ -37,7 +39,8 @@ def test_picker_selects_best_pure_radiance_config(tmp_path):
     log.write_text(LOG)
     runs = pick_bench_env.parse(str(log))
     vals = sorted(v for v, _ in runs)
-    # 15.0 (PALLAS_* env), 3.0 (--engine), 99.0 (error) all excluded
+    # 15.0 (PALLAS_* env), 3.0 (--engine), 99.0 (error), and 55.0
+    # (different workload: RADIANCE_BENCH_SCENE) all excluded
     assert vals == [7.9, 10.4, 11.2]
     best, env = max(runs, key=lambda r: r[0])
     assert best == 11.2

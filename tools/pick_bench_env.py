@@ -57,7 +57,11 @@ def parse(log_path):
                     # (sitecustomize), and silently losing it would
                     # send a treelet compile to the remote Mosaic --
                     # the hang this tool exists to avoid
-                    if all(k.startswith("RADIANCE_") for k in cur_env):
+                    # RADIANCE_BENCH_SCENE changes the WORKLOAD, not
+                    # the kernel config -- persisting it would flip
+                    # the headline bench to a different scene
+                    if all(k.startswith("RADIANCE_") for k in cur_env) \
+                            and "RADIANCE_BENCH_SCENE" not in cur_env:
                         runs.append((float(rec["value"]),
                                      dict(cur_env)))
     return runs
