@@ -200,29 +200,22 @@ def get_instance_list(blas):
     return instances
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--size", type=int, default=512)
-    ap.add_argument("--batch", type=int, default=4)
-    ap.add_argument("--depth", type=int, default=1)
-    ap.add_argument("--frames", type=int, default=1)
-    ap.add_argument("--obj", type=str, default=None)
-    ap.add_argument("--load-cache", action="store_true",
-                    help="FileToTopAccelStruct path (LOAD_FROM_FILE)")
-    ap.add_argument("--out", type=str, default=None)
-    args = ap.parse_args()
-
+def render_sample2(size=512, batch=4, depth=1, frames=1, obj=None,
+                   load_cache=False, out=None, tex_dim=1024):
+    """Build and run the full sample2 pipeline; returns the u8 image
+    [H, W, 4].  Kept callable so tests can drive the exact frame loop
+    (golden-image parity, tests/test_golden_samples.py)."""
     plt = platform.Platform.GetPlatform()
-    extent = (args.size, args.size)
+    extent = (size, size)
     n = extent[0] * extent[1]
 
-    if args.obj:
-        verts, tris, normals, uvs = objmesh.load_obj(args.obj)
+    if obj:
+        verts, tris, normals, uvs = objmesh.load_obj(obj)
     else:
         verts, tris, normals, uvs = default_mesh()
 
     # AS build + file round trip (sample2.cpp:124-137)
-    if args.load_cache and os.path.exists(AS_PATH):
+    if load_cache and os.path.exists(AS_PATH):
         tlas = accel.FileToTopAccelStruct(AS_PATH)
     else:
         blas = accel.BuildAccelStruct(types.Mesh(verts, tris), verbose=True)
@@ -230,7 +223,7 @@ def main():
         accel.TopAccelStructToFile(tlas, AS_PATH)
 
     # buffers
-    rtprop = types.RayTraceProperties(0, args.batch, args.depth, 0)
+    rtprop = types.RayTraceProperties(0, batch, depth, 0)
     rd_rtprop = platform.CreateBuffer(plt, 16)
     platform.WriteBuffer(plt, rd_rtprop, 16, rtprop.to_numpy())
     rd_image = platform.CreateImage(plt, *extent)
@@ -241,15 +234,16 @@ def main():
     rd_cam = platform.CreateBuffer(plt, 16)
     platform.WriteBuffer(plt, rd_cam, 16, cam)
 
-    # textures: two generated 1024^2 checkers (blue-ish / pink-ish), with
+    # textures: two generated checkers (blue-ish / pink-ish), with
     # the reference's upload/readback sanity dump (sample2.cpp:178-184)
-    tex_arr = platform.CreateImageArray(plt, 1024, 1024, 2)
-    platform.WriteImage(plt, tex_arr, 1024, 1024, 0,
-                        checker_texture(1024, (40, 80, 220), (200, 220, 255)))
-    platform.WriteImage(plt, tex_arr, 1024, 1024, 1,
-                        checker_texture(1024, (230, 80, 180), (255, 230, 245)))
-    image_io.write_image("/tmp/blue.jpg", platform.ReadImage(plt, tex_arr, 1024, 1024, 0))
-    image_io.write_image("/tmp/pink.jpg", platform.ReadImage(plt, tex_arr, 1024, 1024, 1))
+    td = tex_dim
+    tex_arr = platform.CreateImageArray(plt, td, td, 2)
+    platform.WriteImage(plt, tex_arr, td, td, 0,
+                        checker_texture(td, (40, 80, 220), (200, 220, 255)))
+    platform.WriteImage(plt, tex_arr, td, td, 1,
+                        checker_texture(td, (230, 80, 180), (255, 230, 245)))
+    image_io.write_image("/tmp/blue.jpg", platform.ReadImage(plt, tex_arr, td, td, 0))
+    image_io.write_image("/tmp/pink.jpg", platform.ReadImage(plt, tex_arr, td, td, 1))
     rd_sampler = platform.CreateSampler(plt, 2, 1)  # repeat, linear
 
     def flat_buffer(arr):
@@ -285,7 +279,7 @@ def main():
     pipeline.BindPipeline(plt, pl)
     pipeline.BindDescriptorSet(plt, desc)
 
-    for frame in range(args.frames):
+    for frame in range(frames):
         pipeline.TraceRays(plt, 0, 0, 0, *extent)
         rt = np.frombuffer(platform.ReadBuffer(plt, rd_rtprop, 16),
                            dtype=types.RAY_TRACE_PROPERTIES_DTYPE).copy()
@@ -294,10 +288,27 @@ def main():
 
     img = platform.ReadBuffer(plt, rd_image, rd_image.size).reshape(
         extent[1], extent[0], 4)
-    out = args.out or "/tmp/sample2_output.png"
+    out = out or "/tmp/sample2_output.png"
     image_io.write_image(out, img)
     print(f"sample2 wrote {out} (totalSamples="
           f"{int(rt['totalSamples'][0])})")
+    return img
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--size", type=int, default=512)
+    ap.add_argument("--batch", type=int, default=4)
+    ap.add_argument("--depth", type=int, default=1)
+    ap.add_argument("--frames", type=int, default=1)
+    ap.add_argument("--obj", type=str, default=None)
+    ap.add_argument("--load-cache", action="store_true",
+                    help="FileToTopAccelStruct path (LOAD_FROM_FILE)")
+    ap.add_argument("--out", type=str, default=None)
+    args = ap.parse_args()
+    render_sample2(size=args.size, batch=args.batch, depth=args.depth,
+                   frames=args.frames, obj=args.obj,
+                   load_cache=args.load_cache, out=args.out)
 
 
 if __name__ == "__main__":
