@@ -7,13 +7,17 @@ so the natural mapping is sharding the pixel wavefront across chips with
 own pixel rows with zero communication, and only image assembly touches
 ICI (an all-gather XLA inserts at the output).
 
-Two modes:
+Three modes:
   * pixel sharding (`shard_frame`): identical results to single-chip,
     throughput scales with chips
   * sample parallelism (`sample_parallel_frame`): every chip renders the
     full image with a different sample-seed offset; a `pmean` over the
     mesh merges them -- linear convergence-rate scaling for progressive
     rendering
+  * 2D tiles x samples (`make_mesh2d` + `tile_sample_frame`): pixels
+    sharded over the `px` axis, the sample sequence split over the `sp`
+    axis with a psum along it -- composes both scalings on one pod
+    slice, and the psum rides the short ICI axis
 """
 
 from __future__ import annotations
@@ -86,6 +90,50 @@ def sample_parallel_frame(tracer: WavefrontPathTracer, mesh: Mesh, *,
         local, mesh=mesh,
         in_specs=(P(), P(), P(), P(), P()),
         out_specs=(P(), P()),
+        check_rep=False)
+    return jax.jit(sharded)
+
+
+def make_mesh2d(n_px: int, n_sp: int, axes=("px", "sp")) -> Mesh:
+    """[n_px, n_sp] device mesh: pixel tiles over the first axis,
+    sample slices over the second.  On real hardware put the sample
+    axis on the shorter ICI dimension (it carries the psum)."""
+    devices = jax.devices()
+    assert n_px * n_sp <= len(devices)
+    return Mesh(jax.experimental.mesh_utils.create_device_mesh(
+        (n_px, n_sp), devices[:n_px * n_sp]), axes)
+
+
+def tile_sample_frame(tracer: WavefrontPathTracer, mesh: Mesh, *,
+                      batch: int, depth: int, debug: int = 0,
+                      px: str = "px", sp: str = "sp") -> Callable:
+    """Pixels sharded over `px`, samples over `sp`: device (i, s)
+    renders pixel tile i with sample ids
+    [ts + s*batch, ts + (s+1)*batch); a psum over `sp` merges the
+    sample sums, so one call advances every pixel by
+    mesh.shape[sp] * batch samples.  Result matches a single-chip
+    frame of batch' = n_sp * batch up to float reduction order.
+    """
+    n_sp = mesh.shape[sp]
+    frame = tracer.frame_fn(batch=batch, depth=depth, debug=debug)
+
+    def local(scene, resources, accum, total_samples, pixel_index):
+        s = jax.lax.axis_index(sp).astype(jnp.uint32)
+        local_ts = total_samples + s * jnp.uint32(batch)
+        local_sum = frame.sample_sum(scene, resources, pixel_index,
+                                     local_ts, total_samples)
+        total_sum = jax.lax.psum(local_sum, sp)
+        ts_f = total_samples.astype(jnp.float32)
+        w_new = jnp.float32(n_sp * batch)
+        merged = (accum * ts_f + total_sum) / (ts_f + w_new)
+        from radiance_tpu.ops import tonemap as tonemap_ops
+        rgb = merged if debug else tracer.tonemap(merged)
+        return merged, tonemap_ops.quantize_rgba8(rgb)
+
+    sharded = shard_map(
+        local, mesh=mesh,
+        in_specs=(P(), P(), P(px), P(), P(px)),
+        out_specs=(P(px), P(px)),
         check_rep=False)
     return jax.jit(sharded)
 

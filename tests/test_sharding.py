@@ -71,3 +71,34 @@ def test_sample_parallel_converges(setup):
     # device d uses frame ids ts+d*batch..; with batch=1 this is ids 0..7 --
     # the same sample set as a single-device batch of 8
     np.testing.assert_allclose(accum, np.asarray(acc), rtol=1e-4, atol=1e-5)
+
+
+def test_tile_sample_2d_mesh_matches_single_device(setup):
+    """4x2 mesh (pixels x samples): equals a single-device frame of
+    batch = n_sp * batch over the same sample ids."""
+    scene, res, tracer = setup
+    mesh = sharding.make_mesh2d(4, 2)
+    accum0 = jnp.zeros((W * H, 3), jnp.float32)
+    pixel_index = jnp.arange(W * H, dtype=jnp.int32)
+
+    fn = sharding.tile_sample_frame(tracer, mesh, batch=2, depth=2)
+    accum, image = fn(scene, res, accum0, jnp.uint32(0), pixel_index)
+    accum = np.asarray(accum)
+    assert np.isfinite(accum).all() and accum.std() > 0.01
+
+    # single device, batch 4 = n_sp(2) * batch(2), same sample ids 0..3
+    acc1, img1 = tracer.render(scene, res, accum0, 0, W, H,
+                               batch=4, depth=2)
+    np.testing.assert_allclose(accum, np.asarray(acc1), rtol=1e-4,
+                               atol=1e-5)
+    # quantized images agree except float-rounding edge pixels
+    di = np.abs(np.asarray(image).astype(np.int32)
+                - np.asarray(img1).reshape(-1, 4).astype(np.int32))
+    assert (di > 1).mean() < 0.01
+
+    # progressive continuation: second call advances totalSamples by 4
+    accum2, _ = fn(scene, res, jnp.asarray(accum), jnp.uint32(4),
+                   pixel_index)
+    acc2, _ = tracer.render(scene, res, acc1, 4, W, H, batch=4, depth=2)
+    np.testing.assert_allclose(np.asarray(accum2), np.asarray(acc2),
+                               rtol=1e-4, atol=1e-5)
