@@ -125,10 +125,31 @@ def build_or_load_scene():
     return tlas.device_scene()
 
 
-def camera_rays():
+def _pcg3d_np(v):
+    """NumPy PCG3D (bit-matches core.math.pcg3d) -> floats in [0,1)."""
+    v = v.astype(np.uint32) * np.uint32(1664525) + np.uint32(1013904223)
+    x, y, z = v[..., 0], v[..., 1], v[..., 2]
+    x = x + y * z
+    y = y + z * x
+    z = z + x * y
+    x ^= x >> np.uint32(16)
+    y ^= y >> np.uint32(16)
+    z ^= z >> np.uint32(16)
+    x = x + y * z
+    y = y + z * x
+    z = z + x * y
+    return (np.stack([x, y, z], -1).astype(np.float32)
+            / np.float32(0xFFFFFFFF))
+
+
+def camera_rays(jitter: int = None):
     """Tile-ordered primary rays for the active bench scene: packets
     are tight screen tiles (a row strip has a much wider frustum ->
-    more node/leaf visits per packet).  Returns (o [N,3], d [N,3])."""
+    more node/leaf visits per packet).  Returns (o [N,3], d [N,3]).
+
+    jitter: optional sample id -- adds the engine's per-pixel PCG
+    sub-pixel jitter (progressive-sample emulation for temporal-bound
+    experiments)."""
     from radiance_tpu.ops.packet_trace import PACKET
 
     n = WIDTH * HEIGHT
@@ -137,8 +158,15 @@ def camera_rays():
     py = np.arange(n, dtype=np.int64) // WIDTH
     tile = (py // ts) * (WIDTH // ts) + (px // ts)
     order = np.argsort(tile * PACKET + (py % ts) * ts + (px % ts))
-    xs = px[order] / WIDTH - 0.5
-    ys = py[order] / HEIGHT - 0.5
+    if jitter is None:
+        jx = jy = 0.0
+    else:
+        rnd = _pcg3d_np(np.stack(
+            [np.full(n, jitter, np.uint32), np.zeros(n, np.uint32),
+             order.astype(np.uint32)], -1))
+        jx, jy = rnd[:, 0] - 0.5, rnd[:, 1] - 0.5
+    xs = (px[order] + jx) / WIDTH - 0.5
+    ys = (py[order] + jy) / HEIGHT - 0.5
     o = np.zeros((n, 3), np.float32)
     if scene_kind() == "interior":
         o[:, 1] = 6.0

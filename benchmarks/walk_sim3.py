@@ -36,8 +36,11 @@ PAIR_US = 0.61         # measured per [128,16]x[16,512] pair (DEFAULT)
 def walk_all_slots(nodef, scal, smeta, tmaxf, step_cap):
     """Vectorized lockstep walk over every slot.  Returns per-slot
     (steps, n_emit, capped, treelet_iters) and the emission list
-    (slot_id, node_row, tn)."""
+    (slot_id, node_row, tn).  tmaxf: scalar or per-slot [nslot]
+    array (temporal-bound clipping)."""
     nslot = scal.shape[0]
+    tmaxf = np.broadcast_to(
+        np.asarray(tmaxf, np.float32), (nslot,))
     sgn = scal[:, 0:3]
     olo = scal[:, 3:6]
     ohi = scal[:, 6:9]
@@ -68,7 +71,7 @@ def walk_all_slots(nodef, scal, smeta, tmaxf, step_cap):
         is_leaf = ntri > 0
 
         tn = np.zeros(nslot, np.float32)
-        tf = np.full(nslot, tmaxf, np.float32)
+        tf = tmaxf.copy()
         for k in range(3):
             m0 = sgn[:, k] * tile[:, k]
             m1 = sgn[:, k] * tile[:, 3 + k]
@@ -211,11 +214,17 @@ def pair_counts(nodef, em_slot, em_row, slot_pkt, rows_np, live_np,
 
 
 def report(tag, nodef, scal, smeta, order, slot_pkt_sorted, rows_np,
-           live_np, step_cap=2048, tmaxf=1e4, tfinal=None):
+           live_np, step_cap=2048, tmaxf=1e4, tfinal=None,
+           walk_tmax=None, extra=None):
+    """walk_tmax: optional per-slot walk clip (temporal bounds);
+    pair-stage interval math stays at the scalar tmaxf.  extra: dict
+    merged into the JSON line (e.g. residual-ray stats)."""
     scal = np.asarray(scal)
     smeta = np.asarray(smeta)
     steps, emits, capped, (twins, twins16), (es, er, etn) = \
-        walk_all_slots(nodef, scal, smeta, tmaxf, step_cap)
+        walk_all_slots(nodef, scal, smeta,
+                       tmaxf if walk_tmax is None else walk_tmax,
+                       step_cap)
     alive = smeta[:, 1] > 0
     nslot = scal.shape[0]
     # slots are already in score order; lockstep cost = sum of group max
@@ -264,6 +273,8 @@ def report(tag, nodef, scal, smeta, order, slot_pkt_sorted, rows_np,
     for k, v in pc.items():
         line[k] = v
         line[k + "_est_ms"] = round(v * PAIR_US / 1e3, 1)
+    if extra:
+        line.update(extra)
     import json
     print(json.dumps(line), flush=True)
 
@@ -352,6 +363,42 @@ def main():
         report(tag, nodef, scal, smeta, np.asarray(order),
                None, rows_np, live_np, tmaxf=tmaxf, tfinal=tfinal)
 
+    def run_tbound(tag, ow, dw, bound, t_true):
+        """Temporal-bound variant: per-slot walk clip at the packet's
+        worst previous-sample t, per-block pair cull at the block's
+        (pairs_cull_ceiling with tfinal=bound), plus exact residual
+        accounting -- rays whose true t exceeds their block bound
+        need an unbounded re-walk to stay exact."""
+        rows_w = tuple(jnp.asarray(ow[:, k]) for k in range(3)) + \
+            tuple(jnp.asarray(dw[:, k]) for k in range(3))
+        out = jax.jit(s3._stage_prep)(
+            rows_w, jnp.float32(1e-3), jnp.float32(1e4),
+            jnp.asarray(nodef), jnp.asarray(inv0), None)
+        rows, feats_t, scal, smeta, bscal, lim, pool_of, order = \
+            jax.block_until_ready(out)
+        rows_np = tuple(np.asarray(r) for r in rows)
+        npad = rows_np[0].shape[0]
+        live_np = np.ones(npad, bool)
+        bnd = np.full(npad, _FMAX, np.float32)
+        bnd[:len(bound)] = bound
+        smeta_np = np.asarray(smeta)
+        pkt_bound = bnd.reshape(-1, 1024).max(1)          # [npk]
+        walk_tmax = np.minimum(
+            pkt_bound[smeta_np[:, 0].astype(np.int64)], 1e4)
+        blk_bound = bnd.reshape(-1, 128).max(1)           # [npk*8]
+        tt = np.full(npad, _FMAX, np.float32)
+        tt[:len(t_true)] = t_true
+        resid = tt > blk_bound.repeat(128)
+        extra = {
+            "resid_rays": int(resid.sum()),
+            "resid_frac": round(float(resid.mean()), 5),
+            "pkt_bound_inf_frac": round(
+                float((pkt_bound >= 1e4).mean()), 4),
+        }
+        report(tag, nodef, scal, smeta, np.asarray(order),
+               None, rows_np, live_np, tmaxf=1e4, tfinal=bnd,
+               walk_tmax=walk_tmax, extra=extra)
+
     if {"bounce", "shadow", "ggx"} & set(waves):
         t1 = trace_cpu(o, d)
         hit = t1 < _FMAX
@@ -397,6 +444,22 @@ def main():
             run(f"bounce/cascA{near}", o2, d2, hit, False, tmaxf=near)
             liveB = hit & (t2 >= near)
             run(f"bounce/cascB{near}", o2, d2, liveB, False)
+        elif w == "tprim":
+            # progressive temporal bounds: sample A's per-pixel t
+            # clips sample B's walk and pairs (jittered pinhole, the
+            # engine's PCG sub-pixel jitter via bench.camera_rays)
+            oA, dA = bench.camera_rays(jitter=11)
+            oB, dB = bench.camera_rays(jitter=12)
+            oA = oA[sel].astype(np.float32)
+            dA = dA[sel].astype(np.float32)
+            oB = oB[sel].astype(np.float32)
+            dB = dB[sel].astype(np.float32)
+            tA = trace_cpu(oA, dA)
+            tB = trace_cpu(oB, dB)
+            bound = np.where(tA >= 1e4, _FMAX,
+                             tA * 1.0001 + 1e-4).astype(np.float32)
+            run("tprim/base", oB, dB, None, False)
+            run_tbound("tprim/bound", oB, dB, bound, tB)
         elif w == "shadow":
             run("shadow/live", o2, light, hit, False)
             run("shadow/live+ps", o2, light, hit, True)
