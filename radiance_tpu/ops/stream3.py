@@ -61,6 +61,9 @@ from radiance_tpu.ops.intersect import FLT_MAX
 from radiance_tpu.ops.traversal import HitRecord
 from radiance_tpu.ops.stream_trace import S_SLOTS, leaf_tables
 RES_CAP = 8             # packets exactly re-walked in-jit per wave
+TB_RES_RAYS = 16384     # temporal-bound residual rays exactly
+                        # re-walked in-jit per wave (2x the measured
+                        # 0.35% steady-state residual at 2M rays)
 
 _FMAX = 3.4028235e38
 _BIG = 1e30
@@ -1560,6 +1563,37 @@ def _refine3_kernel(slot_pkt, lim_ref, emeta_ref, words_ref, xt_ref,
     emeta_out[r, 7] = emeta_ref[r, 7]
 
 
+def _apply_block_bound(words, slot_pkt, bounds_blk):
+    """Temporal t-bound cull (XLA, post-refine): clear keepmask bits
+    whose leaf's quantized-tn LOWER bound exceeds the block's bound.
+
+    bounds_blk: [npk*8] f32 per-block upper bounds (e.g. the previous
+    progressive sample's worst t in the block; +inf disables).  The tq
+    field truncates tn's float bits (rounds DOWN), so
+    decoded(tq) <= tn and the cull can only drop leaves whose true tn
+    exceeds the bound -- leaves that can only contain hits farther
+    than the bound.  Exactness contract: a ray's result is definitive
+    iff rec.t <= its block bound; rays above the bound must re-walk
+    unbounded (trace_rows_stream3 does).  Word lists keep their
+    length (cleared words cost the isect word floor, not matmuls)."""
+    i32 = jnp.int32
+    tq = words & W_TQ_MASK
+    lb_bits = jnp.where(tq == 0, 0, (tq + TQ_BIAS3) << TQ_SHIFT)
+    # positive-f32 ordering is preserved in the integer domain
+    bb = jax.lax.bitcast_convert_type(
+        jnp.minimum(jnp.abs(bounds_blk), jnp.float32(FLT_MAX)), i32)
+    sb = bb.reshape(-1, 8)[slot_pkt]                # [nslot, 8]
+    kmask = (words >> W_KEEP_SHIFT) & 255
+    keep = jnp.zeros_like(kmask)
+    for k in range(8):
+        ok = lb_bits <= sb[:, k:k + 1]
+        keep = keep | jnp.where(ok, kmask & (1 << k), 0)
+    return jnp.where(
+        words != 0,
+        (words & ~(255 << W_KEEP_SHIFT)) | (keep << W_KEEP_SHIFT),
+        words)
+
+
 def _stage_refine_exact(words, emeta, slot_pkt, feats_t, aabb8, lim,
                         *, interpret: bool, sort: bool = False):
     """Run the exact block refine over all slots.  Returns
@@ -2019,7 +2053,8 @@ def _run(rows_w, tmin, tmax, nodef, kleaf_k, kprim, ktri_geo, inv0,
          tstart, *, precision: str, interpret: bool, raw: bool = False,
          orient: str = "major", treelet: bool = False,
          presort: bool = False, with_diag: bool = False, live=None,
-         occl: bool = False, exact_refine=None, ws=None):
+         occl: bool = False, exact_refine=None, ws=None,
+         blk_bound=None):
     """Full v6 pipeline on world-space component rows.  Returns a
     HitRecord (+ diagnostics when with_diag): packets flagged in
     diag['pkt_flag'] were truncated (step cap / word overflow) and
@@ -2085,6 +2120,17 @@ def _run(rows_w, tmin, tmax, nodef, kleaf_k, kprim, ktri_geo, inv0,
             words, emeta, slot_pkt, feats_t, aabb8, lim,
             interpret=interpret,
             sort=os.environ.get("RADIANCE_TQSORT", "0") == "1")
+    if blk_bound is not None:
+        nb_all = rows[0].shape[0] // BLK
+        bbv = jnp.asarray(blk_bound, jnp.float32)
+        if bbv.shape[0] < nb_all:           # pad blocks: no bound
+            bbv = jnp.concatenate([bbv, jnp.full(
+                (nb_all - bbv.shape[0],), FLT_MAX, jnp.float32)])
+        if presort:
+            # caller-order bounds -> sorted block space (inv_blk[i] is
+            # caller block i's sorted position; see the output restore)
+            bbv = jnp.zeros_like(bbv).at[inv_blk].set(bbv)
+        words_i = _apply_block_bound(words_i, slot_pkt, bbv)
     if orient == "major" and not interpret:
         feats = feats_rows_to_major(feats_t)
     elif orient == "major":
@@ -2171,14 +2217,23 @@ def trace_rows_stream3(scene, rows_w, tmin, tmax,
                        precision: str = "f32",
                        interpret=None, presort: bool = False,
                        live=None, occl: bool = False,
-                       treelet=None) -> HitRecord:
+                       treelet=None, blk_bound=None) -> HitRecord:
     """Jit-traceable v6 entry on component rows (the fast wave
     format).  Up to RES_CAP truncated packets (step-capped or
     word-overflowed) are exactly re-walked IN-JIT by the per-ray XLA
     traversal; flags beyond that poison their packets to miss (use
     build_tracer for the unbounded host-side retrace).  `live` masks
     dead lanes (parked rays of a wavefront engine) out of every
-    frustum; dead lanes report miss."""
+    frustum; dead lanes report miss.
+
+    blk_bound: optional [ceil(n/128)] f32 per-block temporal t upper
+    bounds (previous progressive sample's worst t per block; +inf
+    disables a block).  Leaves provably beyond a block's bound are
+    culled before phase 2 (_apply_block_bound); rays whose result
+    exceeds their bound (or, for occl waves, report unoccluded under
+    a finite bound) are exactly re-walked in-jit, up to TB_RES_RAYS
+    per wave -- residuals beyond that poison to miss, so callers
+    should validate their bound source once (bench.py does)."""
     from radiance_tpu.ops import traversal
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -2198,7 +2253,7 @@ def trace_rows_stream3(scene, rows_w, tmin, tmax,
                      scene.kprim, scene.ktri_geo, scene.inst_inv[0],
                      tstart, precision=precision, interpret=interpret,
                      presort=presort, with_diag=True, live=live,
-                     occl=occl, treelet=treelet)
+                     occl=occl, treelet=treelet, blk_bound=blk_bound)
     flag = diag["pkt_flag"]                         # sorted pkt space
     blk_perm = diag["blk_perm"]
     nb = blk_perm.shape[0]
@@ -2239,6 +2294,59 @@ def trace_rows_stream3(scene, rows_w, tmin, tmax,
     # would otherwise tax every clean wave)
     rec = jax.lax.cond(jnp.any(fvalid), run_residual, lambda r: r,
                        rec)
+
+    if blk_bound is not None:
+        # temporal-bound residual: rays whose result is not definitive
+        # under their block bound re-walk exactly (closest-hit: found
+        # t beyond the bound or miss; occl: unoccluded under a finite
+        # bound -- the bounded trace cannot prove "unoccluded")
+        bbv = jnp.asarray(blk_bound, jnp.float32)
+        bound_ray = jnp.repeat(bbv, BLK)[:n]
+        if occl:
+            tb_resid = (rec.t >= FLT_MAX) & (bound_ray < FLT_MAX)
+        else:
+            tb_resid = rec.t > bound_ray
+        if live is not None:
+            tb_resid = tb_resid & live[:n]
+        ridx = jnp.nonzero(tb_resid, size=TB_RES_RAYS,
+                           fill_value=n)[0].astype(jnp.int32)
+        rvalid = ridx < n
+        ridx_g = jnp.minimum(ridx, n - 1)
+
+        def run_tb_residual(rec):
+            ow = jnp.stack([rows_w[0][ridx_g], rows_w[1][ridx_g],
+                            rows_w[2][ridx_g]], axis=1)
+            dw = jnp.stack([rows_w[3][ridx_g], rows_w[4][ridx_g],
+                            rows_w[5][ridx_g]], axis=1)
+            sub = traversal.trace_rays(scene, ow, dw, tmin, tmax,
+                                       any_hit_terminate=occl)
+            sub_t = jnp.where(sub.t < FLT_MAX, jnp.float32(0.0),
+                              FLT_MAX) if occl else sub.t
+
+            def patch(dst, src_):
+                return dst.at[jnp.where(rvalid, ridx_g, n)].set(
+                    src_, mode="drop")
+
+            return HitRecord(t=patch(rec.t, sub_t),
+                             prim=patch(rec.prim, sub.prim),
+                             slot=patch(rec.slot, sub.slot),
+                             b1=patch(rec.b1, sub.b1),
+                             b2=patch(rec.b2, sub.b2))
+
+        rec = jax.lax.cond(jnp.any(rvalid), run_tb_residual,
+                           lambda r: r, rec)
+        # residuals beyond TB_RES_RAYS poison to miss (observable,
+        # never silently wrong)
+        nres = jnp.sum(tb_resid.astype(jnp.int32))
+        rrank = jnp.cumsum(tb_resid.astype(jnp.int32)) - 1
+        tb_late = tb_resid & (rrank >= TB_RES_RAYS) \
+            & (nres > TB_RES_RAYS)
+        rec = HitRecord(
+            t=jnp.where(tb_late, FLT_MAX, rec.t),
+            prim=jnp.where(tb_late, -1, rec.prim),
+            slot=jnp.where(tb_late, -1, rec.slot),
+            b1=jnp.where(tb_late, 0.0, rec.b1),
+            b2=jnp.where(tb_late, 0.0, rec.b2))
 
     # flags beyond RES_CAP poison their packets to miss
     nflag = jnp.sum((flag > 0).astype(jnp.int32))

@@ -777,3 +777,97 @@ def test_stream3_ws_wide_groups():
             assert ew[row, 0] == re[s, 0], (treelet, row, s)
             cnt = min(re[s, 0], stream3.PCAP)
             np.testing.assert_array_equal(ww[row, :cnt], rp[s, :cnt])
+
+
+def test_stream3_temporal_block_bound_exact():
+    """blk_bound from a previous identical wave's t: the bounded trace
+    must reproduce the unbounded result exactly (every ray's true t is
+    within its block bound, so nothing true is culled and no ray is
+    residual-poisoned)."""
+    ds = _single_instance_scene(n_tris=900, seed=3)
+    n = 2048
+    ij = np.arange(n)
+    xs = (ij % 64) / 64.0 - 0.5
+    ys = (ij // 64) / 32.0 - 0.5
+    o = np.tile([[0.0, 0.0, 12.0]], (n, 1)).astype(np.float32)
+    d = np.stack([xs, ys, np.full(n, -1.0)], -1).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    rows = stream3.rows_from_aos(jnp.asarray(o), jnp.asarray(d))
+
+    base = stream3.trace_rows_stream3(ds, rows, 1e-3, 1e3,
+                                      interpret=True)
+    t0 = np.asarray(base.t)
+    bound = np.where(t0 >= FLT_MAX, FLT_MAX,
+                     np.where(t0 < FLT_MAX, t0, 0) * 1.0001 + 1e-4
+                     ).astype(np.float32)
+    blk_bound = bound.reshape(-1, stream3.BLK).max(1)
+
+    rec = stream3.trace_rows_stream3(
+        ds, rows, 1e-3, 1e3, interpret=True,
+        blk_bound=jnp.asarray(blk_bound))
+    np.testing.assert_array_equal(np.asarray(rec.t), t0)
+    np.testing.assert_array_equal(np.asarray(rec.prim),
+                                  np.asarray(base.prim))
+
+
+def test_stream3_temporal_bound_residual_rewalk():
+    """An artificially tight bound culls real hits; the in-jit
+    residual re-walk must restore them exactly (result equals the
+    unbounded trace even though phase 2 dropped the winning leaves)."""
+    ds = _single_instance_scene(n_tris=900, seed=3)
+    n = 2048
+    ij = np.arange(n)
+    xs = (ij % 64) / 64.0 - 0.5
+    ys = (ij // 64) / 32.0 - 0.5
+    o = np.tile([[0.0, 0.0, 12.0]], (n, 1)).astype(np.float32)
+    d = np.stack([xs, ys, np.full(n, -1.0)], -1).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    rows = stream3.rows_from_aos(jnp.asarray(o), jnp.asarray(d))
+
+    base = stream3.trace_rows_stream3(ds, rows, 1e-3, 1e3,
+                                      interpret=True)
+    t0 = np.asarray(base.t)
+    hit0 = t0 < FLT_MAX
+    assert hit0.any()
+    # bound at half the true t: every hit ray becomes residual
+    bound = np.where(hit0, t0 * 0.5, FLT_MAX).astype(np.float32)
+    blk_bound = bound.reshape(-1, stream3.BLK).min(1)  # tightest
+
+    rec = stream3.trace_rows_stream3(
+        ds, rows, 1e-3, 1e3, interpret=True,
+        blk_bound=jnp.asarray(blk_bound))
+    t1 = np.asarray(rec.t)
+    hr, hg = hit0, t1 < FLT_MAX
+    assert (hr == hg).all()
+    np.testing.assert_allclose(t1[hr & hg], t0[hr & hg], rtol=2e-3,
+                               atol=1e-4)
+
+
+def test_stream3_temporal_bound_occlusion():
+    """occl waves: a finite bound with an occluder inside it resolves
+    without residual; unoccluded rays under a finite bound re-walk
+    (and stay unoccluded)."""
+    ds = _single_instance_scene(n_tris=900, seed=3)
+    n = 2048
+    rng = np.random.default_rng(5)
+    o = np.tile([[0.0, 0.0, 12.0]], (n, 1)).astype(np.float32)
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    rows = stream3.rows_from_aos(jnp.asarray(o), jnp.asarray(d))
+
+    base = stream3.trace_rows_stream3(ds, rows, 1e-3, 1e3,
+                                      interpret=True, occl=True)
+    occ0 = np.asarray(base.t) < FLT_MAX
+    # bounds: the true closest t (from a closest-hit pass) + slack
+    ref = stream3.trace_rows_stream3(ds, rows, 1e-3, 1e3,
+                                     interpret=True)
+    tr = np.asarray(ref.t)
+    bound = np.where(tr >= FLT_MAX, FLT_MAX,
+                     np.where(tr < FLT_MAX, tr, 0) * 1.0001 + 1e-4
+                     ).astype(np.float32)
+    blk_bound = bound.reshape(-1, stream3.BLK).max(1)
+    rec = stream3.trace_rows_stream3(
+        ds, rows, 1e-3, 1e3, interpret=True, occl=True,
+        blk_bound=jnp.asarray(blk_bound))
+    occ1 = np.asarray(rec.t) < FLT_MAX
+    np.testing.assert_array_equal(occ1, occ0)
