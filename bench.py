@@ -142,16 +142,18 @@ def _pcg3d_np(v):
             / np.float32(0xFFFFFFFF))
 
 
-def camera_rays(jitter: int = None):
+def camera_rays(jitter: int = None, w: int = None, h: int = None):
     """Tile-ordered primary rays for the active bench scene: packets
     are tight screen tiles (a row strip has a much wider frustum ->
     more node/leaf visits per packet).  Returns (o [N,3], d [N,3]).
 
     jitter: optional sample id -- adds the engine's per-pixel PCG
     sub-pixel jitter (progressive-sample emulation for temporal-bound
-    experiments)."""
+    experiments).  w/h default to the bench resolution."""
     from radiance_tpu.ops.packet_trace import PACKET
 
+    WIDTH = w or globals()["WIDTH"]
+    HEIGHT = h or globals()["HEIGHT"]
     n = WIDTH * HEIGHT
     ts = max(int(PACKET ** 0.5), 1)
     px = np.arange(n, dtype=np.int64) % WIDTH
@@ -530,6 +532,98 @@ def run_multi_bench():
     }))
 
 
+def run_tbound_bench():
+    """--tbound mode: progressive primary waves on the INTERIOR scene
+    (closed, hit rate ~1.0 -- the regime where temporal bounds pay;
+    the open city scene is immune, every block holds a miss ray).
+
+    Sample s re-traces the camera with per-pixel PCG sub-pixel jitter
+    (the engine's progressive-accumulation pattern, shader.cl:182-195)
+    and is bounded by sample s-1's per-block worst t.  Leaves provably
+    beyond a block's bound are culled before phase 2; non-definitive
+    rays re-walk exactly in-jit (stream3.trace_rows_stream3 blk_bound).
+    Sample 1 is validated against an unbounded trace of the same rays
+    before timing.  Prints ONE JSON line with bounded + unbounded
+    Mrays/s.  Offline ledger: emit -30%, pairs -52%, residual 0.35%
+    (docs/raystream-design.md)."""
+    import jax
+    import jax.numpy as jnp
+    from radiance_tpu.ops import stream3
+
+    os.environ["RADIANCE_BENCH_SCENE"] = "interior"
+    w = int(os.environ.get("RADIANCE_TB_W", WIDTH))
+    h = int(os.environ.get("RADIANCE_TB_H", HEIGHT))
+    n_samples = int(os.environ.get("RADIANCE_TB_SAMPLES", 4))
+    interp = os.environ.get("RADIANCE_TB_INTERPRET", "0") == "1"
+    scene = build_or_load_scene()
+    assert stream3.supports(scene), "stream3 tables missing"
+    n = w * h
+    assert n % stream3.BLK == 0, (w, h)
+    FLT_MAX = np.float32(3.402823466e38)
+    prec = os.environ.get("RADIANCE_BENCH_PRECISION", "default")
+
+    rays = [camera_rays(jitter=s, w=w, h=h) for s in range(n_samples)]
+    rows_s = [tuple(jnp.asarray(o[:, k]) for k in range(3))
+              + tuple(jnp.asarray(d[:, k]) for k in range(3))
+              for o, d in rays]
+
+    j_free = jax.jit(lambda scn, rows: stream3.trace_rows_stream3(
+        scn, rows, jnp.float32(1e-3), jnp.float32(1e4),
+        precision=prec, interpret=interp))
+    j_bound = jax.jit(lambda scn, rows, bb: stream3.trace_rows_stream3(
+        scn, rows, jnp.float32(1e-3), jnp.float32(1e4),
+        precision=prec, interpret=interp, blk_bound=bb))
+
+    @jax.jit
+    def block_bound(t):
+        # next sample's jitter moves the hit point within a pixel;
+        # 2% headroom + epsilon absorbs that parallax (rays past it
+        # re-walk exactly, so the slack only trades cull vs residual)
+        b = jnp.where(t < FLT_MAX, t * 1.02 + 1e-2, FLT_MAX)
+        return jnp.max(b.reshape(-1, stream3.BLK), axis=1)
+
+    # warm both programs, then validate sample 1 bounded == unbounded
+    rec0 = j_free(scene, rows_s[0])
+    bb0 = block_bound(rec0.t)
+    rec1b = j_bound(scene, rows_s[1 % n_samples], bb0)
+    rec1f = j_free(scene, rows_s[1 % n_samples])
+    t_b, t_f = np.asarray(rec1b.t), np.asarray(rec1f.t)
+    hit_b, hit_f = t_b < FLT_MAX, t_f < FLT_MAX
+    mism = (hit_b != hit_f) | (hit_b & hit_f
+                               & ~np.isclose(t_b, t_f, rtol=2e-3,
+                                             atol=1e-3))
+    exact_frac = 1.0 - float(mism.mean())
+    print(f"# tbound validation: {int(mism.sum())}/{n} rays differ "
+          f"from the unbounded trace", file=sys.stderr)
+
+    def run_chain(bounded):
+        rec = j_free(scene, rows_s[0])
+        for s in range(1, n_samples):
+            if bounded:
+                rec = j_bound(scene, rows_s[s], block_bound(rec.t))
+            else:
+                rec = j_free(scene, rows_s[s])
+        float(jnp.sum(rec.t[::65536]))
+        return rec
+
+    run_chain(True)                                # compile everything
+    t0 = time.time()
+    run_chain(True)
+    dt_b = (time.time() - t0) / n_samples
+    t0 = time.time()
+    run_chain(False)
+    dt_f = (time.time() - t0) / n_samples
+    print(json.dumps({
+        "metric": "tbound_primary_mrays_per_sec_interior",
+        "value": round(n / dt_b / 1e6, 3),
+        "unit": "Mrays/s",
+        "unbounded_mrays": round(n / dt_f / 1e6, 3),
+        "speedup": round(dt_f / dt_b, 3),
+        "exact_frac": round(exact_frac, 6),
+        "samples": n_samples, "w": w, "h": h,
+    }))
+
+
 def run_engine_bench():
     """--engine mode: measure WavefrontPathTracer.render at 1080p
     (batch 4, depth 4, real GGX bounces) on the 1M-tri bench scene --
@@ -703,5 +797,7 @@ if __name__ == "__main__":
         run_engine_bench()
     elif "--multi" in sys.argv:
         run_multi_bench()
+    elif "--tbound" in sys.argv:
+        run_tbound_bench()
     else:
         main()
