@@ -574,13 +574,7 @@ def run_tbound_bench():
         scn, rows, jnp.float32(1e-3), jnp.float32(1e4),
         precision=prec, interpret=interp, blk_bound=bb))
 
-    @jax.jit
-    def block_bound(t):
-        # next sample's jitter moves the hit point within a pixel;
-        # 2% headroom + epsilon absorbs that parallax (rays past it
-        # re-walk exactly, so the slack only trades cull vs residual)
-        b = jnp.where(t < FLT_MAX, t * 1.02 + 1e-2, FLT_MAX)
-        return jnp.max(b.reshape(-1, stream3.BLK), axis=1)
+    block_bound = jax.jit(stream3.block_bound_from_t)
 
     # warm both programs, then validate sample 1 bounded == unbounded
     rec0 = j_free(scene, rows_s[0])

@@ -130,7 +130,7 @@ def _stream3_wavefront_supported(scene, trace_kw, wave="primary"):
 
 
 def _traced_wavefront(scene, o, d, tmin, tmax, alive, sort_key=None,
-                      wave="primary", **trace_kw):
+                      wave="primary", blk_bound=None, **trace_kw):
     """Trace only live rays, the wavefront-compaction way (SURVEY 7:
     generate -> traverse -> shade -> compact; BASELINE north-star).
 
@@ -145,6 +145,13 @@ def _traced_wavefront(scene, o, d, tmin, tmax, alive, sort_key=None,
     (shadow packets capped 70% sorted vs 5% unsorted in the offline
     replay, benchmarks/walk_sim3.py); direction mixing is handled by
     prep's per-octant sub-walk slots.
+
+    blk_bound: optional per-128-ray-block temporal t upper bounds
+    (stream3.block_bound_from_t of the previous progressive sample's
+    hits); applied only on the stream3 route, where leaves provably
+    beyond a block's bound are culled and non-definitive rays re-walk
+    exactly in-jit.  Other routes ignore it (they have no leaf-list
+    stage to cull).
 
     Otherwise live rays are permuted to the front (optionally grouped
     by shader key for coherence), dead lanes are parked at
@@ -181,7 +188,7 @@ def _traced_wavefront(scene, o, d, tmin, tmax, alive, sort_key=None,
             scene, rows, tmin, tmax,
             precision=os.environ.get("RADIANCE_BENCH_PRECISION",
                                      "default"),
-            presort=False, live=alive,
+            presort=False, live=alive, blk_bound=blk_bound,
             occl=bool(trace_kw.get("any_hit_terminate", False)))
         return traversal.HitRecord(
             t=rec.t, prim=rec.prim, slot=jnp.maximum(rec.slot, -1),
@@ -286,7 +293,8 @@ class WavefrontPathTracer:
     tmax: float = 1000.0
 
     def frame_fn(self, *, batch: int, depth: int, debug: int = 0,
-                 hit_group_offset: int = 0, miss_group_offset: int = 0):
+                 hit_group_offset: int = 0, miss_group_offset: int = 0,
+                 tbound: bool = False):
         """Build the jittable frame function for static (batch, depth, debug).
 
         Returns fn(scene, resources, accum [N,3] f32, total_samples u32,
@@ -295,6 +303,15 @@ class WavefrontPathTracer:
         totalSamples and advances per sample (shader.cl:197-281).
         hit_group_offset/miss_group_offset: TraceRays group indices,
         added to the configured SBT hit offset / miss index.
+
+        tbound=True threads per-block temporal t bounds through the
+        PRIMARY wave: sample s's primary trace is bounded by sample
+        s-1's per-block worst hit t (culled leaves can only hold
+        farther hits; non-definitive rays re-walk exactly -- see
+        stream3._apply_block_bound).  The frame then takes an extra
+        `tb [ceil(N/128)] f32` argument and returns (accum', image,
+        tb').  Bounds share accum's invalidation contract: reset to
+        +inf whenever total_samples resets (render() does).
         """
         sbt = self.sbt
         effective_depth = 1 if debug else depth
@@ -319,7 +336,8 @@ class WavefrontPathTracer:
                                         wave="shadow", **kw)
             return rec.hit
 
-        def one_sample(scene, resources, pixel_index, frame_id, total_samples0):
+        def one_sample(scene, resources, pixel_index, frame_id,
+                       total_samples0, tb=None):
             n = pixel_index.shape[0]
             rand_input = jnp.stack([
                 jnp.broadcast_to(frame_id, (n,)).astype(jnp.uint32),
@@ -336,10 +354,10 @@ class WavefrontPathTracer:
             full = functools.partial(_trace_dispatch, scene)
             hit_anyhit = sbt.make_any_hit_program(hit_offset, resources)
 
-            def bounce(b, st, wave="bounce"):
+            def bounce(b, st, wave="bounce", tb=None, want_t=False):
                 color, contribution, alive, o, d = st
                 hits = _traced_wavefront(scene, o, d, self.tmin, self.tmax,
-                                         alive, wave=wave,
+                                         alive, wave=wave, blk_bound=tb,
                                          any_hit_program=hit_anyhit)
                 ctx = _make_context(
                     scene, hits, o, d, pixel_index, frame_id, b,
@@ -368,18 +386,25 @@ class WavefrontPathTracer:
                                          contribution * payload.next_factor,
                                          contribution)
                 alive = alive & hit
-                return (color, contribution, alive,
-                        payload.next_origin, payload.next_dir)
+                st_out = (color, contribution, alive,
+                          payload.next_origin, payload.next_dir)
+                return (st_out, hits.t) if want_t else st_out
 
             init = (jnp.zeros((n, 3), jnp.float32),
                     jnp.ones((n, 3), jnp.float32),
                     jnp.ones(n, bool), origin, direction)
             if effective_depth < 1:
-                return init[0]
+                return (init[0], tb) if tbound else init[0]
             # the primary wave is unrolled out of the loop so its
             # backend routing (coherent: packet/stream paths) can
             # differ statically from the scattered bounce waves'
-            st1 = bounce(jnp.int32(0), init, wave="primary")
+            if tbound:
+                from radiance_tpu.ops import stream3
+                st1, t1 = bounce(jnp.int32(0), init, wave="primary",
+                                 tb=tb, want_t=True)
+                tb_out = stream3.block_bound_from_t(t1)
+            else:
+                st1 = bounce(jnp.int32(0), init, wave="primary")
 
             # bounce loop with early exit: when every path has died, the
             # remaining bounces are skipped entirely (the reference's
@@ -394,22 +419,40 @@ class WavefrontPathTracer:
 
             _, (color, *_rest) = jax.lax.while_loop(
                 bounce_cond, bounce_body, (jnp.int32(1), st1))
-            return color
+            return (color, tb_out) if tbound else color
 
         def sample_sum(scene, resources, pixel_index, first_frame_id,
-                       total_samples0):
-            """Sum of sample colors for frame ids [first, first + batch)."""
+                       total_samples0, tb=None):
+            """Sum of sample colors for frame ids [first, first + batch).
+            With tbound, each sample's primary wave is bounded by the
+            previous one's t and (acc, tb') is returned."""
+            n = pixel_index.shape[0]
+            if tbound:
+                def sample_body(s, st):
+                    acc, tb = st
+                    frame_id = first_frame_id + jnp.uint32(s)
+                    color, tb = one_sample(scene, resources, pixel_index,
+                                           frame_id, total_samples0, tb)
+                    return acc + color, tb
+                return jax.lax.fori_loop(
+                    0, batch, sample_body,
+                    (jnp.zeros((n, 3), jnp.float32), tb))
+
             def sample_body(s, acc):
                 frame_id = first_frame_id + jnp.uint32(s)
                 return acc + one_sample(scene, resources, pixel_index,
                                         frame_id, total_samples0)
-            n = pixel_index.shape[0]
             return jax.lax.fori_loop(
                 0, batch, sample_body, jnp.zeros((n, 3), jnp.float32))
 
-        def frame(scene, resources, accum, total_samples, pixel_index):
-            colors = sample_sum(scene, resources, pixel_index,
-                                total_samples, total_samples)
+        def frame(scene, resources, accum, total_samples, pixel_index,
+                  tb=None):
+            if tbound:
+                colors, tb = sample_sum(scene, resources, pixel_index,
+                                        total_samples, total_samples, tb)
+            else:
+                colors = sample_sum(scene, resources, pixel_index,
+                                    total_samples, total_samples)
             # running average over sample ids (shader.cl:262-279): with
             # frameID starting at totalSamples, the batched form of the
             # reference's per-sample (f*scratch + c) / (f+1) update is
@@ -422,18 +465,19 @@ class WavefrontPathTracer:
             if not debug:
                 rgb = self.tonemap(rgb)
             image = tonemap_ops.quantize_rgba8(rgb)
-            return accum, image
+            return (accum, image, tb) if tbound else (accum, image)
 
         frame.sample_sum = sample_sum
         return frame
 
     @functools.lru_cache(maxsize=None)
     def _jitted(self, batch: int, depth: int, debug: int,
-                hit_group_offset: int = 0, miss_group_offset: int = 0):
+                hit_group_offset: int = 0, miss_group_offset: int = 0,
+                tbound: bool = False):
         return jax.jit(self.frame_fn(
             batch=batch, depth=depth, debug=debug,
             hit_group_offset=hit_group_offset,
-            miss_group_offset=miss_group_offset))
+            miss_group_offset=miss_group_offset, tbound=tbound))
 
     # Max samples executed per device dispatch: keeps single device
     # programs bounded (very long dispatches can trip runtime watchdogs),
@@ -441,6 +485,7 @@ class WavefrontPathTracer:
     max_batch_per_dispatch: int = 8
 
     _ATTACHED = {}
+    _TB = {}  # per-(scene, nblocks) temporal-bound state across frames
 
     def _maybe_attach_multi(self, scene):
         """Attach the stacked sweep tables to many-instance scenes once
@@ -470,21 +515,46 @@ class WavefrontPathTracer:
 
         The reference host loop updates totalSamples += batchSize between
         frames (sample1.cpp:479-490); callers own that counter.
-        """
+
+        RADIANCE_ENGINE_TBOUND=1 carries per-block temporal t bounds
+        across progressive samples (and across render() calls, keyed
+        by scene): sample s's primary wave culls leaves provably
+        beyond sample s-1's per-block worst t.  Bounds reset with the
+        accumulation (total_samples == 0), inheriting accum's
+        invalidation contract -- a camera change must reset
+        total_samples exactly as the reference requires
+        (sample1.cpp:479-490).  Only the stream3 primary route culls;
+        elsewhere the bounds thread through inert."""
         scene = self._maybe_attach_multi(scene)
         n = width * height
         pixel_index = jnp.arange(n, dtype=jnp.int32)
         remaining = int(batch)
         ts = int(total_samples)
         image = None
+        tbound = os.environ.get("RADIANCE_ENGINE_TBOUND", "0") == "1"
+        tb = None
+        if tbound:
+            from radiance_tpu.ops import stream3
+            nb = -(-n // stream3.BLK)
+            key = (id(scene.kblas), nb)
+            tb = self._TB.get(key) if ts > 0 else None
+            if tb is None:
+                tb = jnp.full((nb,), FLT_MAX, jnp.float32)
         while remaining > 0:
             sub = min(remaining, self.max_batch_per_dispatch)
             fn = self._jitted(sub, int(depth), int(debug),
-                              int(hit_group_offset), int(miss_group_offset))
-            accum, image = fn(scene, resources, accum,
-                              jnp.uint32(ts), pixel_index)
+                              int(hit_group_offset),
+                              int(miss_group_offset), tbound)
+            if tbound:
+                accum, image, tb = fn(scene, resources, accum,
+                                      jnp.uint32(ts), pixel_index, tb)
+            else:
+                accum, image = fn(scene, resources, accum,
+                                  jnp.uint32(ts), pixel_index)
             ts += sub
             remaining -= sub
+        if tbound:
+            self._TB[key] = tb
         return accum, image.reshape(height, width, 4)
 
     def __hash__(self):  # let lru_cache key on object identity

@@ -1594,6 +1594,25 @@ def _apply_block_bound(words, slot_pkt, bounds_blk):
         words)
 
 
+def block_bound_from_t(t, slack: float = 1.02, eps: float = 1e-2):
+    """Per-block temporal bound from a previous sample's hit t
+    ([n] f32, FLT_MAX = miss) -> [ceil(n/BLK)] f32 for blk_bound.
+
+    slack/eps absorb the sub-pixel jitter parallax between progressive
+    samples; a block holding any miss ray gets an infinite bound
+    (a miss cannot be bounded).  The slack only trades cull volume vs
+    residual volume -- exactness is unconditional (rays past their
+    bound re-walk, trace_rows_stream3)."""
+    n = t.shape[0]
+    pad = (-n) % BLK
+    if pad:
+        t = jnp.concatenate([t, jnp.full((pad,), FLT_MAX, jnp.float32)])
+    b = jnp.where(t < FLT_MAX,
+                  t * jnp.float32(slack) + jnp.float32(eps),
+                  jnp.float32(FLT_MAX))
+    return jnp.max(b.reshape(-1, BLK), axis=1)
+
+
 def _stage_refine_exact(words, emeta, slot_pkt, feats_t, aabb8, lim,
                         *, interpret: bool, sort: bool = False):
     """Run the exact block refine over all slots.  Returns

@@ -198,3 +198,70 @@ def test_engine_wave_routing_xla_matches_default(monkeypatch, tracer,
     a2, _ = render(tracer2, cornell, batch=1, depth=3)
     np.testing.assert_allclose(np.asarray(a1), np.asarray(a2),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_temporal_bound_progressive(monkeypatch):
+    """RADIANCE_ENGINE_TBOUND=1: progressive accumulation with
+    per-block temporal t bounds (sample s's primary wave culled by
+    sample s-1's worst t, pathtracer.render) must reproduce the
+    unbounded accumulation -- across samples inside one frame AND
+    across render() calls (the cross-frame _TB carry, including the
+    total_samples==0 reset)."""
+    from radiance_tpu.scene.procedural import _quad, assemble_scene
+
+    # one MERGED mesh (single instance) so stream3.supports() holds
+    quads = [
+        _quad([-5, -5, 0], [5, -5, 0], [5, -5, -10], [-5, -5, -10]),
+        _quad([-5, 5, -10], [5, 5, -10], [5, 5, 0], [-5, 5, 0]),
+        _quad([-5, -5, -10], [5, -5, -10], [5, 5, -10], [-5, 5, -10]),
+        _quad([-5, -5, 0], [-5, -5, -10], [-5, 5, -10], [-5, 5, 0]),
+        _quad([5, -5, -10], [5, -5, 0], [5, 5, 0], [5, 5, -10]),
+    ]
+    vs, ts_, ns, uvs = [], [], [], []
+    off = 0
+    for v, t, nrm, uv in quads:
+        vs.append(v)
+        ts_.append(t + off)
+        ns.append(nrm)
+        uvs.append(uv)
+        off += len(v)
+    mesh = (np.concatenate(vs), np.concatenate(ts_).astype(np.uint32),
+            np.concatenate(ns), np.concatenate(uvs), 0)
+    mat = types.Material(albedo=(0.7, 0.7, 0.7, 1.0), roughness=0.8)
+    props = types.SceneProperties(lights=[types.DirLight(
+        direction=(0.3, -1.0, 0.4, 0.0), color=(3.0, 3.0, 3.0, 1.0))])
+    host = assemble_scene([mesh], [mat], props)
+    ds = host.device_scene()
+
+    w = h = 32
+    cam = types.PhysicalCamera(
+        width_pixel=float(w), height_pixel=float(h),
+        focal_length=0.035, sensor_width=0.05,
+        focal_distance=8.0, f_stop=0.0,
+        x=0.0, y=0.0, z=4.0, wx=0.0, wy=0.0, wz=0.0)
+    res = dict(host.resources)
+    res["camera"] = camera.camera_params(cam)
+    sbt = ShaderBindingTable.from_json(shaders.DEFAULT_SBT_RECORDS,
+                                       shaders.SHADER_REGISTRY)
+
+    monkeypatch.setenv("RADIANCE_ENGINE_STREAM3", "force")
+    monkeypatch.setenv("RADIANCE_ENGINE_BOUNCE", "xla")
+    monkeypatch.setenv("RADIANCE_ENGINE_SHADOW", "xla")
+
+    def run(tbound):
+        if tbound:
+            monkeypatch.setenv("RADIANCE_ENGINE_TBOUND", "1")
+        else:
+            monkeypatch.delenv("RADIANCE_ENGINE_TBOUND", raising=False)
+        tr = WavefrontPathTracer(
+            ray_generator=camera.physical_camera_raygen, sbt=sbt)
+        acc = jnp.zeros((w * h, 3), jnp.float32)
+        acc, _ = tr.render(ds, res, acc, 0, w, h, batch=2, depth=2)
+        acc, img = tr.render(ds, res, acc, 2, w, h, batch=2, depth=2)
+        return np.asarray(acc), np.asarray(img)
+
+    acc0, img0 = run(False)
+    assert acc0.std() > 0.01          # a real image, not a constant
+    acc1, img1 = run(True)
+    np.testing.assert_allclose(acc1, acc0, rtol=1e-4, atol=1e-5)
+    np.testing.assert_array_equal(img1, img0)
