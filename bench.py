@@ -375,23 +375,68 @@ def run_bench_stream3(scene, trace, o, d, light, n, bounce_rays):
         return (tuple(o2[:, k] for k in range(3))
                 + tuple(d2[:, k] for k in range(3)), t1 < FLT_MAX)
 
-    def wave():
-        t1 = trace(rows0, None, 1e4, False)
-        o2, d2 = bounce_rays(o, d, t1)
-        if s3waves:
-            rows2, live = rows_live(o2, d2, t1)
-        if "b" in s3waves:
-            t2 = j_live(scene, rows2, live, jnp.float32(1e4)).t
-        else:
-            t2 = closest(o2, d2, jnp.float32(1e-3),
-                         jnp.float32(1e4)).t
-        if "s" in s3waves:
-            rows3 = rows2[:3] + light_rows
-            t3 = j_occl(scene, rows3, live, jnp.float32(1e4)).t
-        else:
-            t3 = anyhit(o2, light, jnp.float32(1e-3),
-                        jnp.float32(1e4)).t
-        return t1, t2, t3
+    if os.environ.get("RADIANCE_BENCH_FUSE", "0") == "1":
+        # all three waves in ONE device program: saves ~3 tunnel round
+        # trips (~30-40 ms each on the axon backend).  Round 1's
+        # watchdog trip was the gen-1 XLA megawalk; the stream3 + packet
+        # pipeline is a chain of bounded kernels, so the fused program
+        # is the same kernels minus the host glue.  Scene rides as a
+        # jit ARGUMENT (closure capture would embed ~100 MB of HLO
+        # constants).  Chip-validated via the recovery chain before
+        # pick_bench_env can ever default it on.
+        from radiance_tpu.ops import packet_trace
+
+        @jax.jit
+        def fused(scn, rows0, o, d, light):
+            t1 = stream3.trace_rows_stream3(
+                scn, rows0, jnp.float32(1e-3), jnp.float32(1e4),
+                precision=prec, interpret=False).t
+            o2, d2 = bounce_rays(o, d, t1)
+            if "b" in s3waves or "s" in s3waves:
+                rows2 = (tuple(o2[:, k] for k in range(3))
+                         + tuple(d2[:, k] for k in range(3)))
+                live = t1 < FLT_MAX
+            if "b" in s3waves:
+                t2 = stream3.trace_rows_stream3(
+                    scn, rows2, jnp.float32(1e-3), jnp.float32(1e4),
+                    precision=prec, interpret=False, presort=False,
+                    live=live).t
+            else:
+                t2 = packet_trace.trace_rays_packet(
+                    scn, o2, d2, jnp.float32(1e-3), jnp.float32(1e4),
+                    interpret=False).t
+            if "s" in s3waves:
+                rows3 = rows2[:3] + tuple(light[:, k] for k in range(3))
+                t3 = stream3.trace_rows_stream3(
+                    scn, rows3, jnp.float32(1e-3), jnp.float32(1e4),
+                    precision=prec, interpret=False, presort=False,
+                    live=live, occl=True).t
+            else:
+                t3 = packet_trace.trace_rays_packet(
+                    scn, o2, light, jnp.float32(1e-3),
+                    jnp.float32(1e4), any_hit=True, interpret=False).t
+            return t1, t2, t3
+
+        def wave():
+            return fused(scene, rows0, o, d, light)
+    else:
+        def wave():
+            t1 = trace(rows0, None, 1e4, False)
+            o2, d2 = bounce_rays(o, d, t1)
+            if s3waves:
+                rows2, live = rows_live(o2, d2, t1)
+            if "b" in s3waves:
+                t2 = j_live(scene, rows2, live, jnp.float32(1e4)).t
+            else:
+                t2 = closest(o2, d2, jnp.float32(1e-3),
+                             jnp.float32(1e4)).t
+            if "s" in s3waves:
+                rows3 = rows2[:3] + light_rows
+                t3 = j_occl(scene, rows3, live, jnp.float32(1e4)).t
+            else:
+                t3 = anyhit(o2, light, jnp.float32(1e-3),
+                            jnp.float32(1e4)).t
+            return t1, t2, t3
 
     def run_wave():
         r = wave()

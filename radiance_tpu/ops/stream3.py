@@ -2232,6 +2232,64 @@ def trace_rays_stream3(scene, origin, direction, tmin, tmax,
                               occl=any_hit)
 
 
+def _tb_residual(scene, rows_w, tmin, tmax, rec, blk_bound, *,
+                 occl: bool, live, n: int):
+    """Temporal-bound residual: rays whose result is not definitive
+    under their block bound re-walk exactly in-jit (closest-hit: found
+    t beyond the bound or miss; occl: unoccluded under a finite bound
+    -- the bounded trace cannot prove "unoccluded").  Shared by the
+    single-instance, instance-scan, and TLAS-native entries (the XLA
+    re-walk is two-level, so it is exact on any scene).  Up to
+    TB_RES_RAYS rays per wave; beyond that poisons to miss
+    (observable, never silently wrong)."""
+    from radiance_tpu.ops import traversal
+    bbv = jnp.asarray(blk_bound, jnp.float32)
+    bound_ray = jnp.repeat(bbv, BLK)[:n]
+    if occl:
+        tb_resid = (rec.t >= FLT_MAX) & (bound_ray < FLT_MAX)
+    else:
+        tb_resid = rec.t > bound_ray
+    if live is not None:
+        tb_resid = tb_resid & live[:n]
+    ridx = jnp.nonzero(tb_resid, size=TB_RES_RAYS,
+                       fill_value=n)[0].astype(jnp.int32)
+    rvalid = ridx < n
+    ridx_g = jnp.minimum(ridx, n - 1)
+
+    def run_tb_residual(rec):
+        ow = jnp.stack([rows_w[0][ridx_g], rows_w[1][ridx_g],
+                        rows_w[2][ridx_g]], axis=1)
+        dw = jnp.stack([rows_w[3][ridx_g], rows_w[4][ridx_g],
+                        rows_w[5][ridx_g]], axis=1)
+        sub = traversal.trace_rays(scene, ow, dw, tmin, tmax,
+                                   any_hit_terminate=occl)
+        sub_t = jnp.where(sub.t < FLT_MAX, jnp.float32(0.0),
+                          FLT_MAX) if occl else sub.t
+
+        def patch(dst, src_):
+            return dst.at[jnp.where(rvalid, ridx_g, n)].set(
+                src_, mode="drop")
+
+        return HitRecord(t=patch(rec.t, sub_t),
+                         prim=patch(rec.prim, sub.prim),
+                         slot=patch(rec.slot, sub.slot),
+                         b1=patch(rec.b1, sub.b1),
+                         b2=patch(rec.b2, sub.b2))
+
+    rec = jax.lax.cond(jnp.any(rvalid), run_tb_residual,
+                       lambda r: r, rec)
+    # residuals beyond TB_RES_RAYS poison to miss
+    nres = jnp.sum(tb_resid.astype(jnp.int32))
+    rrank = jnp.cumsum(tb_resid.astype(jnp.int32)) - 1
+    tb_late = tb_resid & (rrank >= TB_RES_RAYS) & (nres > TB_RES_RAYS)
+    return HitRecord(
+        t=jnp.where(tb_late, FLT_MAX, rec.t),
+        prim=jnp.where(tb_late, -1, rec.prim),
+        slot=jnp.where(tb_late, -1, rec.slot),
+        b1=jnp.where(tb_late, 0.0, rec.b1),
+        b2=jnp.where(tb_late, 0.0, rec.b2))
+
+
 def trace_rows_stream3(scene, rows_w, tmin, tmax,
                        precision: str = "f32",
                        interpret=None, presort: bool = False,
@@ -2315,57 +2373,8 @@ def trace_rows_stream3(scene, rows_w, tmin, tmax,
                        rec)
 
     if blk_bound is not None:
-        # temporal-bound residual: rays whose result is not definitive
-        # under their block bound re-walk exactly (closest-hit: found
-        # t beyond the bound or miss; occl: unoccluded under a finite
-        # bound -- the bounded trace cannot prove "unoccluded")
-        bbv = jnp.asarray(blk_bound, jnp.float32)
-        bound_ray = jnp.repeat(bbv, BLK)[:n]
-        if occl:
-            tb_resid = (rec.t >= FLT_MAX) & (bound_ray < FLT_MAX)
-        else:
-            tb_resid = rec.t > bound_ray
-        if live is not None:
-            tb_resid = tb_resid & live[:n]
-        ridx = jnp.nonzero(tb_resid, size=TB_RES_RAYS,
-                           fill_value=n)[0].astype(jnp.int32)
-        rvalid = ridx < n
-        ridx_g = jnp.minimum(ridx, n - 1)
-
-        def run_tb_residual(rec):
-            ow = jnp.stack([rows_w[0][ridx_g], rows_w[1][ridx_g],
-                            rows_w[2][ridx_g]], axis=1)
-            dw = jnp.stack([rows_w[3][ridx_g], rows_w[4][ridx_g],
-                            rows_w[5][ridx_g]], axis=1)
-            sub = traversal.trace_rays(scene, ow, dw, tmin, tmax,
-                                       any_hit_terminate=occl)
-            sub_t = jnp.where(sub.t < FLT_MAX, jnp.float32(0.0),
-                              FLT_MAX) if occl else sub.t
-
-            def patch(dst, src_):
-                return dst.at[jnp.where(rvalid, ridx_g, n)].set(
-                    src_, mode="drop")
-
-            return HitRecord(t=patch(rec.t, sub_t),
-                             prim=patch(rec.prim, sub.prim),
-                             slot=patch(rec.slot, sub.slot),
-                             b1=patch(rec.b1, sub.b1),
-                             b2=patch(rec.b2, sub.b2))
-
-        rec = jax.lax.cond(jnp.any(rvalid), run_tb_residual,
-                           lambda r: r, rec)
-        # residuals beyond TB_RES_RAYS poison to miss (observable,
-        # never silently wrong)
-        nres = jnp.sum(tb_resid.astype(jnp.int32))
-        rrank = jnp.cumsum(tb_resid.astype(jnp.int32)) - 1
-        tb_late = tb_resid & (rrank >= TB_RES_RAYS) \
-            & (nres > TB_RES_RAYS)
-        rec = HitRecord(
-            t=jnp.where(tb_late, FLT_MAX, rec.t),
-            prim=jnp.where(tb_late, -1, rec.prim),
-            slot=jnp.where(tb_late, -1, rec.slot),
-            b1=jnp.where(tb_late, 0.0, rec.b1),
-            b2=jnp.where(tb_late, 0.0, rec.b2))
+        rec = _tb_residual(scene, rows_w, tmin, tmax, rec, blk_bound,
+                           occl=occl, live=live, n=n)
 
     # flags beyond RES_CAP poison their packets to miss
     nflag = jnp.sum((flag > 0).astype(jnp.int32))

@@ -220,7 +220,7 @@ def _block_overlap(rows_w, aabb_w, tmin, tmax, live=None):
 def trace_rows_multi(scene, mt, rows_w, tmin, tmax,
                      precision: str = "default", bcap_blocks=None,
                      interpret=None, live=None,
-                     occl: bool = False) -> HitRecord:
+                     occl: bool = False, blk_bound=None) -> HitRecord:
     """Jit-traceable many-instance trace on component rows.
 
     bcap_blocks: per-instance active-block capacity (default: all
@@ -229,6 +229,13 @@ def trace_rows_multi(scene, mt, rows_w, tmin, tmax,
     conservatively to a full-wave... they are simply truncated --
     callers size bcap for their scene, and the returned `slot` of -2
     marks rays whose block overflowed some instance's list).
+
+    blk_bound: optional [ceil(n/128)] f32 per-block temporal t upper
+    bounds (previous progressive sample's worst t across ALL
+    instances, stream3.block_bound_from_t): every per-instance sweep
+    culls leaves provably beyond its blocks' bounds, and rays whose
+    combined result is not definitive re-walk exactly in-jit
+    (stream3._tb_residual over the two-level XLA traversal).
 
     RADIANCE_MULTI=native routes to the TLAS-native slot pipeline
     (trace_rows_tlas: one emit/refine/isect invocation over (packet,
@@ -242,7 +249,7 @@ def trace_rows_multi(scene, mt, rows_w, tmin, tmax,
         return trace_rows_tlas(scene, mt, rows_w, tmin, tmax,
                                precision=precision,
                                interpret=interpret, live=live,
-                               occl=occl)
+                               occl=occl, blk_bound=blk_bound)
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     n = rows_w[0].shape[0]
@@ -266,6 +273,12 @@ def trace_rows_multi(scene, mt, rows_w, tmin, tmax,
     bcap = ((bcap_blocks + (s3.G * PKT // BLK) - 1)
             // (s3.G * PKT // BLK)) * (s3.G * PKT // BLK)
 
+    bbv_p = None
+    if blk_bound is not None:
+        bbv_p = jnp.asarray(blk_bound, jnp.float32)
+        if bbv_p.shape[0] < nblk:                   # padded blocks
+            bbv_p = jnp.concatenate([bbv_p, jnp.full(
+                (nblk - bbv_p.shape[0],), FLT_MAX, jnp.float32)])
     ov = _block_overlap(rows_p, mt.aabb_w, tmin, tmax,
                         live=live_p)                # [nblk, ninst]
     # per-instance compact block lists [ninst, bcap] (fill = nblk)
@@ -310,11 +323,19 @@ def trace_rows_multi(scene, mt, rows_w, tmin, tmax,
                jnp.where(live, sub[3], 1.0),
                jnp.where(live, sub[4], 0.0),
                jnp.where(live, sub[5], 0.0))
+        bb_sub = None
+        if bbv_p is not None:
+            # the instance's gathered sub-wave keeps block granularity,
+            # so its bounds are just the gathered blocks' bounds (the
+            # global closest-t bound is valid inside every instance)
+            bb_sub = jnp.where(blist < nblk,
+                               bbv_p[jnp.minimum(blist, nblk - 1)],
+                               jnp.float32(FLT_MAX))
         rec, diag = s3._run(sub, tmin, tmax, nodef_i, kleaf_i,
                             kprim_i, geo_i, inv_i, tstart_i,
                             precision=precision, interpret=interpret,
                             presort=False, with_diag=True, occl=occl,
-                            live=live)
+                            live=live, blk_bound=bb_sub)
         bt, bp, bs, b1, b2, bbad = best
         # a step-capped/word-overflowed sub-packet lost hits for this
         # instance: poison its rays rather than return silent misses
@@ -344,11 +365,17 @@ def trace_rows_multi(scene, mt, rows_w, tmin, tmax,
         slot=jnp.where(hit, bs, -1)[:n],
         b1=b1[:n], b2=b2[:n])
     bad = (jnp.repeat(blk_overflowed, BLK) | bbad)[:n]
-    return HitRecord(t=jnp.where(bad, FLT_MAX, rec.t),
-                     prim=jnp.where(bad, -1, rec.prim),
-                     slot=jnp.where(bad, -2, rec.slot),
-                     b1=jnp.where(bad, 0.0, rec.b1),
-                     b2=jnp.where(bad, 0.0, rec.b2))
+    rec = HitRecord(t=jnp.where(bad, FLT_MAX, rec.t),
+                    prim=jnp.where(bad, -1, rec.prim),
+                    slot=jnp.where(bad, -2, rec.slot),
+                    b1=jnp.where(bad, 0.0, rec.b1),
+                    b2=jnp.where(bad, 0.0, rec.b2))
+    if blk_bound is not None:
+        # non-definitive rays (t past their bound, or poisoned-to-miss
+        # under a finite bound) re-walk the full two-level traversal
+        rec = s3._tb_residual(scene, rows_w, tmin, tmax, rec,
+                              blk_bound, occl=occl, live=live, n=n)
+    return rec
 
 
 # ------------------------------------------------- TLAS-native slots
@@ -518,7 +545,8 @@ _FMAX_F = 3.4028235e38
 def trace_rows_tlas(scene, mt, rows_w, tmin, tmax,
                     precision: str = "default", interpret=None,
                     live=None, occl: bool = False, scap=None,
-                    ws=None, treelet: bool = False) -> HitRecord:
+                    ws=None, treelet: bool = False,
+                    blk_bound=None) -> HitRecord:
     """Jit-traceable TLAS-native many-instance trace.
 
     One emit + one refine + one isect invocation over (packet,
@@ -601,6 +629,22 @@ def trace_rows_tlas(scene, mt, rows_w, tmin, tmax,
             words, emeta, slot_pkt, feats_t, mt.aabb8_cat, lim,
             interpret=interpret,
             sort=os.environ.get("RADIANCE_TQSORT", "0") == "1")
+    if blk_bound is not None:
+        # temporal bound cull per STORAGE slot: a slot's 8 sub-blocks
+        # are its packet's 8 caller-order blocks (the global bound is
+        # valid inside every instance); slot_pkt already maps word
+        # rows to storage slots, exactly like the refine scalars
+        bbv = jnp.asarray(blk_bound, jnp.float32)
+        nblk_p = npad // BLK
+        if bbv.shape[0] < nblk_p:
+            bbv = jnp.concatenate([bbv, jnp.full(
+                (nblk_p - bbv.shape[0],), FLT_MAX, jnp.float32)])
+        bb8 = bbv.reshape(npk, PKT // BLK)
+        bb_slot = jnp.where((pkt_of < npk)[:, None],
+                            bb8[jnp.minimum(pkt_of, npk - 1)],
+                            jnp.float32(FLT_MAX))
+        words_i = s3._apply_block_bound(words_i, slot_pkt,
+                                        bb_slot.reshape(-1))
     if interpret:
         feats = feats_t.T
     else:
@@ -666,8 +710,12 @@ def trace_rows_tlas(scene, mt, rows_w, tmin, tmax,
                         slot=jnp.where(live, rec.slot, -1),
                         b1=jnp.where(live, rec.b1, 0.0),
                         b2=jnp.where(live, rec.b2, 0.0))
-    return HitRecord(t=jnp.where(bad, FLT_MAX, rec.t),
-                     prim=jnp.where(bad, -1, rec.prim),
-                     slot=jnp.where(bad, -2, rec.slot),
-                     b1=jnp.where(bad, 0.0, rec.b1),
-                     b2=jnp.where(bad, 0.0, rec.b2))
+    rec = HitRecord(t=jnp.where(bad, FLT_MAX, rec.t),
+                    prim=jnp.where(bad, -1, rec.prim),
+                    slot=jnp.where(bad, -2, rec.slot),
+                    b1=jnp.where(bad, 0.0, rec.b1),
+                    b2=jnp.where(bad, 0.0, rec.b2))
+    if blk_bound is not None:
+        rec = s3._tb_residual(scene, rows_w, tmin, tmax, rec,
+                              blk_bound, occl=occl, live=live, n=n)
+    return rec

@@ -779,11 +779,14 @@ def test_stream3_ws_wide_groups():
             np.testing.assert_array_equal(ww[row, :cnt], rp[s, :cnt])
 
 
-def test_stream3_temporal_block_bound_exact():
+@pytest.mark.parametrize("ws", [False, True])
+def test_stream3_temporal_block_bound_exact(monkeypatch, ws):
     """blk_bound from a previous identical wave's t: the bounded trace
     must reproduce the unbounded result exactly (every ray's true t is
     within its block bound, so nothing true is culled and no ray is
-    residual-poisoned)."""
+    residual-poisoned).  ws=True pins the cull's slot_pkt mapping under
+    the work-stealing emit's retire-order rows."""
+    monkeypatch.setenv("RADIANCE_WS", "1" if ws else "0")
     ds = _single_instance_scene(n_tris=900, seed=3)
     n = 2048
     ij = np.arange(n)

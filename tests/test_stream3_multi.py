@@ -400,3 +400,57 @@ def test_supports_native_tracks_tq_bits():
     finally:
         stream3._apply_tq_bits(9)
     assert stream3_multi.supports_native(mt)
+
+
+def test_multi_temporal_bound_scan_and_native():
+    """blk_bound on both many-instance routes: a bound from a previous
+    identical trace must reproduce the unbounded result exactly, and
+    an artificially tight bound (culling the true winners) must be
+    repaired by the in-jit residual re-walk."""
+    ds = _tlas_scene()
+    mt = stream3_multi.MultiTables(ds)
+    rng = np.random.default_rng(6)
+    n = 1024
+    # tile-ish coherent rays so packets get finite block bounds
+    ij = np.arange(n)
+    xs = (ij % 32) / 32.0 - 0.5
+    ys = (ij // 32) / 32.0 - 0.5
+    o = np.tile([[0.0, 0.0, 20.0]], (n, 1)).astype(np.float32)
+    d = np.stack([xs * 1.4, ys * 1.4, np.full(n, -1.0)],
+                 -1).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    rows = stream3.rows_from_aos(jnp.asarray(o), jnp.asarray(d))
+
+    for route_kw in (dict(), dict(native=True)):
+        if route_kw.get("native"):
+            trace = lambda **kw: stream3_multi.trace_rows_tlas(
+                ds, mt, rows, 1e-3, 1e3, precision="f32",
+                interpret=True, **kw)
+        else:
+            trace = lambda **kw: stream3_multi.trace_rows_multi(
+                ds, mt, rows, 1e-3, 1e3, precision="f32",
+                interpret=True, **kw)
+        base = trace()
+        t0 = np.asarray(base.t)
+        ok = np.asarray(base.slot) != -2
+        hit0 = (t0 < FLT_MAX) & ok
+        assert hit0.sum() > 100, route_kw
+
+        bb = stream3.block_bound_from_t(jnp.asarray(
+            np.where(ok, t0, FLT_MAX).astype(np.float32)))
+        rec = trace(blk_bound=bb)
+        t1 = np.asarray(rec.t)
+        np.testing.assert_allclose(t1[ok], t0[ok], rtol=2e-3,
+                                   atol=1e-4)
+
+        # tight bound: halve every hit's t; residual must restore
+        tight = np.where(hit0, t0 * 0.5, FLT_MAX).astype(np.float32)
+        bbt = np.minimum.reduceat(
+            np.where(np.isfinite(tight), tight, FLT_MAX),
+            np.arange(0, n, stream3.BLK)).astype(np.float32)
+        rec2 = trace(blk_bound=jnp.asarray(bbt))
+        t2 = np.asarray(rec2.t)
+        both = hit0 & (np.asarray(rec2.slot) >= 0)
+        assert ((t2 < FLT_MAX) == (t0 < FLT_MAX))[ok].all(), route_kw
+        np.testing.assert_allclose(t2[both], t0[both], rtol=2e-3,
+                                   atol=1e-4)

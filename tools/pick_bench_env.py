@@ -18,7 +18,8 @@ wedge the device queue for hours -- the failure mode this guards).
 Writes KEY=VAL lines to .bench_cache/bench_env; bench.py applies them
 with os.environ.setdefault, so explicit env always wins.
 
-Usage: python tools/pick_bench_env.py <log> [--dry]
+Usage: python tools/pick_bench_env.py <log> [<log> ...] [--dry]
+(multiple logs are merged; missing files are skipped)
 """
 import json
 import os
@@ -68,8 +69,14 @@ def parse(log_path):
 
 
 def main():
-    log = sys.argv[1] if len(sys.argv) > 1 else "/tmp/tpu_chain.log"
-    runs = parse(log)
+    logs = [a for a in sys.argv[1:] if not a.startswith("--")] \
+        or ["/tmp/tpu_chain.log"]
+    runs = []
+    for log in logs:
+        if not os.path.exists(log):
+            print(f"# skipping missing log {log}")
+            continue
+        runs.extend(parse(log))
     if not runs:
         print("no successful bench runs found; nothing written")
         return 1
@@ -85,7 +92,7 @@ def main():
     os.makedirs(cache, exist_ok=True)
     out = os.path.join(cache, "bench_env")
     with open(out, "w") as f:
-        f.write(f"# picked from {log}: {best} Mrays/s\n")
+        f.write(f"# picked from {' '.join(logs)}: {best} Mrays/s\n")
         for k, v in sorted(env.items()):
             f.write(f"{k}={v}\n")
     print(f"wrote {out}")
