@@ -335,6 +335,7 @@ def run_bench_stream3(scene, trace, o, d, light, n, bounce_rays):
     # platform measurement (benchmarks/wave_compare.py).
     s3waves = os.environ.get("RADIANCE_BENCH_S3WAVES", "")
     prec = os.environ.get("RADIANCE_BENCH_PRECISION", "default")
+    near = float(os.environ.get("RADIANCE_BENCH_NEAR", "0"))
     if s3waves:
         light_rows = tuple(jax.block_until_ready(
             tuple(light[:, k] for k in range(3))))
@@ -343,7 +344,6 @@ def run_bench_stream3(scene, trace, o, d, light, n, bounce_rays):
         # DESTROYS tile adjacency and capped 70% of shadow packets in
         # the offline replay (benchmarks/walk_sim3.py); octant
         # sub-slots in prep handle direction mixing without it
-        near = float(os.environ.get("RADIANCE_BENCH_NEAR", "0"))
         if near > 0:
             # near/far t-cascade: short shafts emit few leaves; only
             # near-misses rerun at full range (stream3.trace_rows_cascade)
@@ -375,6 +375,13 @@ def run_bench_stream3(scene, trace, o, d, light, n, bounce_rays):
         return (tuple(o2[:, k] for k in range(3))
                 + tuple(d2[:, k] for k in range(3)), t1 < FLT_MAX)
 
+    if os.environ.get("RADIANCE_BENCH_FUSE", "0") == "1" and near > 0:
+        # the fused program has no t-cascade plumbing; measuring it
+        # under a NEAR env would label the numbers as a pipeline that
+        # didn't run, corrupting pick_bench_env A/Bs
+        print("# RADIANCE_BENCH_FUSE ignored: RADIANCE_BENCH_NEAR "
+              "cascade is not fused", file=sys.stderr)
+        os.environ["RADIANCE_BENCH_FUSE"] = "0"
     if os.environ.get("RADIANCE_BENCH_FUSE", "0") == "1":
         # all three waves in ONE device program: saves ~3 tunnel round
         # trips (~30-40 ms each on the axon backend).  Round 1's
@@ -634,6 +641,16 @@ def run_tbound_bench():
     exact_frac = 1.0 - float(mism.mean())
     print(f"# tbound validation: {int(mism.sum())}/{n} rays differ "
           f"from the unbounded trace", file=sys.stderr)
+    if mism.mean() > 1e-4:
+        # enforce the validation the docstring promises: a cull that
+        # drops real hits must FAIL the bench, not win it
+        print(json.dumps({
+            "metric": "tbound_primary_mrays_per_sec_interior",
+            "value": 0.0, "unit": "Mrays/s",
+            "error": f"bounded trace diverged on {int(mism.sum())}"
+                     f"/{n} rays (exact_frac {exact_frac:.6f})",
+        }))
+        sys.exit(1)
 
     def run_chain(bounded):
         rec = j_free(scene, rows_s[0])
@@ -822,9 +839,31 @@ def main():
     }))
 
 
+def preflight_with_wait() -> bool:
+    """Preflight, then keep probing for up to RADIANCE_BENCH_WAIT_S
+    seconds (default 1800) if the accelerator is wedged.  Server-side
+    compile wedges have been observed to clear after minutes-to-hours
+    (BASELINE.md); for an end-of-round bench a bounded wait is cheap
+    insurance against reporting 0 for a transient outage."""
+    if preflight_device():
+        return True
+    budget = float(os.environ.get("RADIANCE_BENCH_WAIT_S", "1800"))
+    deadline = time.time() + budget
+    n = 0
+    while time.time() < deadline:
+        n += 1
+        print(f"# accelerator unresponsive; re-probe {n} "
+              f"({deadline - time.time():.0f}s of wait budget left)",
+              file=sys.stderr)
+        time.sleep(60)
+        if preflight_device(timeout_s=120):
+            return True
+    return False
+
+
 if __name__ == "__main__":
     apply_bench_env()
-    if not preflight_device():
+    if not preflight_with_wait():
         print(json.dumps({
             "metric": "traversal_mrays_per_sec_1Mtri_1080p",
             "value": 0.0, "unit": "Mrays/s", "vs_baseline": 0.0,

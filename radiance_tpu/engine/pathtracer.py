@@ -485,7 +485,13 @@ class WavefrontPathTracer:
     max_batch_per_dispatch: int = 8
 
     _ATTACHED = {}
-    _TB = {}  # per-(scene, nblocks) temporal-bound state across frames
+    # per-(scene, nblocks) temporal-bound state across frames: bounded
+    # (oldest-evicted) because scene rebuilds would otherwise retain a
+    # device buffer per dead scene forever; an id()-reuse collision can
+    # only fetch stale bounds, which the residual re-walk makes
+    # exactness-safe (it just costs residual volume)
+    _TB = {}
+    _TB_CAP = 8
 
     def _maybe_attach_multi(self, scene):
         """Attach the stacked sweep tables to many-instance scenes once
@@ -554,7 +560,10 @@ class WavefrontPathTracer:
             ts += sub
             remaining -= sub
         if tbound:
+            self._TB.pop(key, None)        # refresh insertion order
             self._TB[key] = tb
+            while len(self._TB) > self._TB_CAP:
+                self._TB.pop(next(iter(self._TB)))
         return accum, image.reshape(height, width, 4)
 
     def __hash__(self):  # let lru_cache key on object identity

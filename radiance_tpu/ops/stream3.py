@@ -61,9 +61,12 @@ from radiance_tpu.ops.intersect import FLT_MAX
 from radiance_tpu.ops.traversal import HitRecord
 from radiance_tpu.ops.stream_trace import S_SLOTS, leaf_tables
 RES_CAP = 8             # packets exactly re-walked in-jit per wave
-TB_RES_RAYS = 16384     # temporal-bound residual rays exactly
-                        # re-walked in-jit per wave (2x the measured
-                        # 0.35% steady-state residual at 2M rays)
+TB_RES_RAYS = 16384     # temporal-bound residual FLOOR: the per-wave
+                        # exact re-walk capacity is
+                        # max(TB_RES_RAYS, n // 128), so it covers
+                        # small waves outright and scales with
+                        # resolution (measured steady-state residual:
+                        # 0.35% of rays at 2M)
 
 _FMAX = 3.4028235e38
 _BIG = 1e30
@@ -2140,11 +2143,7 @@ def _run(rows_w, tmin, tmax, nodef, kleaf_k, kprim, ktri_geo, inv0,
             interpret=interpret,
             sort=os.environ.get("RADIANCE_TQSORT", "0") == "1")
     if blk_bound is not None:
-        nb_all = rows[0].shape[0] // BLK
-        bbv = jnp.asarray(blk_bound, jnp.float32)
-        if bbv.shape[0] < nb_all:           # pad blocks: no bound
-            bbv = jnp.concatenate([bbv, jnp.full(
-                (nb_all - bbv.shape[0],), FLT_MAX, jnp.float32)])
+        bbv = pad_blk_bound(blk_bound, rows[0].shape[0] // BLK)
         if presort:
             # caller-order bounds -> sorted block space (inv_blk[i] is
             # caller block i's sorted position; see the output restore)
@@ -2232,6 +2231,18 @@ def trace_rays_stream3(scene, origin, direction, tmin, tmax,
                               occl=any_hit)
 
 
+def pad_blk_bound(bbv, nblk):
+    """Pad caller-order block bounds to `nblk` wave blocks with +inf
+    (padding blocks carry duplicated rays; an infinite bound disables
+    the cull there).  Shared by _run, trace_rows_multi and
+    trace_rows_tlas."""
+    bbv = jnp.asarray(bbv, jnp.float32)
+    if bbv.shape[0] < nblk:
+        bbv = jnp.concatenate([bbv, jnp.full(
+            (nblk - bbv.shape[0],), FLT_MAX, jnp.float32)])
+    return bbv
+
+
 def _tb_residual(scene, rows_w, tmin, tmax, rec, blk_bound, *,
                  occl: bool, live, n: int):
     """Temporal-bound residual: rays whose result is not definitive
@@ -2239,10 +2250,19 @@ def _tb_residual(scene, rows_w, tmin, tmax, rec, blk_bound, *,
     t beyond the bound or miss; occl: unoccluded under a finite bound
     -- the bounded trace cannot prove "unoccluded").  Shared by the
     single-instance, instance-scan, and TLAS-native entries (the XLA
-    re-walk is two-level, so it is exact on any scene).  Up to
-    TB_RES_RAYS rays per wave; beyond that poisons to miss
-    (observable, never silently wrong)."""
+    re-walk is two-level, so it is exact on any scene).
+
+    Cap: max(TB_RES_RAYS, n/128) rays per wave -- the floor covers
+    small waves outright, and the n/128 term (0.78% of the wave, 2.2x
+    the measured 0.35% steady-state closest-hit residual) scales with
+    resolution so 4K+ waves don't outgrow a fixed constant.  Beyond
+    the cap, rays are marked slot == -2 with t = FLT_MAX (the same
+    observable don't-trust marker the multi paths use for truncation)
+    -- NOT a plain miss, because for occl waves the residual set is
+    every unoccluded ray under a finite bound, and a plain miss would
+    be indistinguishable from the unverified value it replaces."""
     from radiance_tpu.ops import traversal
+    cap = min(n, max(TB_RES_RAYS, n // 128))
     bbv = jnp.asarray(blk_bound, jnp.float32)
     bound_ray = jnp.repeat(bbv, BLK)[:n]
     if occl:
@@ -2251,7 +2271,7 @@ def _tb_residual(scene, rows_w, tmin, tmax, rec, blk_bound, *,
         tb_resid = rec.t > bound_ray
     if live is not None:
         tb_resid = tb_resid & live[:n]
-    ridx = jnp.nonzero(tb_resid, size=TB_RES_RAYS,
+    ridx = jnp.nonzero(tb_resid, size=cap,
                        fill_value=n)[0].astype(jnp.int32)
     rvalid = ridx < n
     ridx_g = jnp.minimum(ridx, n - 1)
@@ -2278,14 +2298,16 @@ def _tb_residual(scene, rows_w, tmin, tmax, rec, blk_bound, *,
 
     rec = jax.lax.cond(jnp.any(rvalid), run_tb_residual,
                        lambda r: r, rec)
-    # residuals beyond TB_RES_RAYS poison to miss
+    # residuals beyond the cap are marked slot=-2 (don't-trust), not a
+    # plain miss: observable by any caller, and never aliased with the
+    # unverified value they still carry
     nres = jnp.sum(tb_resid.astype(jnp.int32))
     rrank = jnp.cumsum(tb_resid.astype(jnp.int32)) - 1
-    tb_late = tb_resid & (rrank >= TB_RES_RAYS) & (nres > TB_RES_RAYS)
+    tb_late = tb_resid & (rrank >= cap) & (nres > cap)
     return HitRecord(
         t=jnp.where(tb_late, FLT_MAX, rec.t),
         prim=jnp.where(tb_late, -1, rec.prim),
-        slot=jnp.where(tb_late, -1, rec.slot),
+        slot=jnp.where(tb_late, -2, rec.slot),
         b1=jnp.where(tb_late, 0.0, rec.b1),
         b2=jnp.where(tb_late, 0.0, rec.b2))
 

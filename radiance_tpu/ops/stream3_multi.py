@@ -275,10 +275,7 @@ def trace_rows_multi(scene, mt, rows_w, tmin, tmax,
 
     bbv_p = None
     if blk_bound is not None:
-        bbv_p = jnp.asarray(blk_bound, jnp.float32)
-        if bbv_p.shape[0] < nblk:                   # padded blocks
-            bbv_p = jnp.concatenate([bbv_p, jnp.full(
-                (nblk - bbv_p.shape[0],), FLT_MAX, jnp.float32)])
+        bbv_p = s3.pad_blk_bound(blk_bound, nblk)
     ov = _block_overlap(rows_p, mt.aabb_w, tmin, tmax,
                         live=live_p)                # [nblk, ninst]
     # per-instance compact block lists [ninst, bcap] (fill = nblk)
@@ -634,11 +631,7 @@ def trace_rows_tlas(scene, mt, rows_w, tmin, tmax,
         # are its packet's 8 caller-order blocks (the global bound is
         # valid inside every instance); slot_pkt already maps word
         # rows to storage slots, exactly like the refine scalars
-        bbv = jnp.asarray(blk_bound, jnp.float32)
-        nblk_p = npad // BLK
-        if bbv.shape[0] < nblk_p:
-            bbv = jnp.concatenate([bbv, jnp.full(
-                (nblk_p - bbv.shape[0],), FLT_MAX, jnp.float32)])
+        bbv = s3.pad_blk_bound(blk_bound, npad // BLK)
         bb8 = bbv.reshape(npk, PKT // BLK)
         bb_slot = jnp.where((pkt_of < npk)[:, None],
                             bb8[jnp.minimum(pkt_of, npk - 1)],

@@ -874,3 +874,48 @@ def test_stream3_temporal_bound_occlusion():
         blk_bound=jnp.asarray(blk_bound))
     occ1 = np.asarray(rec.t) < FLT_MAX
     np.testing.assert_array_equal(occ1, occ0)
+
+
+def test_stream3_temporal_bound_overflow_marks_slot(monkeypatch):
+    """Residual rays beyond the re-walk cap must surface as the
+    observable don't-trust marker (slot == -2, t == FLT_MAX), never as
+    a value the bounded trace couldn't verify.  The cap scales as
+    max(TB_RES_RAYS, n // 128); shrink the floor so a 2048-ray wave
+    overflows it."""
+    monkeypatch.setattr(stream3, "TB_RES_RAYS", 8)   # cap -> 16
+    ds = _single_instance_scene(n_tris=900, seed=3)
+    n = 2048
+    ij = np.arange(n)
+    xs = (ij % 64) / 64.0 - 0.5
+    ys = (ij // 64) / 32.0 - 0.5
+    o = np.tile([[0.0, 0.0, 12.0]], (n, 1)).astype(np.float32)
+    d = np.stack([xs, ys, np.full(n, -1.0)], -1).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    rows = stream3.rows_from_aos(jnp.asarray(o), jnp.asarray(d))
+
+    base = stream3.trace_rows_stream3(ds, rows, 1e-3, 1e3,
+                                      interpret=True)
+    t0 = np.asarray(base.t)
+    hit0 = t0 < FLT_MAX
+    assert hit0.sum() > 32        # plenty of residuals past the cap
+    bound = np.where(hit0, t0 * 0.5, FLT_MAX).astype(np.float32)
+    blk_bound = bound.reshape(-1, stream3.BLK).min(1)
+
+    rec = stream3.trace_rows_stream3(
+        ds, rows, 1e-3, 1e3, interpret=True,
+        blk_bound=jnp.asarray(blk_bound))
+    t1 = np.asarray(rec.t)
+    slot1 = np.asarray(rec.slot)
+    late = slot1 == -2
+    # residual = rays the bounded trace could not verify: any ray whose
+    # bounded t exceeds its BLOCK bound (misses inside a hit-carrying
+    # block are residual too -- the block bound clipped their walk)
+    assert late.sum() > 16                   # the cap really overflowed
+    assert (t1[late] >= FLT_MAX).all()       # never a trusted value
+    # every non-late ray is exact vs the unbounded trace
+    ok = ~late
+    np.testing.assert_allclose(
+        np.where(t1[ok] >= FLT_MAX, 0, t1[ok]),
+        np.where(t0[ok] >= FLT_MAX, 0, t0[ok]), rtol=2e-3, atol=1e-4)
+    np.testing.assert_array_equal(t1[ok] >= FLT_MAX,
+                                  t0[ok] >= FLT_MAX)
