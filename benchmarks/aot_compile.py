@@ -32,6 +32,7 @@ jax.config.update("jax_platforms", "cpu")
 
 import jax.numpy as jnp
 import numpy as np
+from radiance_tpu.bvh import kernel_pack
 from jax.experimental import topologies
 from jax.sharding import SingleDeviceSharding
 
@@ -93,7 +94,7 @@ def compile_isect():
     feats = rng.standard_normal((npk * s3.PKT, 16)).astype(np.float32)
     lim = np.asarray([[1e-3, 1e4]], np.float32)
     nleaf = 512
-    kleaf = rng.standard_normal((nleaf, 16, 512)).astype(np.float32)
+    kleaf = rng.standard_normal((nleaf, 16, kernel_pack.KERNEL_LEAF_LANES)).astype(np.float32)
 
     def fn(words, emeta, slot_pkt, feats, lim, kleaf):
         return s3._stage_isect(words, emeta, slot_pkt, feats, lim,
@@ -114,7 +115,7 @@ def compile_isect_occl():
     feats = rng.standard_normal((npk * s3.PKT, 16)).astype(np.float32)
     lim = np.asarray([[1e-3, 1e4]], np.float32)
     nleaf = 512
-    kleaf = rng.standard_normal((nleaf, 16, 512)).astype(np.float32)
+    kleaf = rng.standard_normal((nleaf, 16, kernel_pack.KERNEL_LEAF_LANES)).astype(np.float32)
 
     def fn(words, emeta, slot_pkt, feats, lim, kleaf):
         return s3._stage_isect(words, emeta, slot_pkt, feats, lim,
@@ -197,7 +198,7 @@ def compile_tlas_native():
 
     feats = rng.standard_normal(
         (nslot * s3.PKT, 16)).astype(np.float32)
-    kleaf = rng.standard_normal((64, 16, 512)).astype(np.float32)
+    kleaf = rng.standard_normal((64, 16, kernel_pack.KERNEL_LEAF_LANES)).astype(np.float32)
 
     def fn_isect(words, emeta, slot_pkt, feats, lim, kleaf):
         return s3._stage_isect(words, emeta, slot_pkt, feats, lim,

@@ -60,13 +60,36 @@ Tables (numpy, converted to jax by the DeviceScene assembly):
 
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 import numpy as np
 
-# Triangles per kernel leaf.  4 * KERNEL_MAX_TRIS must be a multiple of
-# the TPU lane width (128) so each leaf matrix is exactly tile-aligned.
-KERNEL_MAX_TRIS = 128
+
+def _leaf_cap_from_env() -> int:
+    """Triangles per kernel leaf (the collapse cap), env-overridable.
+
+    Smaller caps shrink every pair matmul's tile work (offline
+    leaf_cap_sim: cap 64 = -26% intersection upper bound) at the price
+    of more leaves to emit (+20% emit iterations); the right value
+    depends on the measured fixed-vs-tile cost split of the pair
+    kernel, so it is a knob (RADIANCE_LEAF_CAP), not a constant.
+    Read once at import: every kernel module derives its leaf-matrix
+    block shapes from this value at import time, so it must be set
+    before radiance_tpu is imported (bench.py's apply_bench_env runs
+    before any kernel import).
+    """
+    cap = int(os.environ.get("RADIANCE_LEAF_CAP", "128"))
+    if cap % 32 != 0 or not (32 <= cap <= 512):
+        raise ValueError(
+            f"RADIANCE_LEAF_CAP={cap}: must be a multiple of 32 in "
+            f"[32, 512] (4*cap lanes must tile the 128-lane VPU)")
+    return cap
+
+
+# 4 * KERNEL_MAX_TRIS must be a multiple of the TPU lane width (128) so
+# each leaf matrix is exactly tile-aligned.
+KERNEL_MAX_TRIS = _leaf_cap_from_env()
 KERNEL_LEAF_LANES = 4 * KERNEL_MAX_TRIS
 
 # VMEM node-table budget per octant: the 8 octant-ordered threadings
