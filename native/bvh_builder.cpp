@@ -19,6 +19,7 @@
 // Exposed as a C ABI for ctypes; no Python headers needed.
 
 #include <algorithm>
+#include <memory>
 #include <cmath>
 #include <cstdint>
 #include <cstring>
@@ -57,22 +58,31 @@ struct NodeOut {
   uint32_t d;
 };
 
+// Max planes per axis: bins = 1024/(depth+1) <= 1024, max_i = ceil(bins)+1.
+constexpr int kMaxBins = 1028;
+
+// One record per primitive: AABB + centroid packed for locality (the
+// binning pass reads all three per prim through a gathered index).
+struct PrimF {
+  Vec3 lo, hi, c;
+};
+
 struct Builder {
-  const float* bmin;   // [n, 3]
-  const float* bmax;   // [n, 3]
-  std::vector<Vec3> centers;
+  std::vector<PrimF> prims;
   uint32_t leaf_type;
   std::vector<NodeOut> nodes;
   std::vector<int64_t> order;
   int max_depth = 0;
 
-  // scratch reused across nodes
-  std::vector<int64_t> sorted;
-  std::vector<float> keys;
-  std::vector<Vec3> pre_lo, pre_hi, suf_lo, suf_hi;
+  // Per-axis binning scratch reused across nodes.  bin i in [1, max_i]
+  // holds prims whose centroid c satisfies plane(i-1) <= c < plane(i);
+  // bin max_i+1 holds c >= plane(max_i).
+  int64_t cnt[3][kMaxBins + 2];
+  Vec3 bin_lo[3][kMaxBins + 2], bin_hi[3][kMaxBins + 2];
+  Vec3 suf_lo[kMaxBins + 2], suf_hi[kMaxBins + 2];
 
-  Vec3 prim_lo(int64_t i) const { return {bmin[3 * i], bmin[3 * i + 1], bmin[3 * i + 2]}; }
-  Vec3 prim_hi(int64_t i) const { return {bmax[3 * i], bmax[3 * i + 1], bmax[3 * i + 2]}; }
+  const Vec3& prim_lo(int64_t i) const { return prims[i].lo; }
+  const Vec3& prim_hi(int64_t i) const { return prims[i].hi; }
 
   int64_t emit_leaf(int64_t* idx, int64_t n) {
     NodeOut node{};
@@ -94,60 +104,109 @@ struct Builder {
     return static_cast<int64_t>(nodes.size()) - 1;
   }
 
-  // returns true + (axis, plane) when a strictly better split exists
+  // Smallest i in [1, max_i+1] with c < start + i*step (f32 math identical
+  // to the plane loop's), i.e. the bin whose plane first clears c.  Guess
+  // from the real-valued position then fix up exactly; planes are
+  // nondecreasing in i under f32 rounding (step > 0), so both fixup loops
+  // terminate with the exact lower-bound semantics of the sorted-sweep
+  // formulation this replaces (np.searchsorted side='left').
+  static inline int bin_of(float c, float start, float step, float inv_step,
+                           int max_i) {
+    int i = static_cast<int>((c - start) * inv_step);  // guess only; fixed up
+    if (i < 1) i = 1;
+    if (i > max_i + 1) i = max_i + 1;
+    while (i > 1 && c < start + static_cast<float>(i - 1) * step) --i;
+    while (i <= max_i && !(c < start + static_cast<float>(i) * step)) ++i;
+    return i;
+  }
+
+  // returns true + (axis, plane) when a strictly better split exists.
+  //
+  // Binned reformulation of the reference's plane sweep (bvh.cpp:104-210):
+  // per plane the SAH cost needs only the count of centroids < plane and
+  // the AABB *unions* of each side -- both order-independent -- so exact
+  // f32 binning against the same plane set reproduces the sorted sweep
+  // bit-for-bit (tests/test_native.py asserts byte-equality vs the NumPy
+  // sort-based builder) at O(n + planes) per node instead of O(n log n).
   bool find_split(int64_t* idx, int64_t n, const Vec3& lo, const Vec3& hi,
                   int depth, int* best_axis, float* best_plane) {
     const float min_cost = static_cast<float>(n) * surface_area(lo, hi);
     float best_cost = min_cost;
     bool found = false;
 
+    const float bins = 1024.0f / static_cast<float>(depth + 1);
+    const int max_i = static_cast<int>(std::ceil(bins)) + 1;
+    float start[3], step[3], inv_step[3];
+    bool valid[3];
     for (int axis = 0; axis < 3; ++axis) {
-      const float start = (&lo.x)[axis];
+      start[axis] = (&lo.x)[axis];
       const float stop = (&hi.x)[axis];
-      if (std::fabs(stop - start) < 1e-4f) continue;  // bvh.cpp:116
-
-      const float bins = 1024.0f / static_cast<float>(depth + 1);
-      const float step = (stop - start) / bins;
-      if (!(step > 0.0f)) continue;
-
-      // sort prims by centroid on this axis (stable, matching np stable sort)
-      sorted.assign(idx, idx + n);
-      keys.resize(n);
-      std::stable_sort(sorted.begin(), sorted.end(),
-                       [&](int64_t a, int64_t b) {
-                         return (&centers[a].x)[axis] < (&centers[b].x)[axis];
-                       });
-      for (int64_t i = 0; i < n; ++i) keys[i] = (&centers[sorted[i]].x)[axis];
-
-      pre_lo.resize(n); pre_hi.resize(n); suf_lo.resize(n); suf_hi.resize(n);
-      Vec3 l = prim_lo(sorted[0]), h = prim_hi(sorted[0]);
-      pre_lo[0] = l; pre_hi[0] = h;
-      for (int64_t i = 1; i < n; ++i) {
-        l = vmin(l, prim_lo(sorted[i]));
-        h = vmax(h, prim_hi(sorted[i]));
-        pre_lo[i] = l; pre_hi[i] = h;
+      step[axis] = (stop - start[axis]) / bins;
+      inv_step[axis] = 1.0f / step[axis];
+      valid[axis] = !(std::fabs(stop - start[axis]) < 1e-4f) &&  // bvh.cpp:116
+                    (step[axis] > 0.0f);
+      if (!valid[axis]) continue;
+      const Vec3 ident_lo{std::numeric_limits<float>::max(),
+                          std::numeric_limits<float>::max(),
+                          std::numeric_limits<float>::max()};
+      const Vec3 ident_hi{-std::numeric_limits<float>::max(),
+                          -std::numeric_limits<float>::max(),
+                          -std::numeric_limits<float>::max()};
+      for (int i = 1; i <= max_i + 1; ++i) {
+        cnt[axis][i] = 0;
+        bin_lo[axis][i] = ident_lo;
+        bin_hi[axis][i] = ident_hi;
       }
-      l = prim_lo(sorted[n - 1]); h = prim_hi(sorted[n - 1]);
-      suf_lo[n - 1] = l; suf_hi[n - 1] = h;
-      for (int64_t i = n - 2; i >= 0; --i) {
-        l = vmin(l, prim_lo(sorted[i]));
-        h = vmax(h, prim_hi(sorted[i]));
-        suf_lo[i] = l; suf_hi[i] = h;
+    }
+    if (!valid[0] && !valid[1] && !valid[2]) return false;
+
+    // one pass over the work set: bin each prim on every valid axis
+    for (int64_t j = 0; j < n; ++j) {
+      const PrimF& p = prims[idx[j]];
+      for (int axis = 0; axis < 3; ++axis) {
+        if (!valid[axis]) continue;
+        const int i = bin_of((&p.c.x)[axis], start[axis], step[axis],
+                             inv_step[axis], max_i);
+        ++cnt[axis][i];
+        bin_lo[axis][i] = vmin(bin_lo[axis][i], p.lo);
+        bin_hi[axis][i] = vmax(bin_hi[axis][i], p.hi);
+      }
+    }
+
+    for (int axis = 0; axis < 3; ++axis) {
+      if (!valid[axis]) continue;
+      const float limit = (&hi.x)[axis] - step[axis];
+
+      // suffix unions over bins: suf[i] = union of bins >= i
+      suf_lo[max_i + 2] = {std::numeric_limits<float>::max(),
+                           std::numeric_limits<float>::max(),
+                           std::numeric_limits<float>::max()};
+      suf_hi[max_i + 2] = {-std::numeric_limits<float>::max(),
+                           -std::numeric_limits<float>::max(),
+                           -std::numeric_limits<float>::max()};
+      for (int i = max_i + 1; i >= 1; --i) {
+        suf_lo[i] = vmin(suf_lo[i + 1], bin_lo[axis][i]);
+        suf_hi[i] = vmax(suf_hi[i + 1], bin_hi[axis][i]);
       }
 
-      const float limit = stop - step;
-      const int max_i = static_cast<int>(std::ceil(bins)) + 1;
       float axis_best = std::numeric_limits<float>::infinity();
       float axis_best_plane = 0.0f;
+      int64_t k = 0;  // running count of centroids < plane(i)
+      Vec3 pre_l{std::numeric_limits<float>::max(),
+                 std::numeric_limits<float>::max(),
+                 std::numeric_limits<float>::max()};
+      Vec3 pre_h{-std::numeric_limits<float>::max(),
+                 -std::numeric_limits<float>::max(),
+                 -std::numeric_limits<float>::max()};
       for (int i = 1; i <= max_i; ++i) {
-        const float plane = start + static_cast<float>(i) * step;
+        k += cnt[axis][i];
+        pre_l = vmin(pre_l, bin_lo[axis][i]);
+        pre_h = vmax(pre_h, bin_hi[axis][i]);
+        const float plane = start[axis] + static_cast<float>(i) * step[axis];
         if (!(plane < limit)) continue;
-        // count of centroids < plane (np.searchsorted side='left')
-        const int64_t k = std::lower_bound(keys.begin(), keys.end(), plane) -
-                          keys.begin();
         if (k <= 1 || n - k <= 1) continue;  // bvh.cpp:180
-        const float sa_l = surface_area(pre_lo[k - 1], pre_hi[k - 1]);
-        const float sa_r = surface_area(suf_lo[k], suf_hi[k]);
+        const float sa_l = surface_area(pre_l, pre_h);
+        const float sa_r = surface_area(suf_lo[i + 1], suf_hi[i + 1]);
         const float cost = sa_l * static_cast<float>(k) +
                            sa_r * static_cast<float>(n - k);
         if (cost < axis_best) {  // first-minimum-wins in plane order
@@ -187,7 +246,7 @@ struct Builder {
     // stable partition: centroid < plane goes left, work order preserved
     int64_t* mid = std::stable_partition(
         idx, idx + n,
-        [&](int64_t i) { return (&centers[i].x)[axis] < plane; });
+        [&](int64_t i) { return (&prims[i].c.x)[axis] < plane; });
     const int64_t n_left = mid - idx;
 
     NodeOut node{};
@@ -216,29 +275,27 @@ int64_t rt_build_bvh(const float* bmin, const float* bmax, int64_t n,
                      uint32_t leaf_type, void* nodes_out, int64_t nodes_cap,
                      int64_t* order_out, int32_t* max_depth_out) {
   if (n < 0) return -1;
-  Builder b;
-  b.bmin = bmin;
-  b.bmax = bmax;
-  b.leaf_type = leaf_type;
-  b.centers.resize(n);
+  auto b = std::make_unique<Builder>();  // ~125 KB of bin scratch: off-stack
+  b->leaf_type = leaf_type;
+  b->prims.resize(n);
   for (int64_t i = 0; i < n; ++i) {
-    b.centers[i] = {
-        (bmin[3 * i] + bmax[3 * i]) * 0.5f,
-        (bmin[3 * i + 1] + bmax[3 * i + 1]) * 0.5f,
-        (bmin[3 * i + 2] + bmax[3 * i + 2]) * 0.5f,
-    };
+    PrimF& p = b->prims[i];
+    p.lo = {bmin[3 * i], bmin[3 * i + 1], bmin[3 * i + 2]};
+    p.hi = {bmax[3 * i], bmax[3 * i + 1], bmax[3 * i + 2]};
+    p.c = {(p.lo.x + p.hi.x) * 0.5f, (p.lo.y + p.hi.y) * 0.5f,
+           (p.lo.z + p.hi.z) * 0.5f};
   }
-  b.nodes.reserve(n > 0 ? 2 * n : 1);
-  b.order.reserve(n);
+  b->nodes.reserve(n > 0 ? 2 * n : 1);
+  b->order.reserve(n);
   std::vector<int64_t> idx(n);
   for (int64_t i = 0; i < n; ++i) idx[i] = i;
-  b.build(idx.data(), n, 0);
+  b->build(idx.data(), n, 0);
 
-  const int64_t count = static_cast<int64_t>(b.nodes.size());
+  const int64_t count = static_cast<int64_t>(b->nodes.size());
   if (count > nodes_cap) return -1;
-  std::memcpy(nodes_out, b.nodes.data(), count * sizeof(NodeOut));
-  std::memcpy(order_out, b.order.data(), b.order.size() * sizeof(int64_t));
-  if (max_depth_out) *max_depth_out = b.max_depth;
+  std::memcpy(nodes_out, b->nodes.data(), count * sizeof(NodeOut));
+  std::memcpy(order_out, b->order.data(), b->order.size() * sizeof(int64_t));
+  if (max_depth_out) *max_depth_out = b->max_depth;
   return count;
 }
 
