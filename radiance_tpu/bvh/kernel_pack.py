@@ -157,23 +157,82 @@ def build_kernel_tables(kind, a, b, bot, top, faces, verts3) -> Optional[dict]:
     is_kleaf = kind == KIND_TRI_LEAF
     start = np.where(is_kleaf, a, 0)
     ntri = np.where(is_kleaf, b, 0)
-
-    # --- 1. leaf collapse (vectorized passes; each pass merges sibling
-    # pairs, so <= log2(KERNEL_MAX_TRIS) + stragglers iterations) ---
     inner_mask = kind == KIND_INNER
-    while True:
-        m = inner_mask & ~is_kleaf
-        l = np.where(m, a, 0)
-        r = np.where(m, b, 0)
-        can = (m & is_kleaf[l] & is_kleaf[r]
-               & (ntri[l] + ntri[r] <= KERNEL_MAX_TRIS)
-               & (start[l] + ntri[l] == start[r]))
-        if not can.any():
-            break
-        ci = np.nonzero(can)[0]
-        start[ci] = start[l[ci]]
-        ntri[ci] = ntri[l[ci]] + ntri[r[ci]]
-        is_kleaf[ci] = True
+
+    if os.environ.get("RADIANCE_COLLAPSE", "greedy") == "sah":
+        # --- 1. SAH-driven leaf collapse (opt-in RADIANCE_COLLAPSE=sah).
+        # Kernel leaves are PADDED to KERNEL_MAX_TRIS, so every ray
+        # entering a leaf pays the full pair matmul no matter how few
+        # triangles it holds; the greedy policy below therefore merges
+        # siblings whenever they fit, maximizing fill.  But merging two
+        # spatially tight children into their (larger) parent box makes
+        # MORE rays enter the leaf.  Under the standard SAH model
+        # (expected visits proportional to surface area) the expected
+        # wave cost of a cut set is sum(SA(leaf)) + rho * sum(SA(inner))
+        # with rho = walk-step cost / pair cost
+        # (RADIANCE_COLLAPSE_RHO); minimize it exactly with a bottom-up
+        # DP over subtrees (children follow parents in builder
+        # preorder, so one backward pass).  Collapse remains restricted
+        # to whole subtrees with contiguous face ranges (the kernel
+        # leaf is one dense face slab).
+        rho = float(os.environ.get("RADIANCE_COLLAPSE_RHO", "0.15"))
+        sa_wh = np.maximum(top - bot, 0.0).astype(np.float64)
+        sa = (sa_wh[:, 0] * sa_wh[:, 1] + sa_wh[:, 1] * sa_wh[:, 2]
+              + sa_wh[:, 2] * sa_wh[:, 0])
+        cnt = np.zeros(n, np.int64)
+        st = np.zeros(n, np.int64)
+        cost = np.zeros(n, np.float64)
+        cut = np.zeros(n, bool)
+        contig = np.zeros(n, bool)
+        for i in range(n - 1, -1, -1):
+            if kind[i] == KIND_TRI_LEAF:
+                cnt[i] = b[i]
+                st[i] = a[i]
+                cost[i] = sa[i]
+                cut[i] = True
+                contig[i] = True
+            elif kind[i] == KIND_INNER:
+                l, r = a[i], b[i]
+                cnt[i] = cnt[l] + cnt[r]
+                st[i] = min(st[l], st[r])
+                contig[i] = bool(contig[l] and contig[r]
+                                 and st[l] + cnt[l] == st[r])
+                c_split = rho * sa[i] + cost[l] + cost[r]
+                if (cnt[i] <= KERNEL_MAX_TRIS and contig[i]
+                        and sa[i] <= c_split):
+                    cost[i] = sa[i]
+                    cut[i] = True
+                else:
+                    cost[i] = c_split
+        # mark the HIGHEST cut node on each root-to-leaf path
+        is_kleaf = np.zeros(n, bool)
+        stack = [0]
+        while stack:
+            i = stack.pop()
+            if cut[i]:
+                is_kleaf[i] = True
+                start[i] = st[i]
+                ntri[i] = cnt[i]
+            else:
+                stack.append(int(a[i]))
+                stack.append(int(b[i]))
+    else:
+        # --- 1. greedy leaf collapse (vectorized passes; each pass
+        # merges sibling pairs, so <= log2(KERNEL_MAX_TRIS) +
+        # stragglers iterations) ---
+        while True:
+            m = inner_mask & ~is_kleaf
+            l = np.where(m, a, 0)
+            r = np.where(m, b, 0)
+            can = (m & is_kleaf[l] & is_kleaf[r]
+                   & (ntri[l] + ntri[r] <= KERNEL_MAX_TRIS)
+                   & (start[l] + ntri[l] == start[r]))
+            if not can.any():
+                break
+            ci = np.nonzero(can)[0]
+            start[ci] = start[l[ci]]
+            ntri[ci] = ntri[l[ci]] + ntri[r[ci]]
+            is_kleaf[ci] = True
 
     # --- subtree sizes in the collapsed tree (children after parents) ---
     size = np.ones(n, np.int64)

@@ -919,3 +919,31 @@ def test_stream3_temporal_bound_overflow_marks_slot(monkeypatch):
         np.where(t0[ok] >= FLT_MAX, 0, t0[ok]), rtol=2e-3, atol=1e-4)
     np.testing.assert_array_equal(t1[ok] >= FLT_MAX,
                                   t0[ok] >= FLT_MAX)
+
+
+def test_stream3_sah_collapse_vs_oracle(monkeypatch):
+    """RADIANCE_COLLAPSE=sah emits a different kernel-leaf cut of the
+    same BVH; traces must still match the XLA oracle exactly, and the
+    cut must still partition the face slab."""
+    monkeypatch.setenv("RADIANCE_COLLAPSE", "sah")
+    ds = _single_instance_scene(n_tris=900, seed=3)
+    assert stream3.supports(ds)
+    km = np.asarray(ds.knode_i)
+    one = km[: km.shape[0] // 8]           # one octant threading
+    leaves = one[one[:, 2] > 0]
+    # a partition of the faces: starts sorted, ranges contiguous
+    span = leaves[np.argsort(leaves[:, 3])]
+    assert (span[:-1, 3] + span[:-1, 2] == span[1:, 3]).all()
+
+    rng = np.random.default_rng(11)
+    o, d = gen_rays(rng, 2048, spread=8.0)
+    o, d = jnp.asarray(o), jnp.asarray(d)
+    ref = traversal.trace_rays(ds, o, d, 1e-3, 1e3)
+    rows_w = stream3.rows_from_aos(o, d)
+    tstart, _ = stream3.leaf_tables(ds.knode_f, ds.kleaf.shape[0])
+    rec, diag = stream3._run(
+        rows_w, 1e-3, 1e3, ds.knode_f, ds.kleaf, ds.kprim, ds.ktri_geo,
+        ds.inst_inv[0], tstart, precision="f32", interpret=True,
+        with_diag=True)
+    flag = np.asarray(diag["pkt_flag"])[: 2048 // stream3.PKT]
+    _agree(ref, rec, flag)

@@ -454,3 +454,31 @@ def test_multi_temporal_bound_scan_and_native():
         assert ((t2 < FLT_MAX) == (t0 < FLT_MAX))[ok].all(), route_kw
         np.testing.assert_allclose(t2[both], t0[both], rtol=2e-3,
                                    atol=1e-4)
+
+
+def test_tlas_native_sah_collapse(monkeypatch):
+    """RADIANCE_COLLAPSE=sah changes every BLAS's kernel-leaf cut at
+    device_scene() time; the TLAS-native concatenated tables must keep
+    their global leaf-id threading and match the XLA oracle."""
+    monkeypatch.setenv("RADIANCE_COLLAPSE", "sah")
+    ds = _tlas_scene(n_inst=6, seed=13)
+    mt = stream3_multi.MultiTables(ds)
+    assert stream3_multi.supports_native(mt)
+    rng = np.random.default_rng(5)
+    n = 1024
+    o = rng.uniform(-14, 14, (n, 3)).astype(np.float32)
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    oj, dj = jnp.asarray(o), jnp.asarray(d)
+    ref = traversal.trace_rays(ds, oj, dj, 1e-3, 1e3)
+    got = stream3_multi.trace_rows_tlas(
+        ds, mt, stream3.rows_from_aos(oj, dj), 1e-3, 1e3,
+        precision="f32", interpret=True)
+    ok = np.asarray(got.slot) != -2
+    assert ok.all()
+    t_ref, t_got = np.asarray(ref.t), np.asarray(got.t)
+    hr = t_ref < FLT_MAX
+    assert hr.sum() > 50
+    assert ((t_got < FLT_MAX) == hr).all()
+    np.testing.assert_allclose(t_got[hr], t_ref[hr], rtol=2e-3,
+                               atol=1e-4)
