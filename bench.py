@@ -218,16 +218,20 @@ def make_tracer(scene, probe_rays=None):
                 prec = os.environ.get("RADIANCE_BENCH_PRECISION",
                                       "default")
                 j_entry = jax.jit(
-                    lambda scn, rows, tmn, tmx:
+                    lambda scn, rows, tmn, tmx, occl=False:
                     stream3.trace_rows_stream3(
                         scn, rows, tmn, tmx, precision=prec,
-                        interpret=False))
+                        interpret=False, occl=occl),
+                    static_argnames=("occl",))
 
                 def run_stream3(o, d, tmax, any_hit_terminate):
+                    # honor the fn(o, d, tmax, any_hit) contract the
+                    # packet/XLA tracers keep (occl t: 0 on hit)
                     rows = tuple(o) if isinstance(o, (tuple, list)) \
                         else stream3.rows_from_aos(o, d)
                     return j_entry(scene, rows, jnp.float32(1e-3),
-                                   jnp.float32(tmax)).t
+                                   jnp.float32(tmax),
+                                   occl=bool(any_hit_terminate)).t
 
                 if probe_rays is not None:
                     jax.block_until_ready(
@@ -555,12 +559,16 @@ def run_multi_bench():
         print(f"# native route: {pairs} (pkt,inst) slots over "
               f"{npk} packets ({pairs / npk:.2f} inst/pkt)",
               file=sys.stderr)
-    j = jax.jit(lambda scn, r: stream3_multi.trace_rows_multi(
-        scn, mt, r, 1e-3, 1e4, precision=os.environ.get(
+    # tables ride as a jit ARGUMENT (closure capture would embed the
+    # whole stacked+concatenated scene into the jaxpr as constants --
+    # the same ~100 MB-of-HLO trap the scene tables avoid above)
+    j = jax.jit(lambda scn, mtt, r: stream3_multi.trace_rows_multi(
+        scn, mtt, r, 1e-3, 1e4, precision=os.environ.get(
             "RADIANCE_BENCH_PRECISION", "default")))
+    mtt = mt.as_tuple()
 
     def run_wave():
-        rec = j(scene, rows)
+        rec = j(scene, mtt, rows)
         float(jnp.sum(rec.t[::65536]))
         return rec
 

@@ -55,14 +55,13 @@ def main():
         orient=orient, cull=cull))
     j_glue = jax.jit(s3._stage_glue, static_argnames=("npk", "n"))
 
-    dt, (rows, feats_t, scal, smeta, bscal, lim, pool_of,
+    dt, (rows, feats_t, scal, smeta, bscal, lim,
          order) = timed_chain(
         j_prep, rows_w, tmin, tmax, nodef, inv0, iters=8)
     npk = rows[0].shape[0] // s3.PKT
     nslot = scal.shape[0]
     alive = np.asarray(smeta[:, 1])
     print(f"npk={npk} nslot={nslot} alive={alive.sum()} "
-          f"pool_of={int(np.asarray(pool_of).sum())} "
           f"precision={precision} orient={orient}")
     print(f"prep:   {dt*1e3:7.1f} ms")
 
@@ -136,7 +135,7 @@ def main():
     smeta_u = np.zeros_like(np.asarray(smeta))
     smeta_u[np.asarray(order)] = np.asarray(smeta)
     dt, rec = timed_chain(j_glue, out_u, jnp.asarray(smeta_u), npk,
-                          tmin, tmax, n, iters=8)
+                          n, iters=8)
     print(f"glue:   {dt*1e3:7.1f} ms")
     hits = np.asarray(rec.t) < s3.FLT_MAX
     print(f"hit rate: {hits.mean():.3f}")

@@ -338,7 +338,7 @@ def main():
         out = jax.jit(s3._stage_prep)(
             rows_w, jnp.float32(1e-3), jnp.float32(1e4),
             jnp.asarray(nodef), jnp.asarray(inv0), lv)
-        rows, feats_t, scal, smeta, bscal, lim, pool_of, order = \
+        rows, feats_t, scal, smeta, bscal, lim, order = \
             jax.block_until_ready(out)
         rows_np = tuple(np.asarray(r) for r in rows)
         npad = rows_np[0].shape[0]
@@ -374,7 +374,7 @@ def main():
         out = jax.jit(s3._stage_prep)(
             rows_w, jnp.float32(1e-3), jnp.float32(1e4),
             jnp.asarray(nodef), jnp.asarray(inv0), None)
-        rows, feats_t, scal, smeta, bscal, lim, pool_of, order = \
+        rows, feats_t, scal, smeta, bscal, lim, order = \
             jax.block_until_ready(out)
         rows_np = tuple(np.asarray(r) for r in rows)
         npad = rows_np[0].shape[0]

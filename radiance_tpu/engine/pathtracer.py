@@ -47,16 +47,28 @@ _PARK_ORIGIN = 1e30
 
 
 _MULTI_TABLE_CACHE = {}
+_MULTI_TABLE_CACHE_CAP = 8
 
 
 def _multi_tables(scene):
-    """Host-built stacked instance tables, cached per scene object."""
+    """Host-built stacked instance tables, cached per scene object.
+
+    The cache value PINS scene.kblas (the id() key's referent): without
+    the pin, a GC'd kblas list could hand its address to a new scene,
+    which would then silently trace against the previous scene's
+    tables.  Bounded so dead scenes don't retain device tables
+    forever."""
     from radiance_tpu.ops import stream3_multi
     key = id(scene.kblas)
-    mt = _MULTI_TABLE_CACHE.get(key)
-    if mt is None:
-        mt = stream3_multi.MultiTables(scene)
-        _MULTI_TABLE_CACHE[key] = mt
+    hit = _MULTI_TABLE_CACHE.get(key)
+    if hit is not None and hit[0] is scene.kblas:
+        _MULTI_TABLE_CACHE.pop(key)        # refresh insertion order
+        _MULTI_TABLE_CACHE[key] = hit
+        return hit[1]
+    mt = stream3_multi.MultiTables(scene)
+    _MULTI_TABLE_CACHE[key] = (scene.kblas, mt)
+    while len(_MULTI_TABLE_CACHE) > _MULTI_TABLE_CACHE_CAP:
+        _MULTI_TABLE_CACHE.pop(next(iter(_MULTI_TABLE_CACHE)))
     return mt
 
 
@@ -98,7 +110,8 @@ def _trace_dispatch(scene, o, d, tmin, tmax, *, any_hit_terminate=False,
                 mt = _multi_tables(scene)
                 rows = stream3.rows_from_aos(o, d)
                 return stream3_multi.trace_rows_multi(
-                    scene, mt, rows, tmin, tmax)
+                    scene, mt, rows, tmin, tmax,
+                    occl=any_hit_terminate)
             return packet_trace.trace_rays_packet_multi(
                 scene, o, d, tmin, tmax, any_hit=any_hit_terminate)
     return traversal.trace_rays(scene, o, d, tmin, tmax,
@@ -183,13 +196,40 @@ def _traced_wavefront(scene, o, d, tmin, tmax, alive, sort_key=None,
             b2=jnp.where(miss, 0.0, rec.b2))
     if _stream3_wavefront_supported(scene, trace_kw, wave):
         from radiance_tpu.ops import stream3
+        occl = bool(trace_kw.get("any_hit_terminate", False))
         rows = stream3.rows_from_aos_fast(o, d)
         rec = stream3.trace_rows_stream3(
             scene, rows, tmin, tmax,
             precision=os.environ.get("RADIANCE_BENCH_PRECISION",
                                      "default"),
             presort=False, live=alive, blk_bound=blk_bound,
-            occl=bool(trace_kw.get("any_hit_terminate", False)))
+            occl=occl)
+        rec = traversal.HitRecord(t=rec.t, prim=rec.prim,
+                                  slot=rec.slot, b1=rec.b1, b2=rec.b2)
+        if blk_bound is not None:
+            # slot == -2 marks rays whose temporal-bound residual
+            # overflowed the in-jit re-walk cap: their poisoned miss
+            # must NOT be accumulated (stale bounds after an id-reuse
+            # collision or heavy cross-sample motion would silently
+            # erase geometry).  Re-trace exactly, only when flagged --
+            # lax.cond skips the walk entirely on clean waves, and the
+            # walk parks unflagged lanes so they retire immediately.
+            distrust = rec.slot == jnp.int32(-2)
+
+            def _rewalk(r):
+                o_c = jnp.where(distrust[:, None], o, _PARK_ORIGIN)
+                d_c = jnp.where(distrust[:, None], d, 1.0)
+                rw = traversal.trace_rays(scene, o_c, d_c, tmin, tmax,
+                                          any_hit_terminate=occl)
+                return traversal.HitRecord(
+                    t=jnp.where(distrust, rw.t, r.t),
+                    prim=jnp.where(distrust, rw.prim, r.prim),
+                    slot=jnp.where(distrust, rw.slot, r.slot),
+                    b1=jnp.where(distrust, rw.b1, r.b1),
+                    b2=jnp.where(distrust, rw.b2, r.b2))
+
+            rec = jax.lax.cond(jnp.any(distrust), _rewalk,
+                               lambda r: r, rec)
         return traversal.HitRecord(
             t=rec.t, prim=rec.prim, slot=jnp.maximum(rec.slot, -1),
             b1=rec.b1, b2=rec.b2)
@@ -485,13 +525,24 @@ class WavefrontPathTracer:
     max_batch_per_dispatch: int = 8
 
     _ATTACHED = {}
-    # per-(scene, nblocks) temporal-bound state across frames: bounded
-    # (oldest-evicted) because scene rebuilds would otherwise retain a
-    # device buffer per dead scene forever; an id()-reuse collision can
-    # only fetch stale bounds, which the residual re-walk makes
-    # exactness-safe (it just costs residual volume)
-    _TB = {}
     _TB_CAP = 8
+
+    @property
+    def _tb_store(self):
+        # per-INSTANCE (scene, nblocks) temporal-bound state across
+        # frames: two tracers rendering the same scene/resolution with
+        # different cameras must not cross-contaminate bounds (a
+        # class-level dict would share them).  Bounded
+        # (oldest-evicted) because scene rebuilds would otherwise
+        # retain a device buffer per dead scene forever.  Stale bounds
+        # (id()-reuse collision, camera motion) are exactness-safe:
+        # the in-jit residual re-walk covers rays violating the bound,
+        # and _traced_wavefront re-traces any residual-cap overflow
+        # (slot == -2) exactly before accumulation.
+        tb = self.__dict__.get("_TB")
+        if tb is None:
+            tb = self.__dict__["_TB"] = {}
+        return tb
 
     def _maybe_attach_multi(self, scene):
         """Attach the stacked sweep tables to many-instance scenes once
@@ -543,7 +594,7 @@ class WavefrontPathTracer:
             from radiance_tpu.ops import stream3
             nb = -(-n // stream3.BLK)
             key = (id(scene.kblas), nb)
-            tb = self._TB.get(key) if ts > 0 else None
+            tb = self._tb_store.get(key) if ts > 0 else None
             if tb is None:
                 tb = jnp.full((nb,), FLT_MAX, jnp.float32)
         while remaining > 0:
@@ -560,10 +611,11 @@ class WavefrontPathTracer:
             ts += sub
             remaining -= sub
         if tbound:
-            self._TB.pop(key, None)        # refresh insertion order
-            self._TB[key] = tb
-            while len(self._TB) > self._TB_CAP:
-                self._TB.pop(next(iter(self._TB)))
+            store = self._tb_store
+            store.pop(key, None)           # refresh insertion order
+            store[key] = tb
+            while len(store) > self._TB_CAP:
+                store.pop(next(iter(store)))
         return accum, image.reshape(height, width, 4)
 
     def __hash__(self):  # let lru_cache key on object identity

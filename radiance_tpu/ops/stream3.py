@@ -270,7 +270,7 @@ def _stage_prep(rows_w, tmin, tmax, nodef, inv0, live=None):
     already does).  Packets with no live ray get no active slot.
 
     Returns (rows, feats_t, scal [NSLOT,16] f32, smeta [NSLOT,8] i32,
-    bscal [npk*8, 16], lim, pool_overflow [npk] i32)."""
+    bscal [npk*8, 16], lim, order)."""
     f32, i32 = jnp.float32, jnp.int32
     n = rows_w[0].shape[0]
     pad = (-n) % (G * PKT)
@@ -404,8 +404,6 @@ def _stage_prep(rows_w, tmin, tmax, nodef, inv0, live=None):
         jnp.where(conserv[:, None], full, scal[:npk]))
     smeta = smeta.at[:npk, 1].set(
         jnp.maximum(smeta[:npk, 1], conserv.astype(i32)))
-    pool_overflow = jnp.zeros(npk, i32)             # no longer flags
-
     # sort slots by a walk-length proxy so each lockstep group of 8
     # walks runs similar lengths (the unsorted layout measured a 2.3x
     # sum-of-group-max tax).  Near-axis slots (huge 1/|d|) and wide
@@ -421,7 +419,7 @@ def _stage_prep(rows_w, tmin, tmax, nodef, inv0, live=None):
 
     lim = jnp.stack([jnp.float32(tmin),
                      jnp.float32(tmax)]).reshape(1, 2)
-    return rows, feats_t, scal, smeta, bscal, lim, pool_overflow, order
+    return rows, feats_t, scal, smeta, bscal, lim, order
 
 
 # ---------------------------------------------------------------- emit
@@ -645,16 +643,22 @@ def _emit3t_kernel(lim_ref, smeta_ref, scal_ref, bscal_ref, nodef_ref,
     mixed_r = sgn_r == 0.0
     iota8 = jax.lax.broadcasted_iota(i32, (G, 8), 1)
 
-    nk_local = nodef_ref.shape[0] // 8     # static octant table rows
+    nk_total = nodef_ref.shape[0]          # rows; always a multiple of 8
 
     def step(carry):
         idxs, cnts, steps = carry
-        # aligned-down window start, clamped so the 8-row load never
-        # crosses the octant table end (entry stays in [0, 8))
-        base8 = [jnp.clip((jnp.maximum(idxs[w], 0) // 8) * 8,
-                          0, max(nk_local - 8, 0)) for w in range(G)]
+        # aligned-down window start, clamped GLOBALLY so the 8-row load
+        # never crosses the table end.  The clamp must be global, not
+        # per-octant (the TLAS-native path concatenates many BLAS
+        # tables, so shape[0]//8 is NOT this slot's octant size); when
+        # it binds, base8 goes negative -- every downstream use
+        # (entry = idx - base8, loc = nxt - base8) stays consistent,
+        # and entry stays in [0, 8) because base + idx <= nk_total - 1.
+        gs = [jnp.clip(base[w] + (jnp.maximum(idxs[w], 0) // 8) * 8,
+                       0, nk_total - 8) for w in range(G)]
+        base8 = [gs[w] - base[w] for w in range(G)]
         tile = jnp.concatenate(
-            [nodef_ref[pl.ds(base[w] + base8[w], 8), :]
+            [nodef_ref[pl.ds(gs[w], 8), :]
              for w in range(G)], axis=0)            # (64, 16)
         a_f = tile[:, 8:9]
         esc = tile[:, 9:10]
@@ -1095,7 +1099,7 @@ def _emit3wst_kernel(lim_ref, meta_ref, scal_ref, bscal_ref, nodef_ref,
     i = pl.program_id(0)
     tmax = lim_ref[0, 1]
     nsub = nlanes
-    nk_local = nodef_ref.shape[0] // 8
+    nk_total = nodef_ref.shape[0]          # rows; always a multiple of 8
 
     @pl.when(i == 0)
     def _():
@@ -1167,10 +1171,14 @@ def _emit3wst_kernel(lim_ref, meta_ref, scal_ref, bscal_ref, nodef_ref,
         # ---- one treelet iteration (math of _emit3t_kernel, scalars
         # from the refillable scratch) ----
         idxs = [st_ref[w, 1] for w in range(G)]
-        base8 = [jnp.clip((jnp.maximum(idxs[w], 0) // 8) * 8,
-                          0, max(nk_local - 8, 0)) for w in range(G)]
+        # globally-clamped window start (see _emit3t_kernel: the
+        # per-octant clamp is wrong on TLAS-concatenated tables;
+        # base8 may go negative and the entry/loc arithmetic holds)
+        gs = [jnp.clip(st_ref[w, 3] + (jnp.maximum(idxs[w], 0) // 8) * 8,
+                       0, nk_total - 8) for w in range(G)]
+        base8 = [gs[w] - st_ref[w, 3] for w in range(G)]
         tile = jnp.concatenate(
-            [nodef_ref[pl.ds(st_ref[w, 3] + base8[w], 8), :]
+            [nodef_ref[pl.ds(gs[w], 8), :]
              for w in range(G)], axis=0)            # (64, 16)
         a_f = tile[:, 8:9]
         esc = tile[:, 9:10]
@@ -2013,7 +2021,7 @@ def _stage_isect(words, emeta, slot_pkt, feats, lim, kleaf_k,
 
 # ----------------------------------------------------------------- glue
 
-def _stage_glue(out_s, smeta, npk, tmin, tmax, n):
+def _stage_glue(out_s, smeta, npk, n):
     """Stage 3 (XLA): fold slot results into per-packet winners.  The
     kernel already carries (t, prim, b1, b2), so this is pure
     elementwise work plus a tiny row scatter for the <=EXTRA octant
@@ -2097,7 +2105,7 @@ def _run(rows_w, tmin, tmax, nodef, kleaf_k, kprim, ktri_geo, inv0,
             rows_w, inv_blk, live = _block_sort(rows_w, live)
         else:
             rows_w, inv_blk = _block_sort(rows_w)
-    rows, feats_t, scal, smeta, bscal, lim, pool_of, order = \
+    rows, feats_t, scal, smeta, bscal, lim, order = \
         _stage_prep(rows_w, tmin, tmax, nodef, inv0, live=live)
     npk = rows[0].shape[0] // PKT
     if ws is None:
@@ -2168,25 +2176,23 @@ def _run(rows_w, tmin, tmax, nodef, kleaf_k, kprim, ktri_geo, inv0,
     out_u = out_s[row_of[inv_order] if ws else inv_order]
     smeta_u = jnp.zeros_like(smeta).at[order].set(smeta)
     npad2 = rows[0].shape[0]
-    rec = _stage_glue(out_u, smeta_u, npk, tmin, tmax, npad2)
+    rec = _stage_glue(out_u, smeta_u, npk, npad2)
     if presort:
         # back to caller ray order (invert the block permutation)
         nb = npad2 // BLK
 
-        def unblk(x, dt):
+        def unblk(x):
             return x.reshape(nb, BLK)[inv_blk].reshape(-1)
-        rec = HitRecord(t=unblk(rec.t, None), prim=unblk(rec.prim, None),
-                        slot=unblk(rec.slot, None),
-                        b1=unblk(rec.b1, None), b2=unblk(rec.b2, None))
+        rec = HitRecord(t=unblk(rec.t), prim=unblk(rec.prim),
+                        slot=unblk(rec.slot),
+                        b1=unblk(rec.b1), b2=unblk(rec.b2))
     rec = HitRecord(t=rec.t[:n], prim=rec.prim[:n], slot=rec.slot[:n],
                     b1=rec.b1[:n], b2=rec.b2[:n])
     alive = smeta[:, 1] > 0
     trunc = alive & ((emeta_sorted[:, 1] > 0)
                      | (emeta_sorted[:, 0] > PCAP))
-    pkt_flag = jnp.maximum(
-        pool_of,
-        jnp.zeros(npk, jnp.int32).at[smeta[:, 0]].max(
-            trunc.astype(jnp.int32), mode="drop"))
+    pkt_flag = jnp.zeros(npk, jnp.int32).at[smeta[:, 0]].max(
+        trunc.astype(jnp.int32), mode="drop")
 
     if with_diag:
         nb = rows[0].shape[0] // BLK
@@ -2376,13 +2382,19 @@ def trace_rows_stream3(scene, rows_w, tmin, tmax,
                         rows_w[2][sel_g]], axis=1)
         dw = jnp.stack([rows_w[3][sel_g], rows_w[4][sel_g],
                         rows_w[5][sel_g]], axis=1)
-        sub = traversal.trace_rays(scene, ow, dw, tmin, tmax)
+        # honor the wave's occlusion semantics: an any-hit-terminating
+        # walk (cheaper), normalized to the pipeline's t=0-on-hit occl
+        # convention so patched rays match their unflagged neighbours
+        sub = traversal.trace_rays(scene, ow, dw, tmin, tmax,
+                                   any_hit_terminate=occl)
+        sub_t = jnp.where(sub.t < FLT_MAX, jnp.float32(0.0),
+                          FLT_MAX) if occl else sub.t
 
         def patch(dst, src_):
             return dst.at[jnp.where(smask, sel_g, n)].set(src_,
                                                           mode="drop")
 
-        return HitRecord(t=patch(rec.t, sub.t),
+        return HitRecord(t=patch(rec.t, sub_t),
                          prim=patch(rec.prim, sub.prim),
                          slot=patch(rec.slot, sub.slot),
                          b1=patch(rec.b1, sub.b1),

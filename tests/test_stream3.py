@@ -507,7 +507,7 @@ def test_stream3_ws_emit_matches_plain():
     rng = np.random.default_rng(7)
     o, d = gen_rays(rng, stream3.G * stream3.PKT, spread=8.0)
     rows_w = stream3.rows_from_aos(jnp.asarray(o), jnp.asarray(d))
-    _, _, scal, smeta, bscal, lim, _, _ = stream3._stage_prep(
+    _, _, scal, smeta, bscal, lim, _ = stream3._stage_prep(
         rows_w, 1e-3, 1e3, ds.knode_f, ds.inst_inv[0])
     wp, ep = stream3._stage_emit(lim, scal, smeta, bscal, ds.knode_f,
                                  interpret=True)
@@ -592,7 +592,7 @@ def test_stream3_ws_treelet_matches_lockstep_treelet():
     rng = np.random.default_rng(7)
     o, d = gen_rays(rng, stream3.G * stream3.PKT, spread=8.0)
     rows_w = stream3.rows_from_aos(jnp.asarray(o), jnp.asarray(d))
-    _, _, scal, smeta, bscal, lim, _, _ = stream3._stage_prep(
+    _, _, scal, smeta, bscal, lim, _ = stream3._stage_prep(
         rows_w, 1e-3, 1e3, ds.knode_f, ds.inst_inv[0])
     wp, ep = stream3._stage_emit(lim, scal, smeta, bscal, ds.knode_f,
                                  interpret=True, treelet=True)
@@ -656,7 +656,7 @@ def test_stream3_tqsort_refine(monkeypatch):
     pad = (-rows_w[0].shape[0]) % (stream3.G * stream3.PKT)
     rows_p = tuple(jnp.concatenate([r, jnp.broadcast_to(r[:1], (pad,))])
                    for r in rows_w)
-    _, feats_t, scal, smeta, bscal, lim, _, _ = stream3._stage_prep(
+    _, feats_t, scal, smeta, bscal, lim, _ = stream3._stage_prep(
         rows_p, 1e-3, 1e3, ds.knode_f, ds.inst_inv[0])
     words, emeta = stream3._stage_emit(lim, scal, smeta, bscal,
                                        ds.knode_f, interpret=True)
@@ -752,7 +752,7 @@ def test_stream3_ws_wide_groups():
     rng = np.random.default_rng(7)
     o, d = gen_rays(rng, stream3.G * stream3.PKT, spread=8.0)
     rows_w = stream3.rows_from_aos(jnp.asarray(o), jnp.asarray(d))
-    _, _, scal, smeta, bscal, lim, _, _ = stream3._stage_prep(
+    _, _, scal, smeta, bscal, lim, _ = stream3._stage_prep(
         rows_w, 1e-3, 1e3, ds.knode_f, ds.inst_inv[0])
     nslot = scal.shape[0]
     assert nslot % 16 != 0      # exercises the pad path

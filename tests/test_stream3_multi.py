@@ -482,3 +482,58 @@ def test_tlas_native_sah_collapse(monkeypatch):
     assert ((t_got < FLT_MAX) == hr).all()
     np.testing.assert_allclose(t_got[hr], t_ref[hr], rtol=2e-3,
                                atol=1e-4)
+
+
+def test_tlas_native_treelet_window_clamp():
+    """Treelet emit on the TLAS-concatenated table: the 8-row window
+    clamp must bind at the END of the concatenated array, not at
+    shape[0]//8 (the single-BLAS octant size) -- a per-octant clamp
+    computed from the concatenated shape never binds, and the final
+    window of the last BLAS's octant 7 would read past the array end,
+    misaligning the entry index (silent wrong hits).  Regression for
+    the global-clamp fix in _emit3t/_emit3wst."""
+    rng = np.random.default_rng(17)
+    blas_list = []
+    # differing BLAS sizes so per-octant row counts differ and the
+    # last BLAS's octant count is NOT a multiple of 8
+    for tris_per in (140, 90, 61):
+        centers = rng.uniform(-2, 2, size=(tris_per, 3)).astype(
+            np.float32)
+        offs = rng.normal(scale=0.35, size=(tris_per, 3, 3)).astype(
+            np.float32)
+        verts = (centers[:, None, :] + offs).reshape(-1, 3)
+        tris = np.arange(len(verts), dtype=np.uint32).reshape(-1, 3)
+        blas_list.append(
+            accel.BuildBottomAccelStruct(types.Mesh(verts, tris)))
+    instances = []
+    for i in range(6):
+        tf = np.eye(4, dtype=np.float32)
+        tf[:3, 3] = rng.uniform(-8, 8, 3)
+        instances.append(types.Instance(tf, 0, i, blas_list[i % 3]))
+    ds = accel.BuildTopAccelStruct(instances).device_scene()
+    mt = stream3_multi.MultiTables(ds)
+    assert stream3_multi.supports_native(mt)
+    nks = np.asarray(mt.inst_nk)
+    assert (nks % 8 != 0).any(), "precondition: misaligned octants"
+
+    n = 1024
+    o = rng.uniform(-12, 12, (n, 3)).astype(np.float32)
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    oj, dj = jnp.asarray(o), jnp.asarray(d)
+    ref = traversal.trace_rays(ds, oj, dj, 1e-3, 1e3)
+    rows = stream3.rows_from_aos(oj, dj)
+    t_ref = np.asarray(ref.t)
+    hr = t_ref < FLT_MAX
+    assert hr.sum() > 50
+
+    for kw in (dict(treelet=True), dict(ws=True, treelet=True)):
+        got = stream3_multi.trace_rows_tlas(
+            ds, mt, rows, 1e-3, 1e3, precision="f32",
+            interpret=True, **kw)
+        ok = np.asarray(got.slot) != -2
+        assert ok.all(), kw
+        t_got = np.asarray(got.t)
+        assert ((t_got < FLT_MAX) == hr).all(), kw
+        np.testing.assert_allclose(t_got[hr], t_ref[hr], rtol=2e-3,
+                                   atol=1e-4)
