@@ -17,3 +17,21 @@ os.environ.setdefault("JAX_ENABLE_X64", "0")
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _drop_compiled_programs():
+    """Free compiled executables between test modules.
+
+    The suite compiles a few hundred large CPU programs (interpret-mode
+    Pallas pipelines expand into huge XLA graphs); with everything
+    retained, the XLA:CPU JIT deterministically segfaults inside
+    backend_compile once enough executables have accumulated (observed
+    at the ~160th test regardless of which test runs there).  Dropping
+    the jit caches per module keeps the live-executable population
+    bounded; cross-module reuse is minimal so the recompile cost is
+    noise."""
+    yield
+    jax.clear_caches()
