@@ -80,6 +80,13 @@ PCAP = 1024             # emitted words per slot (p95 ~60; central
 # pixel order) each want one slot per present octant; incoherent waves
 # need a bigger pool than the coherent-primary default.
 EXTRA = int(os.environ.get("RADIANCE_EXTRA", "256"))
+# Scoped-VMEM limit requested from the Mosaic compiler.  The emit
+# kernel's stack peaks at ~120 MB on production bench shapes; v5e has
+# 128 MiB of VMEM and the kernel has always RUN fine at 120 MB, but
+# the terminal-side compiler rolled to a build that ENFORCES the
+# requested limit at compile time (2026-08-19: "Scoped allocation with
+# size 119.88M and limit 112.00M exceeded"), so request the full chip.
+VMEM_LIMIT = int(os.environ.get("RADIANCE_VMEM_MB", "128")) * 1024 * 1024
 STEP_CAP = 2048         # walk iterations per group before flagging
 # rays per refine sub-frustum (32 or 16).  Smaller subs = tighter
 # emit keepmasks = fewer phase-2 pairs, at 2x the (vector-domain)
@@ -851,7 +858,7 @@ def _stage_emit(lim, scal, smeta, bscal, nodef, *, interpret: bool,
         ],
         compiler_params=pltpu.CompilerParams(
             has_side_effects=True,
-            vmem_limit_bytes=112 * 1024 * 1024),
+            vmem_limit_bytes=VMEM_LIMIT),
         interpret=interpret,
     )(lim, smeta, scal, bscal, nodef)
 
@@ -1393,7 +1400,7 @@ def _stage_emit_ws(lim, scal, smeta, bscal, nodef, *, interpret: bool,
         compiler_params=pltpu.CompilerParams(
             has_side_effects=True,
             dimension_semantics=("arbitrary",),
-            vmem_limit_bytes=112 * 1024 * 1024),
+            vmem_limit_bytes=VMEM_LIMIT),
         interpret=interpret,
     )(lim, meta, scal, bscal, nodef)
 
