@@ -55,18 +55,38 @@ def apply_bench_env():
     if not os.path.exists(path):
         return
     applied = []
+    reexec = False
     with open(path) as f:
         for line in f:
             line = line.strip()
             if not line or line.startswith("#") or "=" not in line:
                 continue
             k, v = line.split("=", 1)
+            if k == "PALLAS_AXON_REMOTE_COMPILE":
+                # consumed at interpreter start (the axon sitecustomize
+                # registers the PJRT plugin with remote_compile before
+                # bench.py runs), so setting it here is too late: the
+                # validated local-compile hatch needs a re-exec with
+                # the var in the environment of a FRESH interpreter.
+                if os.environ.get(k, "1") != v \
+                        and os.environ.get("RADIANCE_BENCH_REEXEC") != "1":
+                    os.environ[k] = v
+                    reexec = True
+                continue
             if k not in os.environ:
                 os.environ[k] = v
                 applied.append(f"{k}={v}")
     if applied:
         print(f"# bench_env applied: {' '.join(applied)}",
               file=sys.stderr)
+    if reexec:
+        print("# bench_env re-exec for PALLAS_AXON_REMOTE_COMPILE "
+              "(interpreter-start flag)", file=sys.stderr)
+        os.environ["RADIANCE_BENCH_REEXEC"] = "1"
+        sys.stdout.flush()
+        sys.stderr.flush()
+        os.execve(sys.executable, [sys.executable] + sys.argv,
+                  dict(os.environ))
 
 
 def preflight_device(timeout_s: int = 240) -> bool:

@@ -20,6 +20,8 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
+
+from radiance_tpu.config import vmem_limit_bytes as _vmem_limit
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
@@ -163,7 +165,7 @@ def run(mode, lim, pkt, blk, nodef, ngrp):
         out_shape=[jax.ShapeDtypeStruct((ngrp, 8, 128), jnp.int32)],
         compiler_params=pltpu.CompilerParams(
             has_side_effects=True,
-            vmem_limit_bytes=112 * 1024 * 1024),
+            vmem_limit_bytes=_vmem_limit(112)),
     )(lim, pkt, blk, nodef)
 
 

@@ -37,6 +37,36 @@ TRAVERSAL_STACK_SIZE = 64
 # (stack is [chunk, STACK] int32).
 DEFAULT_RAY_CHUNK = 1 << 17  # 131072 rays -> 32 MiB of stack
 
+# --- Pallas / Mosaic ----------------------------------------------------------
+# Scoped-VMEM budget requested from the Mosaic compiler by the traversal
+# kernels.  v5e has 128 MiB of VMEM per core; the terminal-side compiler
+# build of 2026-08-19 ENFORCES the requested limit at compile time, so
+# every kernel must request what it actually peaks at.  Overridable via
+# RADIANCE_VMEM_MB (validated: an out-of-range value would otherwise
+# surface as an opaque Mosaic 'Scoped allocation ... exceeded' error).
+VMEM_MAX_MB = 128
+
+
+def vmem_limit_bytes(default_mb: int = VMEM_MAX_MB) -> int:
+    import os
+
+    raw = os.environ.get("RADIANCE_VMEM_MB")
+    if raw is None:
+        mb = default_mb
+    else:
+        try:
+            mb = int(raw)
+        except ValueError:
+            raise ValueError(
+                f"RADIANCE_VMEM_MB must be an integer in (0, "
+                f"{VMEM_MAX_MB}], got {raw!r}") from None
+        if not 0 < mb <= VMEM_MAX_MB:
+            raise ValueError(
+                f"RADIANCE_VMEM_MB must be in (0, {VMEM_MAX_MB}] "
+                f"(v5e VMEM is {VMEM_MAX_MB} MiB), got {mb}")
+    return mb * 1024 * 1024
+
+
 # --- Images ------------------------------------------------------------------
 CHANNEL = 4  # RGBA, reference: radiance.h:84
 

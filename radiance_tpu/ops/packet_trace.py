@@ -51,6 +51,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from radiance_tpu.bvh.kernel_pack import KERNEL_MAX_TRIS, KERNEL_LEAF_LANES
+from radiance_tpu.config import vmem_limit_bytes as _vmem_limit
 from radiance_tpu.core import math as rmath
 from radiance_tpu.ops.intersect import FLT_MAX
 
@@ -449,7 +450,7 @@ def _run(origin, direction, tmin, tmax, nodef, kleaf, kprim, ktri_geo,
         # scoped stack (~45MB at 90k nodes, independent of ray count)
         compiler_params=pltpu.CompilerParams(
             has_side_effects=True,
-            vmem_limit_bytes=112 * 1024 * 1024),
+            vmem_limit_bytes=_vmem_limit(112)),
         interpret=interpret,
     )(base, lim, planes, feats, eye, nodef, kleaf)
 

@@ -77,6 +77,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from radiance_tpu.bvh.kernel_pack import KERNEL_MAX_TRIS, KERNEL_LEAF_LANES
+from radiance_tpu.config import vmem_limit_bytes as _vmem_limit
 from radiance_tpu.ops.intersect import FLT_MAX
 from radiance_tpu.ops.traversal import HitRecord
 from radiance_tpu.ops.stream_trace import (
@@ -342,7 +343,7 @@ def _stage_emit(lim, pkt, blk_scal, nodef, *, interpret: bool,
         ],
         compiler_params=pltpu.CompilerParams(
             has_side_effects=True,
-            vmem_limit_bytes=112 * 1024 * 1024),
+            vmem_limit_bytes=_vmem_limit(112)),
         interpret=interpret,
     )(lim, pkt, blk_scal, nodef)
 
@@ -568,7 +569,7 @@ def intersect_chunks(lists, counts, tstart, lim, feats_t, kleaf_k, nch,
                                        jnp.float32),
         compiler_params=pltpu.CompilerParams(
             has_side_effects=True,
-            vmem_limit_bytes=100 * 1024 * 1024),
+            vmem_limit_bytes=_vmem_limit(100)),
         interpret=interpret,
     )(lim, counts, lists, tstart, feats_t, kleaf_k)
 

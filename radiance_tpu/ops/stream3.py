@@ -86,7 +86,9 @@ EXTRA = int(os.environ.get("RADIANCE_EXTRA", "256"))
 # the terminal-side compiler rolled to a build that ENFORCES the
 # requested limit at compile time (2026-08-19: "Scoped allocation with
 # size 119.88M and limit 112.00M exceeded"), so request the full chip.
-VMEM_LIMIT = int(os.environ.get("RADIANCE_VMEM_MB", "128")) * 1024 * 1024
+from radiance_tpu.config import vmem_limit_bytes as _vmem_limit_bytes
+
+VMEM_LIMIT = _vmem_limit_bytes()
 STEP_CAP = 2048         # walk iterations per group before flagging
 # rays per refine sub-frustum (32 or 16).  Smaller subs = tighter
 # emit keepmasks = fewer phase-2 pairs, at 2x the (vector-domain)

@@ -57,6 +57,7 @@ from radiance_tpu.bvh.kernel_pack import KERNEL_MAX_TRIS, KERNEL_LEAF_LANES
 from radiance_tpu.ops.intersect import FLT_MAX
 from radiance_tpu.ops.traversal import HitRecord
 from radiance_tpu.ops.frustum_trace import prepare_packets, _packet_scalars
+from radiance_tpu.config import vmem_limit_bytes as _vmem_limit
 
 _FMAX = 3.4028235e38
 T = KERNEL_MAX_TRIS
@@ -275,7 +276,7 @@ def _emit_pass(lim, planes, nodef, npk, sub, interpret, mode,
         ],
         compiler_params=pltpu.CompilerParams(
             has_side_effects=True,
-            vmem_limit_bytes=112 * 1024 * 1024),
+            vmem_limit_bytes=_vmem_limit(112)),
         interpret=interpret,
     )(lim, planes, nodef)
 
@@ -531,7 +532,7 @@ def intersect_chunks(lists, counts, tstart, lim, feats, kleaf_k, nch,
                                        jnp.float32),
         compiler_params=pltpu.CompilerParams(
             has_side_effects=True,
-            vmem_limit_bytes=100 * 1024 * 1024),
+            vmem_limit_bytes=_vmem_limit(100)),
         interpret=interpret,
     )(lim, counts, lists, tstart, feats, kleaf_k)
 
@@ -765,6 +766,7 @@ def _probe_rays(scene, n=CHUNK_RAYS, seed=42):
     and all direction octants (tile-coherent blocks, so the walk and
     refine paths behave like production waves)."""
     import numpy as np
+
     aabb = np.asarray(leaf_tables(scene.knode_f,
                                   scene.kleaf.shape[0])[1])
     lo = aabb[:, 0:3].min(axis=0)

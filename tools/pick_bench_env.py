@@ -61,7 +61,14 @@ def parse(log_path):
                     # RADIANCE_BENCH_SCENE changes the WORKLOAD, not
                     # the kernel config -- persisting it would flip
                     # the headline bench to a different scene
-                    if all(k.startswith("RADIANCE_") for k in cur_env) \
+                    # PALLAS_AXON_REMOTE_COMPILE=0 is replayable since
+                    # bench.py re-execs itself to apply it (see
+                    # apply_bench_env); any other non-RADIANCE key is
+                    # not.
+                    if all(k.startswith("RADIANCE_")
+                           or (k, v) == ("PALLAS_AXON_REMOTE_COMPILE",
+                                         "0")
+                           for k, v in cur_env.items()) \
                             and "RADIANCE_BENCH_SCENE" not in cur_env:
                         runs.append((float(rec["value"]),
                                      dict(cur_env)))
