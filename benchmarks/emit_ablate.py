@@ -172,7 +172,7 @@ def run(mode, lim, pkt, blk, nodef, ngrp):
 def main():
     import bench
     from phase_ledger import bench_rays, timed
-    from radiance_tpu.ops import stream2 as s2
+    import stream2 as s2
 
     scene = bench.build_or_load_scene()
     o0, d0 = bench_rays()

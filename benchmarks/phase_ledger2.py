@@ -1,5 +1,5 @@
 #!/usr/bin/env python
-"""Dev probe: per-stage cost of the v5 stream tracer (ops/stream2.py)
+"""Dev probe: per-stage cost of the v5 stream tracer (benchmarks/stream2.py (v5, demoted from ops/))
 on the 1M-tri 1080p bench scene (prep / emit / mid / phase-2), plus an
 end-to-end wave time.
 
@@ -22,7 +22,7 @@ from phase_ledger import timed, bench_rays
 
 def main():
     import bench
-    from radiance_tpu.ops import stream2 as s2
+    import stream2 as s2
     from radiance_tpu.ops.stream_trace import leaf_tables
 
     precision = sys.argv[1] if len(sys.argv) > 1 else "f32"

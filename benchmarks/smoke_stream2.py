@@ -1,4 +1,4 @@
-"""Smoke test for ops/stream2 (v5): interpret mode on CPU vs the XLA
+"""Smoke test for benchmarks/stream2 (v5, demoted from ops/): interpret mode on CPU vs the XLA
 traversal oracle, on a small single-instance scene, coherent tile rays
 (sign-pure packets) then random rays (mixed packets)."""
 import os, sys
@@ -13,7 +13,8 @@ if _CPU:
     # the axon plugin ignores JAX_PLATFORMS; config update is required
     jax.config.update("jax_platforms", "cpu")
 import jax.numpy as jnp
-from radiance_tpu.ops import stream2, traversal
+import stream2
+from radiance_tpu.ops import traversal
 from radiance_tpu.ops.intersect import FLT_MAX
 from test_packet_trace import _single_instance_scene
 from test_traversal import gen_rays

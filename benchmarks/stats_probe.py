@@ -24,7 +24,7 @@ def octant_order(d):
 def main():
     import bench
     from phase_ledger import bench_rays, timed
-    from radiance_tpu.ops import stream2 as s2
+    import stream2 as s2
     import functools
 
     scene = bench.build_or_load_scene()

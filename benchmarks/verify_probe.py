@@ -13,7 +13,8 @@ import jax.numpy as jnp
 
 print("devices:", jax.devices())
 
-from radiance_tpu.ops import stream2, traversal
+import stream2
+from radiance_tpu.ops import traversal
 from radiance_tpu.ops.intersect import FLT_MAX
 from test_packet_trace import _single_instance_scene
 from test_traversal import gen_rays

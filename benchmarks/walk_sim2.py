@@ -73,7 +73,7 @@ def main():
     import bench
     import jax
     from phase_ledger import bench_rays
-    from radiance_tpu.ops import stream2 as s2
+    import stream2 as s2
 
     scene = bench.build_or_load_scene()
     o0, d0 = bench_rays()
