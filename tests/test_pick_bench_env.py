@@ -39,12 +39,15 @@ def test_picker_selects_best_pure_radiance_config(tmp_path):
     log.write_text(LOG)
     runs = pick_bench_env.parse(str(log))
     vals = sorted(v for v, _ in runs)
-    # 15.0 (PALLAS_* env), 3.0 (--engine), 99.0 (error), and 55.0
-    # (different workload: RADIANCE_BENCH_SCENE) all excluded
-    assert vals == [7.9, 10.4, 11.2]
+    # 3.0 (--engine), 99.0 (error), and 55.0 (different workload:
+    # RADIANCE_BENCH_SCENE) excluded; 15.0 kept -- the local-compile
+    # hatch PALLAS_AXON_REMOTE_COMPILE=0 is replayable because
+    # bench.py re-execs itself to apply it (apply_bench_env)
+    assert vals == [7.9, 10.4, 11.2, 15.0]
     best, env = max(runs, key=lambda r: r[0])
-    assert best == 11.2
-    assert env == {"RADIANCE_WS": "1", "RADIANCE_WSG": "16"}
+    assert best == 15.0
+    assert env == {"PALLAS_AXON_REMOTE_COMPILE": "0",
+                   "RADIANCE_TREELET": "1"}
 
 
 def test_bench_applies_env_with_setdefault(tmp_path, monkeypatch):
