@@ -106,6 +106,31 @@ def preflight_device(timeout_s: int = 240) -> bool:
         return False
 
 
+def scene_geometry(kind: str, n_tris: int = N_TRIS):
+    """(verts, tris) for a named bench scene -- shared by the headline
+    bench and the --sweep BVH-build table (the reference's multi-scene
+    build regression list, sample1.cpp:344-360)."""
+    if kind == "interior":
+        from radiance_tpu.scene.procedural import interior_hall
+        verts, tris, _meta = interior_hall(n_tris)
+        return verts, tris
+    rng = np.random.default_rng(7)
+    # a diffuse "city" of boxes-ish triangle clusters: spatially
+    # coherent, unlike a pure random soup, so traversal behaves
+    # like a real scene
+    n_clusters = 1000
+    per = n_tris // n_clusters
+    centers = rng.uniform(-50, 50, size=(n_clusters, 3)).astype(np.float32)
+    verts_all = []
+    for c in centers:
+        local = rng.uniform(-1.5, 1.5, size=(per, 3)).astype(np.float32)
+        offs = rng.normal(scale=0.08, size=(per, 3, 3)).astype(np.float32)
+        verts_all.append((c + local)[:, None, :] + offs)
+    verts = np.concatenate(verts_all).reshape(-1, 3)
+    tris = np.arange(len(verts), dtype=np.uint32).reshape(-1, 3)
+    return verts, tris
+
+
 def build_or_load_scene():
     from radiance_tpu.api import accel
     from radiance_tpu.core import types
@@ -114,24 +139,7 @@ def build_or_load_scene():
     if os.path.exists(cache):
         return accel.FileToTopAccelStruct(cache).device_scene()
 
-    if scene_kind() == "interior":
-        from radiance_tpu.scene.procedural import interior_hall
-        verts, tris, _meta = interior_hall(N_TRIS)
-    else:
-        rng = np.random.default_rng(7)
-        # a diffuse "city" of boxes-ish triangle clusters: spatially
-        # coherent, unlike a pure random soup, so traversal behaves
-        # like a real scene
-        n_clusters = 1000
-        per = N_TRIS // n_clusters
-        centers = rng.uniform(-50, 50, size=(n_clusters, 3)).astype(np.float32)
-        verts_all = []
-        for c in centers:
-            local = rng.uniform(-1.5, 1.5, size=(per, 3)).astype(np.float32)
-            offs = rng.normal(scale=0.08, size=(per, 3, 3)).astype(np.float32)
-            verts_all.append((c + local)[:, None, :] + offs)
-        verts = np.concatenate(verts_all).reshape(-1, 3)
-        tris = np.arange(len(verts), dtype=np.uint32).reshape(-1, 3)
+    verts, tris = scene_geometry(scene_kind())
 
     t0 = time.time()
     blas = accel.BuildBottomAccelStruct(types.Mesh(verts, tris))
@@ -505,6 +513,16 @@ def build_or_load_multi_scene():
 
     if os.path.exists(MULTI_CACHE):
         return accel.FileToTopAccelStruct(MULTI_CACHE).device_scene()
+    tlas = _build_multi_tlas()
+    os.makedirs(os.path.dirname(MULTI_CACHE), exist_ok=True)
+    accel.TopAccelStructToFile(tlas, MULTI_CACHE)
+    return tlas.device_scene()
+
+
+def _build_multi_tlas():
+    from radiance_tpu.api import accel
+    from radiance_tpu.core import types
+
     rng = np.random.default_rng(11)
     n_unique, n_copies = 8, 8
     per_blas = N_TRIS // (n_unique * n_copies)
@@ -533,9 +551,7 @@ def build_or_load_multi_scene():
     tlas = accel.BuildTopAccelStruct(instances)
     print(f"# built 64-instance TLAS in {time.time() - t0:.1f}s",
           file=sys.stderr)
-    os.makedirs(os.path.dirname(MULTI_CACHE), exist_ok=True)
-    accel.TopAccelStructToFile(tlas, MULTI_CACHE)
-    return tlas.device_scene()
+    return tlas
 
 
 def run_multi_bench():
@@ -796,6 +812,197 @@ def run_engine_bench():
     }))
 
 
+SWEEP_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          ".bench_cache", "sweep.json")
+
+
+def run_sweep_bench():
+    """--sweep mode: the reference's benchmark-configuration banks as a
+    perf-regression net, emitted as ONE JSON artifact per round.
+
+      * resolution sweep (sample1.cpp:331-342's 100^2 -> 4000^2 list,
+        trimmed to shapes worth a TPU compile each): primary-wave
+        Mrays/s through the active tracer at each resolution.
+      * BVH build table (sample1.cpp:344-360's per-scene build loop):
+        fresh native-SAH build time + node count for each bench scene.
+
+    Writes .bench_cache/sweep.json and prints it as one JSON line.
+    """
+    import jax
+    import jax.numpy as jnp
+    from radiance_tpu.api import accel
+    from radiance_tpu.core import types
+
+    scene = build_or_load_scene()
+    name, trace = make_tracer(scene)
+    print(f"# sweep engine: {name}", file=sys.stderr)
+
+    res_rows = []
+    for w, h in ((512, 512), (1024, 1024), (1920, 1080), (2048, 2048)):
+        o, d = camera_rays(w=w, h=h)
+        o = jnp.asarray(o)
+        d = jnp.asarray(d)
+        t = trace(o, d, 1e4, False)           # compile + warm
+        float(jnp.sum(t[::65536]))
+        iters = 3
+        t0 = time.time()
+        for _ in range(iters):
+            t = trace(o, d, 1e4, False)
+            float(jnp.sum(t[::65536]))
+        dt = (time.time() - t0) / iters
+        row = {"w": w, "h": h,
+               "mrays": round(w * h / dt / 1e6, 3),
+               "ms": round(dt * 1e3, 1)}
+        res_rows.append(row)
+        print(f"# res {w}x{h}: {row['mrays']} Mrays/s", file=sys.stderr)
+
+    build_rows = []
+    for kind in ("city", "interior"):
+        verts, tris = scene_geometry(kind)
+        t0 = time.time()
+        blas = accel.BuildBottomAccelStruct(types.Mesh(verts, tris))
+        dt = time.time() - t0
+        build_rows.append({"scene": kind, "tris": int(len(tris)),
+                           "build_s": round(dt, 2),
+                           "nodes": int(len(blas.nodes))})
+        print(f"# build {kind}: {dt:.2f}s", file=sys.stderr)
+
+    out = {"metric": "sweep_1Mtri", "engine": name,
+           "resolution_sweep": res_rows, "bvh_builds": build_rows}
+    os.makedirs(os.path.dirname(SWEEP_PATH), exist_ok=True)
+    with open(SWEEP_PATH, "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out))
+
+
+def run_animated_bench():
+    """--animated mode: the animated-TLAS story (SURVEY 7 step 8).
+
+    Two animation classes, two rebuild strategies, ONE JSON line:
+
+      * rigid motion  -- 64-instance TLAS, per-frame host refit
+        (api.accel.TopAccelStruct.refit: rebuild the 64-leaf TLAS,
+        update the device scene in place) + a 1024^2 primary wave.
+        The reference rebuilds+reuploads its whole TLAS buffer per
+        animation step (no refit exists there).
+      * deforming mesh -- 64k-tri mesh with a per-frame vertex wobble;
+        the on-device LBVH (bvh/lbvh.py, Morton + Karras) rebuilds
+        INSIDE the same jitted program as the trace, vs a from-scratch
+        host SAH build per frame.  RMSE of hit-t between the two
+        traversals verifies the LBVH frames render the same geometry.
+    """
+    import jax
+    import jax.numpy as jnp
+    from radiance_tpu.api import accel
+    from radiance_tpu.core import types
+    from radiance_tpu.bvh import lbvh
+    from radiance_tpu.ops import packet_trace, traversal
+
+    out = {"metric": "animated_tlas"}
+
+    # ---- rigid: TLAS refit over the 64-instance scene ----
+    # refit needs the live BottomAccelStruct objects (file loads carry
+    # only parsed arrays), so build the TLAS in memory
+    tlas = _build_multi_tlas()
+    w = h = 512
+    o, d = camera_rays(w=w, h=h)
+    o = jnp.asarray(o)
+    d = jnp.asarray(d)
+    base_tf = np.stack([np.asarray(i.transform, np.float32)
+                        for i in tlas.source_instances])
+
+    def frame_tf(k):
+        ang = 0.05 * (k + 1)
+        rot = np.eye(4, dtype=np.float32)
+        rot[0, 0] = rot[2, 2] = np.cos(ang)
+        rot[0, 2] = np.sin(ang)
+        rot[2, 0] = -np.sin(ang)
+        return np.einsum("ij,njk->nik", rot, base_tf)
+
+    # scene rides as a jit ARG: refit swaps TLAS arrays frame to frame
+    # with fixed shapes, so the 2-level XLA walk never recompiles
+    # (packet/stream kernels bake single-instance VMEM tables instead)
+    j_trace = jax.jit(lambda scn, o, d: traversal.trace_rays(
+        scn, o, d, 1e-3, 1e4).t)
+    scene = tlas.refit(frame_tf(0))
+    jax.block_until_ready(j_trace(scene, o, d))   # compile
+    frames = 6
+    t0 = time.time()
+    for k in range(1, frames + 1):
+        scene = tlas.refit(frame_tf(k))
+        t = j_trace(scene, o, d)
+        float(jnp.sum(t[::65536]))
+    dt = (time.time() - t0) / frames
+    out["rigid_refit"] = {
+        "frames_per_sec": round(1.0 / dt, 2),
+        "mrays": round(w * h / dt / 1e6, 3),
+        "instances": len(tlas.source_instances)}
+    print(f"# rigid refit: {out['rigid_refit']}", file=sys.stderr)
+
+    # ---- deforming: in-jit LBVH rebuild vs host SAH rebuild ----
+    n_tris = 64_000
+    rng = np.random.default_rng(3)
+    centers = rng.uniform(-20, 20, size=(n_tris, 3)).astype(np.float32)
+    offs = rng.normal(scale=0.25, size=(n_tris, 3, 3)).astype(np.float32)
+    verts0 = (centers[:, None, :] + offs).reshape(-1, 3)
+    tris = np.arange(n_tris * 3, dtype=np.int32).reshape(-1, 3)
+    w = h = 512
+    o, d = camera_rays(w=w, h=h)
+    o2 = jnp.asarray(o * 0.3)       # pull camera in on the small scene
+    d2 = jnp.asarray(d)
+    v_dev = jnp.asarray(verts0)
+    phase = jnp.asarray(rng.uniform(0, 6.28, size=(len(verts0), 3))
+                        .astype(np.float32))
+
+    @jax.jit
+    def lbvh_frame(vbase, k):
+        # wobble + LBVH rebuild + trace: ONE device program per frame
+        v = vbase + 0.3 * jnp.sin(phase + 0.3 * k)
+        scn = lbvh.lbvh_scene(v, jnp.asarray(tris))
+        return traversal.trace_rays(scn, o2, d2, 1e-3, 1e4).t
+
+    t = lbvh_frame(v_dev, jnp.float32(0.0))           # compile
+    jax.block_until_ready(t)
+    frames = 6
+    t0 = time.time()
+    for k in range(1, frames + 1):
+        t = lbvh_frame(v_dev, jnp.float32(k))
+        float(jnp.sum(t[::65536]))
+    dt_l = (time.time() - t0) / frames
+
+    # host SAH from-scratch build + the same trace, same frame state
+    j_sah = jax.jit(lambda scn, o, d: traversal.trace_rays(
+        scn, o, d, 1e-3, 1e4).t)
+    vk = np.asarray(v_dev + 0.3 * jnp.sin(phase + 0.3 * frames))
+    t0 = time.time()
+    blas = accel.BuildBottomAccelStruct(types.Mesh(vk, tris.astype(np.uint32)))
+    sah_scene = accel.BuildTopAccelStruct(
+        [types.Instance(np.eye(4, dtype=np.float32), 0, 0, blas)]
+    ).device_scene()
+    t_sah = j_sah(sah_scene, o2, d2)
+    float(jnp.sum(t_sah[::65536]))
+    dt_s = time.time() - t0
+
+    t_lb = lbvh_frame(v_dev, jnp.float32(frames))
+    FLT_MAX = np.float32(3.402823466e38)
+    a = np.asarray(t_lb)
+    b = np.asarray(t_sah)
+    both = (a < FLT_MAX) & (b < FLT_MAX)
+    rmse = float(np.sqrt(np.mean((a[both] - b[both]) ** 2))) \
+        if both.any() else 0.0
+    mismatch = float(np.mean((a < FLT_MAX) != (b < FLT_MAX)))
+    out["deforming"] = {
+        "tris": n_tris,
+        "lbvh_ms_per_frame": round(dt_l * 1e3, 1),
+        "lbvh_mrays": round(w * h / dt_l / 1e6, 3),
+        "sah_rebuild_ms_per_frame": round(dt_s * 1e3, 1),
+        "speedup": round(dt_s / dt_l, 1),
+        "hit_t_rmse": round(rmse, 6),
+        "hit_mismatch_frac": round(mismatch, 6)}
+    print(f"# deforming: {out['deforming']}", file=sys.stderr)
+    print(json.dumps(out))
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -905,5 +1112,9 @@ if __name__ == "__main__":
         run_multi_bench()
     elif "--tbound" in sys.argv:
         run_tbound_bench()
+    elif "--sweep" in sys.argv:
+        run_sweep_bench()
+    elif "--animated" in sys.argv:
+        run_animated_bench()
     else:
         main()

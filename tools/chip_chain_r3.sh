@@ -33,15 +33,22 @@ wait_healthy() {  # up to N minutes for a wedge to clear
   return 1
 }
 
+DONE=.bench_cache/chain_r3.done   # resumability: tags that finished rc=0
+
 run() {  # run TAG TIMEOUT ENV... -- CMD...
   local tag=$1 tmo=$2; shift 2
   local envs=()
   while [ "$1" != "--" ]; do envs+=("$1"); shift; done
   shift
+  if grep -qx "$tag" "$DONE" 2>/dev/null; then
+    echo "# [$tag] already done, skipping $(date)" >> "$LOG"
+    return 0
+  fi
   echo "=== [$tag] ${envs[*]} $* $(date)" >> "$LOG"
   timeout "$tmo" env "${envs[@]}" "$@" >> "$LOG" 2>&1
   local rc=$?
   echo "rc=$rc" >> "$LOG"
+  [ $rc -eq 0 ] && echo "$tag" >> "$DONE"
   return $rc
 }
 
