@@ -904,7 +904,7 @@ def run_animated_bench():
     # refit needs the live BottomAccelStruct objects (file loads carry
     # only parsed arrays), so build the TLAS in memory
     tlas = _build_multi_tlas()
-    w = h = 512
+    w = h = int(os.environ.get("RADIANCE_ANIM_RES", "512"))
     o, d = camera_rays(w=w, h=h)
     o = jnp.asarray(o)
     d = jnp.asarray(d)
@@ -940,7 +940,7 @@ def run_animated_bench():
     print(f"# rigid refit: {out['rigid_refit']}", file=sys.stderr)
 
     # ---- deforming: in-jit LBVH rebuild vs host SAH rebuild ----
-    n_tris = 64_000
+    n_tris = int(os.environ.get("RADIANCE_ANIM_TRIS", "64000"))
     rng = np.random.default_rng(3)
     centers = rng.uniform(-20, 20, size=(n_tris, 3)).astype(np.float32)
     offs = rng.normal(scale=0.25, size=(n_tris, 3, 3)).astype(np.float32)
