@@ -740,42 +740,8 @@ def run_engine_bench():
     from radiance_tpu.shading import camera
 
     BATCH, DEPTH = 4, 4
-    scene = build_or_load_scene()
+    scene, tracer, res = _engine_setup(WIDTH, HEIGHT)
     n = WIDTH * HEIGHT
-    sbt = ShaderBindingTable.from_json(shaders.DEFAULT_SBT_RECORDS,
-                                       shaders.SHADER_REGISTRY)
-    tracer = WavefrontPathTracer(
-        ray_generator=camera.physical_camera_raygen, sbt=sbt)
-    cam = types.PhysicalCamera(
-        width_pixel=float(WIDTH), height_pixel=float(HEIGHT),
-        focal_length=0.035, sensor_width=0.05, focal_distance=80.0,
-        f_stop=0.0, x=0.0, y=0.0, z=140.0, wx=0.0, wy=0.0, wz=0.0)
-    # attribute bindings rebuilt deterministically from the SAME rng
-    # as build_or_load_scene (the cache stores only the accel struct)
-    from radiance_tpu.scene import bindings
-    rng = np.random.default_rng(7)
-    n_clusters = 1000
-    per = N_TRIS // n_clusters
-    centers = rng.uniform(-50, 50, size=(n_clusters, 3)).astype(np.float32)
-    verts_all = []
-    for c in centers:
-        local = rng.uniform(-1.5, 1.5, size=(per, 3)).astype(np.float32)
-        offs = rng.normal(scale=0.08, size=(per, 3, 3)).astype(np.float32)
-        verts_all.append((c + local)[:, None, :] + offs)
-    verts = np.concatenate(verts_all).reshape(-1, 3)
-    tris = np.arange(len(verts), dtype=np.uint32).reshape(-1, 3)
-    fn = np.cross(verts[tris[:, 1]] - verts[tris[:, 0]],
-                  verts[tris[:, 2]] - verts[tris[:, 0]])
-    fn /= np.maximum(np.linalg.norm(fn, axis=-1, keepdims=True), 1e-9)
-    normals = np.repeat(fn, 3, axis=0).astype(np.float32)
-    uvs = np.zeros_like(verts)
-    mats = [types.Material(albedo=(0.7, 0.7, 0.7, 1.0), roughness=0.6)]
-    props = types.SceneProperties(lights=[types.DirLight(
-        direction=(0.26726124, 0.8017837, 0.5345225, 0.0),
-        color=(3.0, 3.0, 3.0, 1.0))])
-    res = bindings.make_scene_bindings(
-        [types.MeshInfo()], verts, tris, uvs, normals, mats, props)
-    res["camera"] = camera.camera_params(cam)
 
     accum = jnp.zeros((n, 3), jnp.float32)
     t0 = time.time()
@@ -810,6 +776,46 @@ def run_engine_bench():
         "batch": BATCH, "depth": DEPTH,
         "accum_mean": round(amean, 6),
     }))
+
+
+def _engine_setup(width, height, f_stop=0.0, focal_length=0.035,
+                  focal_distance=80.0):
+    """(scene, WavefrontPathTracer, resource bindings) for the 1M-tri
+    bench scene -- shared by --engine and the --sweep aperture bank.
+    Attribute bindings are rebuilt deterministically from the SAME rng
+    as build_or_load_scene (the cache stores only the accel struct)."""
+    from radiance_tpu.api.sbt import ShaderBindingTable
+    from radiance_tpu.core import types
+    from radiance_tpu.engine import shaders
+    from radiance_tpu.engine.pathtracer import WavefrontPathTracer
+    from radiance_tpu.scene import bindings
+    from radiance_tpu.shading import camera
+
+    scene = build_or_load_scene()
+    sbt = ShaderBindingTable.from_json(shaders.DEFAULT_SBT_RECORDS,
+                                       shaders.SHADER_REGISTRY)
+    tracer = WavefrontPathTracer(
+        ray_generator=camera.physical_camera_raygen, sbt=sbt)
+    cam = types.PhysicalCamera(
+        width_pixel=float(width), height_pixel=float(height),
+        focal_length=focal_length, sensor_width=0.05,
+        focal_distance=focal_distance, f_stop=f_stop,
+        x=0.0, y=0.0, z=140.0, wx=0.0, wy=0.0, wz=0.0)
+    verts, tris = scene_geometry("city")
+    tris = tris.astype(np.uint32)
+    fn = np.cross(verts[tris[:, 1]] - verts[tris[:, 0]],
+                  verts[tris[:, 2]] - verts[tris[:, 0]])
+    fn /= np.maximum(np.linalg.norm(fn, axis=-1, keepdims=True), 1e-9)
+    normals = np.repeat(fn, 3, axis=0).astype(np.float32)
+    uvs = np.zeros_like(verts)
+    mats = [types.Material(albedo=(0.7, 0.7, 0.7, 1.0), roughness=0.6)]
+    props = types.SceneProperties(lights=[types.DirLight(
+        direction=(0.26726124, 0.8017837, 0.5345225, 0.0),
+        color=(3.0, 3.0, 3.0, 1.0))])
+    res = bindings.make_scene_bindings(
+        [types.MeshInfo()], verts, tris, uvs, normals, mats, props)
+    res["camera"] = camera.camera_params(cam)
+    return scene, tracer, res
 
 
 SWEEP_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -867,8 +873,38 @@ def run_sweep_bench():
                            "nodes": int(len(blas.nodes))})
         print(f"# build {kind}: {dt:.2f}s", file=sys.stderr)
 
+    # aperture / focal-length bank (sample1.cpp:286-316's fStop 1.4->8,
+    # focal 36->150mm loops): camera params are traced f32 scalars, so
+    # the whole bank reuses ONE compiled engine program
+    from radiance_tpu.shading import camera as rcamera
+    from radiance_tpu.core import types as rtypes
+    w = h = 512
+    scene_e, tracer, res = _engine_setup(w, h)
+    accum0 = jnp.zeros((w * h, 3), jnp.float32)
+    cam_rows = []
+    for f_stop, focal in ((1.4, 0.036), (2.8, 0.05), (8.0, 0.15)):
+        cam = rtypes.PhysicalCamera(
+            width_pixel=float(w), height_pixel=float(h),
+            focal_length=focal, sensor_width=0.05, focal_distance=80.0,
+            f_stop=f_stop, x=0.0, y=0.0, z=140.0,
+            wx=0.0, wy=0.0, wz=0.0)
+        res["camera"] = rcamera.camera_params(cam)
+        accum, _ = tracer.render(scene_e, res, accum0, 0, w, h,
+                                 batch=1, depth=2)     # compile/warm
+        jax.block_until_ready(accum)
+        t0 = time.time()
+        accum, _ = tracer.render(scene_e, res, accum0, 1, w, h,
+                                 batch=1, depth=2)
+        amean = float(jnp.mean(accum))
+        dt = time.time() - t0
+        row = {"f_stop": f_stop, "focal_mm": round(focal * 1e3, 1),
+               "ms": round(dt * 1e3, 1), "accum_mean": round(amean, 6)}
+        cam_rows.append(row)
+        print(f"# aperture {row}", file=sys.stderr)
+
     out = {"metric": "sweep_1Mtri", "engine": name,
-           "resolution_sweep": res_rows, "bvh_builds": build_rows}
+           "resolution_sweep": res_rows, "bvh_builds": build_rows,
+           "aperture_sweep": cam_rows}
     os.makedirs(os.path.dirname(SWEEP_PATH), exist_ok=True)
     with open(SWEEP_PATH, "w") as f:
         json.dump(out, f, indent=1)

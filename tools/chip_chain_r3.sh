@@ -81,6 +81,7 @@ python tools/pick_bench_env.py "$LOG" >> "$LOG" 2>&1
 # -- group 4: kernel-shape knobs on top of the running best
 run PREC_HI 1800 RADIANCE_BENCH_PRECISION=highest -- python bench.py;  gate
 run RSUB16  1800 RADIANCE_REFINE_SUB=16 -- python bench.py;  gate
+run EPI16   1800 RADIANCE_ISECT_EPI=bf16 -- python bench.py;  gate
 run LEAF64  2400 RADIANCE_LEAF_CAP=64 RADIANCE_TQ_BITS=7 -- python bench.py;  gate
 python tools/pick_bench_env.py "$LOG" >> "$LOG" 2>&1
 
@@ -89,6 +90,8 @@ run ENGINE  2400 RADIANCE_NOOP=0 -- python bench.py --engine;  gate
 run MULTI_N 2400 RADIANCE_MULTI=native -- python bench.py --multi;  gate
 run INTER   2400 RADIANCE_BENCH_SCENE=interior -- python bench.py;  gate
 run LEDGER  2400 RADIANCE_NOOP=0 -- python benchmarks/phase_ledger3.py;  gate
+run SWEEP   2400 RADIANCE_NOOP=0 -- python bench.py --sweep;  gate
+run ANIM    2400 RADIANCE_NOOP=0 -- python bench.py --animated;  gate
 
 python tools/pick_bench_env.py "$LOG" >> "$LOG" 2>&1
 echo "=== chain_r3 done $(date)" >> "$LOG"
