@@ -82,6 +82,7 @@ python tools/pick_bench_env.py "$LOG" >> "$LOG" 2>&1
 run PREC_HI 1800 RADIANCE_BENCH_PRECISION=highest -- python bench.py;  gate
 run RSUB16  1800 RADIANCE_REFINE_SUB=16 -- python bench.py;  gate
 run EPI16   1800 RADIANCE_ISECT_EPI=bf16 -- python bench.py;  gate
+run WSG16   1800 RADIANCE_WS=1 RADIANCE_WSG=16 -- python bench.py;  gate
 run LEAF64  2400 RADIANCE_LEAF_CAP=64 RADIANCE_TQ_BITS=7 -- python bench.py;  gate
 python tools/pick_bench_env.py "$LOG" >> "$LOG" 2>&1
 
