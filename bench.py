@@ -362,6 +362,14 @@ def run_bench_stream3(scene, trace, o, d, light, n, bounce_rays):
     closest = packet_trace.build_tracer(scene, any_hit=False)
     anyhit = packet_trace.build_tracer(scene, any_hit=True)
 
+    # RADIANCE_GEN1_LIVE=1: gen-1 bounce/shadow waves run the packet
+    # kernel's live-mask variant -- retired rays (the ~78% of this
+    # scene's secondary lanes whose primary missed) open no nodes and
+    # stage no leaves, instead of re-tracing camera->light/mirror rays
+    # through the whole city (wave_compare 2026-08-20: those dead lanes
+    # make shadow the most expensive wave at 0.44 s)
+    gen1_live = os.environ.get("RADIANCE_GEN1_LIVE", "0") == "1"
+
     # which secondary waves also ride stream3 (with the live mask +
     # block presort): "b" = bounce, "s" = shadow.  Decided per
     # platform measurement (benchmarks/wave_compare.py).
@@ -435,6 +443,7 @@ def run_bench_stream3(scene, trace, o, d, light, n, bounce_rays):
                 rows2 = (tuple(o2[:, k] for k in range(3))
                          + tuple(d2[:, k] for k in range(3)))
                 live = t1 < FLT_MAX
+            g1_live = (t1 < FLT_MAX) if gen1_live else None
             if "b" in s3waves:
                 t2 = stream3.trace_rows_stream3(
                     scn, rows2, jnp.float32(1e-3), jnp.float32(1e4),
@@ -443,7 +452,7 @@ def run_bench_stream3(scene, trace, o, d, light, n, bounce_rays):
             else:
                 t2 = packet_trace.trace_rays_packet(
                     scn, o2, d2, jnp.float32(1e-3), jnp.float32(1e4),
-                    interpret=False).t
+                    interpret=False, live=g1_live).t
             if "s" in s3waves:
                 rows3 = rows2[:3] + tuple(light[:, k] for k in range(3))
                 t3 = stream3.trace_rows_stream3(
@@ -453,7 +462,8 @@ def run_bench_stream3(scene, trace, o, d, light, n, bounce_rays):
             else:
                 t3 = packet_trace.trace_rays_packet(
                     scn, o2, light, jnp.float32(1e-3),
-                    jnp.float32(1e4), any_hit=True, interpret=False).t
+                    jnp.float32(1e4), any_hit=True, interpret=False,
+                    live=g1_live).t
             return t1, t2, t3
 
         def wave():
@@ -464,17 +474,18 @@ def run_bench_stream3(scene, trace, o, d, light, n, bounce_rays):
             o2, d2 = bounce_rays(o, d, t1)
             if s3waves:
                 rows2, live = rows_live(o2, d2, t1)
+            g1_live = (t1 < FLT_MAX) if gen1_live else None
             if "b" in s3waves:
                 t2 = j_live(scene, rows2, live, jnp.float32(1e4)).t
             else:
                 t2 = closest(o2, d2, jnp.float32(1e-3),
-                             jnp.float32(1e4)).t
+                             jnp.float32(1e4), g1_live).t
             if "s" in s3waves:
                 rows3 = rows2[:3] + light_rows
                 t3 = j_occl(scene, rows3, live, jnp.float32(1e4)).t
             else:
                 t3 = anyhit(o2, light, jnp.float32(1e-3),
-                            jnp.float32(1e4)).t
+                            jnp.float32(1e4), g1_live).t
             return t1, t2, t3
 
     def run_wave():

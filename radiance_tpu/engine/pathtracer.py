@@ -73,14 +73,19 @@ def _multi_tables(scene):
 
 
 def _trace_dispatch(scene, o, d, tmin, tmax, *, any_hit_terminate=False,
-                    any_hit_program=None):
+                    any_hit_program=None, live=None):
     """Pick the fastest traversal backend for this scene/query.
 
     Single-instance scenes with kernel tables go through the Pallas
     packet kernel (ops/packet_trace); custom any-hit programs,
     multi-instance scenes, and non-TPU backends (where the kernel would
     run interpreted, orders of magnitude slower than compiled XLA) use
-    the XLA wavefront walk."""
+    the XLA wavefront walk.
+
+    live ([N] bool) is a PERFORMANCE hint: backends that support it
+    (the single-instance packet kernel) skip dead lanes' traversal
+    entirely; others ignore it.  Dead-lane results are undefined either
+    way -- callers mask them (the wavefront engine does)."""
     from radiance_tpu.ops import packet_trace
 
     # measured (cornell box, 7 tiny instances, 512^2): even 7 sequential
@@ -89,7 +94,8 @@ def _trace_dispatch(scene, o, d, tmin, tmax, *, any_hit_terminate=False,
     if any_hit_program is None and jax.default_backend() == "tpu":
         if packet_trace.supports(scene):
             return packet_trace.trace_rays_packet(
-                scene, o, d, tmin, tmax, any_hit=any_hit_terminate)
+                scene, o, d, tmin, tmax, any_hit=any_hit_terminate,
+                live=live)
         if packet_trace.supports_multi(scene):
             from radiance_tpu.ops import stream3, stream3_multi
             many = (stream3_multi.supports(scene)
@@ -233,12 +239,30 @@ def _traced_wavefront(scene, o, d, tmin, tmax, alive, sort_key=None,
         return traversal.HitRecord(
             t=rec.t, prim=rec.prim, slot=jnp.maximum(rec.slot, -1),
             b1=rec.b1, b2=rec.b2)
+    from radiance_tpu.ops import packet_trace
+    if (os.environ.get("RADIANCE_GEN1_LIVE", "0") == "1"
+            and trace_kw.get("any_hit_program") is None
+            and packet_trace.supports(scene)
+            and jax.default_backend() == "tpu"):
+        # live-mask packet kernel: dead lanes traverse nothing, live
+        # lanes stay in pixel order (tile-adjacent origins) -- no
+        # element argsort/gather compaction (~212 ms/2M-ray wave) and
+        # no dead-ray traversal.  Outputs of dead lanes are masked
+        # below like every other route.
+        rec = _trace_dispatch(scene, o, d, tmin, tmax, live=alive,
+                              **trace_kw)
+        miss = ~alive
+        return traversal.HitRecord(
+            t=jnp.where(miss, FLT_MAX, rec.t),
+            prim=jnp.where(miss, -1, rec.prim),
+            slot=jnp.where(miss, -1, rec.slot),
+            b1=jnp.where(miss, 0.0, rec.b1),
+            b2=jnp.where(miss, 0.0, rec.b2))
     if sort_key is None:
         # default: group live rays into traversal-coherent packets
         # (direction octant + origin Morton); dead lanes sort last.
         # GGX-sampled bounce directions are incoherent in pixel order,
         # which is the worst case for packet-union traversal.
-        from radiance_tpu.ops import packet_trace
         sort_key = packet_trace.coherence_key(o, d)
     key = jnp.where(alive, sort_key, jnp.int32(2 ** 31 - 1))
     perm = jnp.argsort(key, stable=True).astype(jnp.int32)

@@ -117,7 +117,16 @@ def trace_rays_packet_multi(scene, origin, direction, tmin, tmax,
 def _kernel(base_ref, lim_ref, planes_ref, x_ref, eye_ref, nodef_ref,
             kleaf_ref, outf_ref,
             w_s, best_t, best_tri, sem,
-            *, any_hit: bool):
+            *, any_hit: bool, masked: bool = False):
+    """masked=True is the LIVE-MASK variant: a 7th ray plane carries a
+    1.0/0.0 live flag (and feats column 11 mirrors it -- kleaf rows
+    11-15 are structurally zero, kernel_pack.py; row 10 is the stream
+    tracer's primID lane, so the matmul is unperturbed).  Dead lanes
+    open no nodes, accept no leaf
+    hits, and are excluded from the packet t-clip, so a wavefront wave
+    that is mostly retired rays (e.g. shadow rays of missed primaries)
+    costs only its live geometry.  The engine/bench equivalent of
+    stream3's live masking for the gen-1 kernel."""
     f32, i32 = jnp.float32, jnp.int32
     tmin = lim_ref[0, 0]
     tmax = lim_ref[0, 1]
@@ -133,7 +142,12 @@ def _kernel(base_ref, lim_ref, planes_ref, x_ref, eye_ref, nodef_ref,
     ix = planes_ref[0, 3 * SUB:4 * SUB, :]
     iy = planes_ref[0, 4 * SUB:5 * SUB, :]
     iz = planes_ref[0, 5 * SUB:6 * SUB, :]  # noqa: E221
+    if masked:
+        lv_pl = planes_ref[0, 6 * SUB:7 * SUB, :] > 0.0   # [SUB, 128]
     x = x_ref[:]                                    # [PACKET, 16]
+    if masked:
+        lv_col = x[:, 11:12] > 0.0                  # [PACKET, 1]
+        lv_ray = x[:, 11] > 0.0                     # [PACKET]
 
     best_t[:] = jnp.full((PACKET, T), _FMAX, f32)
     best_tri[:] = jnp.full((PACKET, T), -1, i32)
@@ -162,6 +176,8 @@ def _kernel(base_ref, lim_ref, planes_ref, x_ref, eye_ref, nodef_ref,
         inside = ((b0 ^ b1_) | (b1_ ^ b2_)) >= 0
         t = -num / ssum                             # ssum==0 -> nan -> miss
         ok = inside & (t > tmin) & (t < jnp.minimum(clip, tmax))
+        if masked:
+            ok = ok & lv_col                        # dead lanes never hit
         tt = jnp.where(ok, t, _FMAX)
         improve = tt < best_t[:]
         # only (t, face id) are tracked per (ray, lane); barycentrics of
@@ -176,7 +192,12 @@ def _kernel(base_ref, lim_ref, planes_ref, x_ref, eye_ref, nodef_ref,
         # little pruning, never correctness (acceptance also re-checks
         # against best_t cell-wise).
         def upd(cl):
-            return jnp.minimum(cl, jnp.max(jnp.min(best_t[:], axis=1)))
+            rmin = jnp.min(best_t[:], axis=1)       # [PACKET]
+            if masked:
+                # clip over LIVE rays only; an all-dead packet clips
+                # to -FMAX, and any-hit's early-out fires immediately
+                rmin = jnp.where(lv_ray, rmin, jnp.float32(-_FMAX))
+            return jnp.minimum(cl, jnp.max(rmin))
 
         return jax.lax.cond(do_clip, upd, lambda cl: cl, clip)
 
@@ -228,6 +249,8 @@ def _kernel(base_ref, lim_ref, planes_ref, x_ref, eye_ref, nodef_ref,
                                      jnp.maximum(t0y, t1y)),
                          jnp.maximum(t0z, t1z))
         hit = (tf >= jnp.maximum(tn, 0.0)) & (tn < clip_eff)
+        if masked:
+            hit = hit & lv_pl                       # dead lanes open nothing
         box_hit = jnp.sum(hit.astype(i32)) > 0
 
         is_leaf = ntri > 0
@@ -328,7 +351,8 @@ def trace_rays_packet_sorted(scene, origin, direction, tmin, tmax,
 
 
 def trace_rays_packet(scene, origin, direction, tmin, tmax,
-                      any_hit: bool = False, interpret=None) -> HitRecord:
+                      any_hit: bool = False, interpret=None,
+                      live=None) -> HitRecord:
     """Trace a wavefront through the packet kernel, traceable under an
     outer jit (the engine calls this inside its frame function).
 
@@ -336,22 +360,29 @@ def trace_rays_packet(scene, origin, direction, tmin, tmax,
     every ray has an accepted hit (the reference's anyShadow cont=false,
     samples/shader.cl:567-572); the returned t is still a true hit
     distance.  Caller must check supports(scene).
+
+    live ([N] bool, optional) switches to the live-mask kernel variant:
+    dead lanes open no nodes, record no hits (returned as miss), and do
+    not gate the packet t-clip / any-hit early-out.  Wavefront waves
+    that are mostly retired rays cost only their live geometry.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     return _run(origin, direction, tmin, tmax,
                 scene.knode_f, scene.kleaf, scene.kprim, scene.ktri_geo,
-                scene.inst_inv[0], any_hit=any_hit, interpret=interpret)
+                scene.inst_inv[0], any_hit=any_hit, interpret=interpret,
+                live=live)
 
 
 def build_tracer(scene, any_hit: bool = False, interpret=None):
     """Compile a standalone packet tracer for one DeviceScene.
 
-    Returns jitted fn(origin [N,3], direction [N,3], tmin, tmax)
-    -> HitRecord.  Scene tables enter as jit *arguments*, never closure
-    constants -- closure-captured arrays are embedded into the HLO as
-    literals, and a 1M-tri scene's ~300MB of tables breaks (remote)
-    compilation outright.
+    Returns jitted fn(origin [N,3], direction [N,3], tmin, tmax,
+    live=None) -> HitRecord.  Scene tables enter as jit *arguments*,
+    never closure constants -- closure-captured arrays are embedded
+    into the HLO as literals, and a 1M-tri scene's ~300MB of tables
+    breaks (remote) compilation outright.  Passing live selects the
+    live-mask kernel variant (separate compile; see trace_rays_packet).
     """
     if not supports(scene):
         raise ValueError("packet kernel requires single-instance scene "
@@ -363,17 +394,20 @@ def build_tracer(scene, any_hit: bool = False, interpret=None):
     jrun = jax.jit(functools.partial(_run, any_hit=any_hit,
                                      interpret=interpret))
 
-    def run(origin, direction, tmin, tmax):
-        return jrun(origin, direction, tmin, tmax, *tables)
+    def run(origin, direction, tmin, tmax, live=None):
+        if live is None:
+            return jrun(origin, direction, tmin, tmax, *tables)
+        return jrun(origin, direction, tmin, tmax, *tables, live=live)
 
     return run
 
 
 def _run(origin, direction, tmin, tmax, nodef, kleaf, kprim, ktri_geo,
-         inv0, *, any_hit: bool, interpret: bool):
+         inv0, *, any_hit: bool, interpret: bool, live=None):
     f32, i32 = jnp.float32, jnp.int32
     inst_slot = jnp.int32(0)
-    kern = functools.partial(_kernel, any_hit=any_hit)
+    masked = live is not None
+    kern = functools.partial(_kernel, any_hit=any_hit, masked=masked)
     n = origin.shape[0]
     o = rmath.mat4_transform_point(inv0, origin.astype(f32))
     d = rmath.mat4_transform_dir(inv0, direction.astype(f32))
@@ -382,11 +416,22 @@ def _run(origin, direction, tmin, tmax, nodef, kleaf, kprim, ktri_geo,
         o = jnp.concatenate([o, jnp.broadcast_to(o[:1], (pad, 3))])
         d = jnp.concatenate([d, jnp.broadcast_to(d[:1], (pad, 3))])
     npk = (n + pad) // PACKET
+    if masked:
+        lv = live.astype(f32)
+        if pad:
+            lv = jnp.concatenate([lv, jnp.zeros(pad, f32)])
 
     mom = jnp.cross(o, d)
+    # feats column 11 carries the live flag in masked mode: kleaf rows
+    # 11-15 are structurally zero (row 10 holds the stream tracer's
+    # primID lane, kernel_pack.py), so the leaf matmul result is
+    # bit-identical either way
+    tail = jnp.zeros((o.shape[0], 6), f32)
+    if masked:
+        tail = tail.at[:, 1].set(lv)
     feats = jnp.concatenate(
-        [d, mom, o, jnp.ones((o.shape[0], 1), f32),
-         jnp.zeros((o.shape[0], 6), f32)], axis=1)      # [N', 16]
+        [d, mom, o, jnp.ones((o.shape[0], 1), f32), tail],
+        axis=1)                                         # [N', 16]
     invd = 1.0 / d
 
     def plane(c):
@@ -394,8 +439,13 @@ def _run(origin, direction, tmin, tmax, nodef, kleaf, kprim, ktri_geo,
 
     comps = [plane(o[:, 0]), plane(o[:, 1]), plane(o[:, 2]),
              plane(invd[:, 0]), plane(invd[:, 1]), plane(invd[:, 2])]
-    if PLANE_ROWS > 6 * SUB:
-        comps.append(jnp.zeros((npk, PLANE_ROWS - 6 * SUB, 128), f32))
+    plane_rows = PLANE_ROWS
+    if masked:
+        comps.append(plane(lv))
+        plane_rows = -(-7 * SUB // 8) * 8
+    if plane_rows > len(comps) * SUB:
+        comps.append(jnp.zeros((npk, plane_rows - len(comps) * SUB, 128),
+                               f32))
     planes = jnp.concatenate(comps, axis=1)
     lim = jnp.stack([jnp.float32(tmin),
                      jnp.float32(tmax)]).reshape(1, 2)
@@ -419,7 +469,7 @@ def _run(origin, direction, tmin, tmax, nodef, kleaf, kprim, ktri_geo,
             in_specs=[
                 pl.BlockSpec((1, 2), lambda i, b: (0, 0),
                              memory_space=pltpu.SMEM),
-                pl.BlockSpec((1, PLANE_ROWS, 128), lambda i, b: (i, 0, 0),
+                pl.BlockSpec((1, plane_rows, 128), lambda i, b: (i, 0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((PACKET, 16), lambda i, b: (i, 0),
                              memory_space=pltpu.VMEM),

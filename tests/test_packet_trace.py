@@ -230,3 +230,56 @@ def test_coherence_key_groups_octants():
     k = np.asarray(packet_trace.coherence_key(o, d))
     assert len(set(k >> 28)) == 4  # four distinct octants
     assert (k >= 0).all()          # no int32 overflow
+
+
+def test_packet_live_mask_matches_unmasked():
+    """Live-mask kernel variant: live lanes bit-match the unmasked
+    kernel; dead lanes come back as miss regardless of their geometry
+    (the wavefront-engine contract for retired rays)."""
+    ds = _single_instance_scene()
+    rng = np.random.default_rng(5)
+    o, d = gen_rays(rng, 700, spread=8.0)
+    o, d = jnp.asarray(o), jnp.asarray(d)
+    live = jnp.asarray(rng.uniform(size=700) < 0.3)
+
+    base = packet_trace.trace_rays_packet(
+        ds, o, d, jnp.float32(1e-3), jnp.float32(1e3))
+    got = packet_trace.trace_rays_packet(
+        ds, o, d, jnp.float32(1e-3), jnp.float32(1e3), live=live)
+
+    lv = np.asarray(live)
+    np.testing.assert_array_equal(np.asarray(got.t)[lv],
+                                  np.asarray(base.t)[lv])
+    np.testing.assert_array_equal(np.asarray(got.prim)[lv],
+                                  np.asarray(base.prim)[lv])
+    assert np.all(np.asarray(got.t)[~lv] == FLT_MAX)
+    assert np.all(np.asarray(got.prim)[~lv] == -1)
+
+    # all-live mask is bit-identical to the unmasked kernel
+    all_live = jnp.ones(700, bool)
+    got2 = packet_trace.trace_rays_packet(
+        ds, o, d, jnp.float32(1e-3), jnp.float32(1e3), live=all_live)
+    np.testing.assert_array_equal(np.asarray(got2.t), np.asarray(base.t))
+
+
+def test_packet_live_mask_any_hit():
+    """Occlusion mode with a live mask: live lanes match the unmasked
+    any-hit kernel's hit/miss decisions; dead lanes never occlude."""
+    ds = _single_instance_scene()
+    rng = np.random.default_rng(6)
+    o, d = gen_rays(rng, 512, spread=8.0)
+    o, d = jnp.asarray(o), jnp.asarray(d)
+    live = jnp.asarray(rng.uniform(size=512) < 0.25)
+
+    base = packet_trace.trace_rays_packet(
+        ds, o, d, jnp.float32(1e-3), jnp.float32(1e3), any_hit=True)
+    got = packet_trace.trace_rays_packet(
+        ds, o, d, jnp.float32(1e-3), jnp.float32(1e3), any_hit=True,
+        live=live)
+    lv = np.asarray(live)
+    # any-hit may accept a different (non-closest) hit per run order,
+    # but the hit/miss DECISION is deterministic per ray
+    np.testing.assert_array_equal(
+        (np.asarray(got.t) < FLT_MAX)[lv],
+        (np.asarray(base.t) < FLT_MAX)[lv])
+    assert np.all(np.asarray(got.t)[~lv] == FLT_MAX)

@@ -76,6 +76,7 @@ python tools/pick_bench_env.py "$LOG" >> "$LOG" 2>&1
 #    (pick_bench_env already wrote the best config; bench.py
 #    setdefaults it, explicit env still wins)
 run FUSE    1800 RADIANCE_BENCH_FUSE=1 -- python bench.py;  gate
+run G1LIVE  1800 RADIANCE_GEN1_LIVE=1 -- python bench.py;  gate
 python tools/pick_bench_env.py "$LOG" >> "$LOG" 2>&1
 
 # -- group 4: kernel-shape knobs on top of the running best

@@ -46,6 +46,15 @@ def parse(log_path):
                     toks = [t for t in body.split()
                             if "=" in t and t != "env"]
                     cur_env = dict(t.split("=", 1) for t in toks)
+            elif cur_env is not None \
+                    and line.startswith("# bench_env applied:"):
+                # the run ALSO ran under these setdefaulted vars (the
+                # previously-picked best config); they are part of the
+                # measured configuration.  Explicit env still wins.
+                for t in line.split(":", 1)[1].split():
+                    if "=" in t:
+                        k, v = t.split("=", 1)
+                        cur_env.setdefault(k, v)
             elif cur_env is not None and line.startswith("{"):
                 try:
                     rec = json.loads(line)
