@@ -2118,7 +2118,12 @@ def _run(rows_w, tmin, tmax, nodef, kleaf_k, kprim, ktri_geo, inv0,
         _stage_prep(rows_w, tmin, tmax, nodef, inv0, live=live)
     npk = rows[0].shape[0] // PKT
     if ws is None:
-        ws = os.environ.get("RADIANCE_WS", "0") == "1"
+        # default ON for compiled TPU runs (chip-validated 2026-08-20:
+        # WS compiled and ran at 8.648 vs 8.219 plain, composed
+        # WS+treelet 8.787, +FUSE 9.652); interpret/CPU keeps the plain
+        # walk (WS interpret runs are several-x slower to simulate)
+        ws = os.environ.get(
+            "RADIANCE_WS", "1" if not interpret else "0") == "1"
     if ws:
         words, emeta = _stage_emit_ws(lim, scal, smeta, bscal, nodef,
                                       interpret=interpret,
@@ -2134,6 +2139,13 @@ def _run(rows_w, tmin, tmax, nodef, kleaf_k, kprim, ktri_geo, inv0,
         slot_pkt = jnp.where(rowslot < nsl, smeta[rs_c, 0], 0)
         emeta_sorted = emeta[row_of[:nsl]]
     else:
+        # compiled-mode safety: the LOCKSTEP treelet kernel
+        # (_emit3t_kernel) hangs the remote Mosaic compiler (two
+        # compiler generations, BASELINE.md) -- only the WS-composed
+        # treelet is chip-viable.  Interpret mode (tests, oracles)
+        # keeps it.
+        if treelet and not interpret:
+            treelet = False
         words, emeta = _stage_emit(lim, scal, smeta, bscal, nodef,
                                    interpret=interpret, treelet=treelet)
         row_of = None
@@ -2352,7 +2364,15 @@ def trace_rows_stream3(scene, rows_w, tmin, tmax,
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     if treelet is None:
-        treelet = os.environ.get("RADIANCE_TREELET", "0") == "1"
+        # composed WS+treelet (_emit3wst_kernel) is chip-validated; the
+        # WS-less lockstep treelet (_emit3t_kernel) HANGS the remote
+        # Mosaic compiler (two compiler generations, BASELINE.md) --
+        # the default below only ever reaches the composed kernel
+        # because ws defaults ON for compiled TPU runs.  Explicit
+        # RADIANCE_TREELET=1 RADIANCE_WS=0 still selects the hanging
+        # kernel; don't.
+        treelet = os.environ.get(
+            "RADIANCE_TREELET", "1" if interpret is False else "0") == "1"
     n = rows_w[0].shape[0]
     if live is not None:
         # dead lanes may carry garbage (NaN/Inf bounce dirs of retired

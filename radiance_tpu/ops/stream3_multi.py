@@ -568,7 +568,10 @@ def trace_rows_tlas(scene, mt, rows_w, tmin, tmax,
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     if ws is None:
-        ws = os.environ.get("RADIANCE_WS", "0") == "1"
+        # compiled TPU default ON, matching stream3._run (chip-
+        # validated 2026-08-20); interpret/CPU keeps the plain walk
+        ws = os.environ.get(
+            "RADIANCE_WS", "1" if not interpret else "0") == "1"
     n = rows_w[0].shape[0]
     pad = (-n) % (s3.G * PKT)
     rows_p = tuple(
