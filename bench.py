@@ -415,14 +415,19 @@ def run_bench_stream3(scene, trace, o, d, light, n, bounce_rays):
         return (tuple(o2[:, k] for k in range(3))
                 + tuple(d2[:, k] for k in range(3)), t1 < FLT_MAX)
 
-    if os.environ.get("RADIANCE_BENCH_FUSE", "0") == "1" and near > 0:
+    # FUSE defaults ON (chip-validated 2026-08-20: 9.652 Mrays/s vs
+    # 8.787 unfused -- the ~3 tunnel round trips it saves are ~10% of
+    # the wave); a fused compile failure falls back to the unfused
+    # loop below, so a fresh clone can never lose the bench to it
+    fuse = os.environ.get("RADIANCE_BENCH_FUSE", "1") == "1"
+    if fuse and near > 0:
         # the fused program has no t-cascade plumbing; measuring it
         # under a NEAR env would label the numbers as a pipeline that
         # didn't run, corrupting pick_bench_env A/Bs
         print("# RADIANCE_BENCH_FUSE ignored: RADIANCE_BENCH_NEAR "
               "cascade is not fused", file=sys.stderr)
-        os.environ["RADIANCE_BENCH_FUSE"] = "0"
-    if os.environ.get("RADIANCE_BENCH_FUSE", "0") == "1":
+        fuse = False
+    if fuse:
         # all three waves in ONE device program: saves ~3 tunnel round
         # trips (~30-40 ms each on the axon backend).  Round 1's
         # watchdog trip was the gen-1 XLA megawalk; the stream3 + packet
@@ -466,27 +471,36 @@ def run_bench_stream3(scene, trace, o, d, light, n, bounce_rays):
                     live=g1_live).t
             return t1, t2, t3
 
-        def wave():
+        def wave_fused():
             return fused(scene, rows0, o, d, light)
-    else:
-        def wave():
-            t1 = trace(rows0, None, 1e4, False)
-            o2, d2 = bounce_rays(o, d, t1)
-            if s3waves:
-                rows2, live = rows_live(o2, d2, t1)
-            g1_live = (t1 < FLT_MAX) if gen1_live else None
-            if "b" in s3waves:
-                t2 = j_live(scene, rows2, live, jnp.float32(1e4)).t
-            else:
-                t2 = closest(o2, d2, jnp.float32(1e-3),
-                             jnp.float32(1e4), g1_live).t
-            if "s" in s3waves:
-                rows3 = rows2[:3] + light_rows
-                t3 = j_occl(scene, rows3, live, jnp.float32(1e4)).t
-            else:
-                t3 = anyhit(o2, light, jnp.float32(1e-3),
-                            jnp.float32(1e4), g1_live).t
-            return t1, t2, t3
+
+    def wave():
+        t1 = trace(rows0, None, 1e4, False)
+        o2, d2 = bounce_rays(o, d, t1)
+        if s3waves:
+            rows2, live = rows_live(o2, d2, t1)
+        g1_live = (t1 < FLT_MAX) if gen1_live else None
+        if "b" in s3waves:
+            t2 = j_live(scene, rows2, live, jnp.float32(1e4)).t
+        else:
+            t2 = closest(o2, d2, jnp.float32(1e-3),
+                         jnp.float32(1e4), g1_live).t
+        if "s" in s3waves:
+            rows3 = rows2[:3] + light_rows
+            t3 = j_occl(scene, rows3, live, jnp.float32(1e4)).t
+        else:
+            t3 = anyhit(o2, light, jnp.float32(1e-3),
+                        jnp.float32(1e4), g1_live).t
+        return t1, t2, t3
+
+    if fuse:
+        try:
+            r0 = wave_fused()
+            float(jnp.sum(r0[0][::65536]) + jnp.sum(r0[2][::65536]))
+            wave = wave_fused
+        except Exception as e:
+            print(f"# fused wave unavailable ({type(e).__name__}: "
+                  f"{str(e)[:160]}); unfused fallback", file=sys.stderr)
 
     def run_wave():
         r = wave()
