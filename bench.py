@@ -244,7 +244,7 @@ def make_tracer(scene, probe_rays=None):
                 # minutes; correctness is covered by the test suite +
                 # benchmarks/verify_stream3.py)
                 prec = os.environ.get("RADIANCE_BENCH_PRECISION",
-                                      "default")
+                                      "f32")
                 j_entry = jax.jit(
                     lambda scn, rows, tmn, tmx, occl=False:
                     stream3.trace_rows_stream3(
@@ -265,6 +265,32 @@ def make_tracer(scene, probe_rays=None):
                     jax.block_until_ready(
                         run_stream3(probe_rays[0], probe_rays[1], 1e4,
                                     False))
+                    # output integrity gate: one mid-frame packet of
+                    # the probe wave vs the gen-1 kernel (independent
+                    # implementation, Precision.HIGHEST).  Round-3
+                    # lesson: the bf16 'default'-precision pipeline
+                    # benched 9.65 Mrays/s while returning ~54% extra
+                    # false hits (benchmarks/verify_entry.py) -- a
+                    # fast-but-wrong engine must never set the
+                    # headline, so disagreement falls back to the
+                    # packet kernel via the except below.
+                    from radiance_tpu.ops import packet_trace as _pk
+                    po, pd = probe_rays
+                    s = (len(po) // 2) & ~2047
+                    po, pd = po[s:s + 2048], pd[s:s + 2048]
+                    t_s = np.asarray(run_stream3(po, pd, 1e4, False))
+                    t_p = np.asarray(_pk.trace_rays_packet(
+                        scene, jnp.asarray(po), jnp.asarray(pd),
+                        jnp.float32(1e-3), jnp.float32(1e4),
+                        interpret=False).t)
+                    fmax = np.float32(3.402823466e38)
+                    agree = float(((t_s < fmax) == (t_p < fmax)).mean())
+                    print(f"# stream3 integrity vs gen-1: "
+                          f"{agree:.4f}", file=sys.stderr)
+                    if agree < 0.995:
+                        raise RuntimeError(
+                            f"stream3/gen-1 hit disagreement "
+                            f"{1 - agree:.4f} on the probe packet")
                 return "pallas_stream3", run_stream3
         except Exception as e:  # pragma: no cover - fallback path
             print(f"# stream3 tracer unavailable ({type(e).__name__}: "
@@ -374,7 +400,7 @@ def run_bench_stream3(scene, trace, o, d, light, n, bounce_rays):
     # block presort): "b" = bounce, "s" = shadow.  Decided per
     # platform measurement (benchmarks/wave_compare.py).
     s3waves = os.environ.get("RADIANCE_BENCH_S3WAVES", "")
-    prec = os.environ.get("RADIANCE_BENCH_PRECISION", "default")
+    prec = os.environ.get("RADIANCE_BENCH_PRECISION", "f32")
     near = float(os.environ.get("RADIANCE_BENCH_NEAR", "0"))
     if s3waves:
         light_rows = tuple(jax.block_until_ready(
@@ -625,7 +651,7 @@ def run_multi_bench():
     # the same ~100 MB-of-HLO trap the scene tables avoid above)
     j = jax.jit(lambda scn, mtt, r: stream3_multi.trace_rows_multi(
         scn, mtt, r, 1e-3, 1e4, precision=os.environ.get(
-            "RADIANCE_BENCH_PRECISION", "default")))
+            "RADIANCE_BENCH_PRECISION", "f32")))
     mtt = mt.as_tuple()
 
     def run_wave():
@@ -681,7 +707,7 @@ def run_tbound_bench():
     n = w * h
     assert n % stream3.BLK == 0, (w, h)
     FLT_MAX = np.float32(3.402823466e38)
-    prec = os.environ.get("RADIANCE_BENCH_PRECISION", "default")
+    prec = os.environ.get("RADIANCE_BENCH_PRECISION", "f32")
 
     rays = [camera_rays(jitter=s, w=w, h=h) for s in range(n_samples)]
     rows_s = [tuple(jnp.asarray(o[:, k]) for k in range(3))
@@ -746,6 +772,56 @@ def run_tbound_bench():
         "speedup": round(dt_f / dt_b, 3),
         "exact_frac": round(exact_frac, 6),
         "samples": n_samples, "w": w, "h": h,
+    }))
+
+
+def run_shard1_bench():
+    """--shard1 mode: the engine frame under shard_map on a REAL
+    1-device TPU mesh (pixel axis).  The multichip dryrun runs the
+    same composition on virtual CPU devices; this is the on-chip
+    counterpart that proves the Pallas kernel route (stream3/packet)
+    compiles and executes inside shard_map on hardware (VERDICT r2
+    weak #5).  Prints ONE JSON line."""
+    import jax
+    import jax.numpy as jnp
+    from radiance_tpu.parallel.sharding import make_mesh, render_sharded
+
+    from radiance_tpu.parallel.sharding import shard_frame
+
+    BATCH, DEPTH = 2, 2
+    w = h = int(os.environ.get("RADIANCE_SHARD1_RES", "1024"))
+    scene, tracer, res = _engine_setup(w, h)
+    n = w * h
+    mesh = make_mesh(1)
+    accum = jnp.zeros((n, 3), jnp.float32)
+    pixel_index = jnp.arange(n, dtype=jnp.int32)
+    # ONE jitted sharded program, reused across iterations (a
+    # render_sharded call per iter would recompile the frame each time)
+    fn = shard_frame(tracer, mesh, batch=BATCH, depth=DEPTH)
+
+    t0 = time.time()
+    accum, image = fn(scene, res, accum, jnp.uint32(0), pixel_index)
+    jax.block_until_ready(accum)
+    print(f"# shard1 warmup/compile: {time.time()-t0:.1f}s",
+          file=sys.stderr)
+
+    iters = 2
+    t0 = time.time()
+    ts = BATCH
+    for _ in range(iters):
+        accum, image = fn(scene, res, accum, jnp.uint32(ts),
+                          pixel_index)
+        float(jnp.sum(accum[::65536]))
+        ts += BATCH
+    dt = (time.time() - t0) / iters
+    rays = BATCH * DEPTH * 2 * n
+    print(json.dumps({
+        "metric": "shard1_engine_mrays_per_sec",
+        "value": round(rays / dt / 1e6, 3),
+        "unit": "Mrays/s",
+        "ms_per_frame": round(dt * 1e3, 1),
+        "mesh": "tpu:1", "res": w,
+        "accum_mean": round(float(jnp.mean(accum)), 6),
     }))
 
 
@@ -1169,6 +1245,8 @@ if __name__ == "__main__":
         sys.exit(1)
     if "--engine" in sys.argv:
         run_engine_bench()
+    elif "--shard1" in sys.argv:
+        run_shard1_bench()
     elif "--multi" in sys.argv:
         run_multi_bench()
     elif "--tbound" in sys.argv:

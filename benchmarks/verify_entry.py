@@ -1,0 +1,190 @@
+#!/usr/bin/env python
+"""On-chip agreement audit of the BENCH entry path.
+
+verify_stream3.py audits stream3.build_tracer, whose host-side residual
+retrace PATCHES truncated packets -- it cannot see an in-jit residual
+bug.  This audits exactly what bench.py times: trace_rows_stream3 (the
+jittable entry with the bounded IN-JIT residual), across the emit-walk
+configs that are safe to compile on this terminal:
+
+  plain     RADIANCE_WS=0, treelet=False  (_emit3_kernel)
+  ws        RADIANCE_WS=1, treelet=False  (_emit3ws_kernel)
+  wst       RADIANCE_WS=1, treelet=True   (_emit3wst_kernel, the
+            compiled-TPU default since 2026-08-20)
+
+(The WS-less treelet kernel hangs the remote Mosaic compiler --
+BASELINE.md -- and is deliberately NOT attempted.)
+
+For each config it checks three waves on a contiguous 128k-ray slice of
+the 1M-tri bench frame against the XLA traversal oracle:
+
+  primary            camera rays
+  bounce+live        mirror-bounce rays with the live mask (dead lanes
+                     must report miss)
+  shadow+live+occl   any-hit wave toward the light
+
+Prints one JSON line per (config, wave): hit agreement, prim match and
+t relative error on agreeing hits, and seconds.  Exit 1 if any
+agreement < 0.999 (in-jit residual is bounded at RES_CAP packets, so
+sub-1e-3 disagreement is expected headroom, not noise).
+
+Context: wave_compare 2026-08-20 measured s3_agree=0.78 on the primary
+wave vs gen-1 on chip -- exactly the all-miss signature (1 - 0.219 hit
+rate).  This script is the instrument that decides whether that was a
+harness artifact or a real miscompile of the headline path.
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+import bench as B
+
+N_SLICE = int(os.environ.get("VERIFY_RAYS", str(128 * 1024)))
+
+
+def agree_line(tag, wave, t_got, prim_got, t_ref, prim_ref, live,
+               secs, FLT_MAX):
+    hr, hg = t_ref < FLT_MAX, t_got < FLT_MAX
+    lv = np.ones(len(t_ref), bool) if live is None else np.asarray(live)
+    agree = float((hr == hg)[lv].mean())
+    both = hr & hg & lv
+    if both.any():
+        rel = np.abs(t_got[both] - t_ref[both]) / np.maximum(
+            t_ref[both], 1e-6)
+        p99 = float(np.quantile(rel, 0.99))
+        pm = (float((prim_got[both] == prim_ref[both]).mean())
+              if prim_got is not None and prim_ref is not None
+              else None)
+    else:
+        p99, pm = None, None
+    line = {"config": tag, "wave": wave, "agree": round(agree, 6),
+            "hits_ref": int(hr[lv].sum()), "hits_got": int(hg[lv].sum()),
+            "t_rel_p99": p99 if p99 is None else round(p99, 8),
+            "prim_match": pm if pm is None else round(pm, 6),
+            "secs": round(secs, 2)}
+    print(json.dumps(line), flush=True)
+    return agree
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from radiance_tpu.core import math as rmath
+    from radiance_tpu.ops import stream3, traversal
+    from radiance_tpu.ops.intersect import FLT_MAX
+
+    if os.environ.get("VERIFY_TRIS"):       # CPU smoke-test hook
+        B.N_TRIS = int(os.environ["VERIFY_TRIS"])
+        B.WIDTH, B.HEIGHT = 512, 256
+    scene = B.build_or_load_scene()
+    o0, d0 = B.camera_rays()
+    n_all = len(o0)
+    start = (n_all // 2 - N_SLICE // 2) & ~2047  # mid-frame, pkt-aligned
+    o = jnp.asarray(o0[start:start + N_SLICE])
+    d = jnp.asarray(d0[start:start + N_SLICE])
+    light = jnp.asarray(np.tile(B.light_vec(),
+                                (N_SLICE, 1)).astype(np.float32))
+
+    # ---- oracle (XLA walk; compiled once, reused for all waves)
+    t0 = time.time()
+    ref1 = jax.block_until_ready(
+        traversal.trace_rays(scene, o, d, 1e-3, 1e4))
+    print(f"# oracle primary: {time.time()-t0:.1f}s "
+          f"(hit rate {float(np.mean(np.asarray(ref1.t) < FLT_MAX)):.3f})",
+          file=sys.stderr, flush=True)
+
+    hit = ref1.t < FLT_MAX
+    hit_p = o + ref1.t[:, None] * d
+    nrm = rmath.normalize(o - hit_p, eps=1e-6)
+    # park dead lanes OUT of the scene for the oracle too (the stream
+    # path parks them internally; garbage mirror dirs of miss lanes
+    # would otherwise NaN the oracle walk)
+    d2 = jnp.where(hit[:, None], rmath.reflect(-d, nrm),
+                   jnp.float32(1.0))
+    o2 = jnp.where(hit[:, None], hit_p + nrm * 1e-3, jnp.float32(1e30))
+    live = jax.block_until_ready(hit)
+
+    t0 = time.time()
+    ref2 = jax.block_until_ready(
+        traversal.trace_rays(scene, o2, d2, 1e-3, 1e4))
+    ref3 = jax.block_until_ready(
+        traversal.trace_rays(scene, o2, light, 1e-3, 1e4,
+                             any_hit_terminate=True))
+    print(f"# oracle bounce+shadow: {time.time()-t0:.1f}s",
+          file=sys.stderr, flush=True)
+
+    live_h = np.asarray(live)
+    # the stream occl path reports t=0 on hit; normalize the oracle's
+    # shadow wave to the same convention so rel-t stats stay defined
+    sh_t = np.asarray(ref3.t).copy()
+    sh_t[sh_t < float(FLT_MAX)] = 0.0
+    t_ref = {"primary": np.asarray(ref1.t),
+             "bounce": np.asarray(ref2.t),
+             "shadow": sh_t}
+    p_ref = {"primary": np.asarray(ref1.prim),
+             "bounce": np.asarray(ref2.prim),
+             "shadow": None}
+    # dead lanes of the oracle's live waves: the stream path reports
+    # miss there by contract, so compare live lanes only (handled in
+    # agree_line via `live`)
+
+    rows1 = tuple(o[:, k] for k in range(3)) + tuple(
+        d[:, k] for k in range(3))
+    rows2 = tuple(o2[:, k] for k in range(3)) + tuple(
+        d2[:, k] for k in range(3))
+    rows3 = rows2[:3] + tuple(light[:, k] for k in range(3))
+
+    configs = [("plain", "0", False), ("ws", "1", False),
+               ("wst", "1", True)]
+    only = os.environ.get("VERIFY_CONFIGS")
+    if only:
+        configs = [c for c in configs if c[0] in only.split(",")]
+
+    worst = 1.0
+    for tag, ws_env, treelet in configs:
+        os.environ["RADIANCE_WS"] = ws_env  # read at trace time
+
+        interp = os.environ.get("VERIFY_INTERPRET", "0") == "1"
+        prec = os.environ.get("VERIFY_PREC", "f32")
+
+        def mk(occl):
+            @jax.jit
+            def f(scn, rows, lv):
+                return stream3.trace_rows_stream3(
+                    scn, rows, jnp.float32(1e-3), jnp.float32(1e4),
+                    precision=prec, interpret=interp,
+                    presort=False, live=lv, occl=occl,
+                    treelet=treelet)
+            return f
+
+        f_cl, f_oc = mk(False), mk(True)
+        for wave, fn, rows, lv in (
+                ("primary", f_cl, rows1, None),
+                ("bounce", f_cl, rows2, live),
+                ("shadow", f_oc, rows3, live)):
+            try:
+                t0 = time.time()
+                rec = jax.block_until_ready(fn(scene, rows, lv))
+                secs = time.time() - t0
+                a = agree_line(
+                    tag, wave, np.asarray(rec.t), np.asarray(rec.prim),
+                    t_ref[wave], p_ref[wave], None if lv is None
+                    else live_h, secs, FLT_MAX)
+                worst = min(worst, a)
+            except Exception as e:  # pragma: no cover
+                print(f"# {tag}/{wave} failed: {type(e).__name__}: "
+                      f"{str(e)[:200]}", file=sys.stderr, flush=True)
+                worst = 0.0
+
+    print("VERIFY-ENTRY", "OK" if worst >= 0.999 else "FAIL",
+          flush=True)
+    return 0 if worst >= 0.999 else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -63,7 +63,7 @@ def main():
     print(f"# primary hit rate: {float(jnp.mean(hit.astype(jnp.float32))):.3f}",
           file=sys.stderr)
 
-    prec = os.environ.get("RADIANCE_BENCH_PRECISION", "default")
+    prec = os.environ.get("RADIANCE_BENCH_PRECISION", "f32")
 
     def rows_of(oo, dd):
         return tuple(jax.block_until_ready(

@@ -207,7 +207,7 @@ def _traced_wavefront(scene, o, d, tmin, tmax, alive, sort_key=None,
         rec = stream3.trace_rows_stream3(
             scene, rows, tmin, tmax,
             precision=os.environ.get("RADIANCE_BENCH_PRECISION",
-                                     "default"),
+                                     "f32"),
             presort=False, live=alive, blk_bound=blk_bound,
             occl=occl)
         rec = traversal.HitRecord(t=rec.t, prim=rec.prim,

@@ -947,3 +947,56 @@ def test_stream3_sah_collapse_vs_oracle(monkeypatch):
         with_diag=True)
     flag = np.asarray(diag["pkt_flag"])[: 2048 // stream3.PKT]
     _agree(ref, rec, flag)
+
+
+def test_stream3_multipacket_city_vs_oracle():
+    """Multi-packet regression for the round-3 precision incident: at
+    >1 packet on a cluster scene, precision='default' (backend-default
+    matmul = bf16-class on BOTH TPU and current XLA:CPU) flips Pluecker
+    side-product signs and fabricates ~4-5x false hits -- the shipped
+    bench measured 9.65 Mrays/s of wrong results before
+    benchmarks/verify_entry.py caught it.  The safe 'f32' path
+    (Precision.HIGHEST) must match the oracle at multi-packet scale;
+    'default' is kept available for experiments but nothing defaults
+    to it (bench.py, engine/pathtracer.py)."""
+    rng = np.random.default_rng(7)
+    # a mini version of bench.py's clustered city (spatially coherent)
+    n_clusters, per = 64, 60
+    centers = rng.uniform(-20, 20, size=(n_clusters, 3)).astype(np.float32)
+    local = rng.uniform(-1.5, 1.5,
+                        size=(n_clusters, per, 3)).astype(np.float32)
+    offs = rng.normal(scale=0.08,
+                      size=(n_clusters, per, 3, 3)).astype(np.float32)
+    verts = ((centers[:, None, :] + local)[:, :, None, :]
+             + offs).reshape(-1, 3)
+    from radiance_tpu.core import types as rtypes
+    from radiance_tpu.api import accel
+    mesh = rtypes.Mesh(
+        verts, np.arange(len(verts), dtype=np.uint32).reshape(-1, 3))
+    blas = accel.BuildBottomAccelStruct(mesh)
+    inst = rtypes.Instance(np.eye(4, dtype=np.float32), 0, 0, blas)
+    ds = accel.BuildTopAccelStruct([inst]).device_scene()
+
+    n = 4 * stream3.PKT                     # 4 packets
+    ij = np.arange(n)
+    w = 128
+    xs = (ij % w) / w - 0.5
+    ys = (ij // w) / (n / w) - 0.5
+    o = np.tile([[0.0, 0.0, 60.0]], (n, 1)).astype(np.float32)
+    d = np.stack([xs * 1.2, ys * 0.7, np.full(n, -1.0)],
+                 -1).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    o, d = jnp.asarray(o), jnp.asarray(d)
+
+    ref = traversal.trace_rays(ds, o, d, 1e-3, 1e4)
+    rows = tuple(o[:, k] for k in range(3)) + tuple(
+        d[:, k] for k in range(3))
+    rec = stream3.trace_rows_stream3(ds, rows, 1e-3, 1e4,
+                                     precision="f32")
+    t_ref, t_got = np.asarray(ref.t), np.asarray(rec.t)
+    hr, hg = t_ref < FLT_MAX, t_got < FLT_MAX
+    assert hr.any()                         # scene actually hit
+    assert (hr == hg).mean() > 0.999
+    both = hr & hg
+    assert (np.asarray(rec.prim)[both]
+            == np.asarray(ref.prim)[both]).mean() > 0.99
