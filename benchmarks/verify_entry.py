@@ -90,10 +90,23 @@ def main():
     light = jnp.asarray(np.tile(B.light_vec(),
                                 (N_SLICE, 1)).astype(np.float32))
 
-    # ---- oracle (XLA walk; compiled once, reused for all waves)
+    # ---- oracle (XLA walk).  Host-side loop over fixed 16k-ray
+    # slices: one monolithic dispatch over the full slice has tripped
+    # the TPU watchdog / aborted the backend (chain_r3b 09:06); small
+    # uniform dispatches compile once and bound each device step.
+    CH = 16 * 1024
+
+    def oracle(oo, dd, any_hit=False):
+        outs = []
+        for s in range(0, oo.shape[0], CH):
+            sub = traversal.trace_rays(scene, oo[s:s + CH],
+                                       dd[s:s + CH], 1e-3, 1e4,
+                                       any_hit_terminate=any_hit)
+            outs.append(jax.block_until_ready(sub))
+        return jax.tree.map(lambda *xs: jnp.concatenate(xs), *outs)
+
     t0 = time.time()
-    ref1 = jax.block_until_ready(
-        traversal.trace_rays(scene, o, d, 1e-3, 1e4))
+    ref1 = oracle(o, d)
     print(f"# oracle primary: {time.time()-t0:.1f}s "
           f"(hit rate {float(np.mean(np.asarray(ref1.t) < FLT_MAX)):.3f})",
           file=sys.stderr, flush=True)
@@ -110,11 +123,8 @@ def main():
     live = jax.block_until_ready(hit)
 
     t0 = time.time()
-    ref2 = jax.block_until_ready(
-        traversal.trace_rays(scene, o2, d2, 1e-3, 1e4))
-    ref3 = jax.block_until_ready(
-        traversal.trace_rays(scene, o2, light, 1e-3, 1e4,
-                             any_hit_terminate=True))
+    ref2 = oracle(o2, d2)
+    ref3 = oracle(o2, light, any_hit=True)
     print(f"# oracle bounce+shadow: {time.time()-t0:.1f}s",
           file=sys.stderr, flush=True)
 

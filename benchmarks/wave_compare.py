@@ -103,6 +103,13 @@ def main():
 
         results = {"gen1": timed(run_gen1)}
 
+        def run_gen1_live():
+            # masked kernel variant: dead lanes (retired primaries)
+            # open no nodes and stage no leaves
+            return packet_trace.trace_rays_packet(
+                scene, oo, dd, jnp.float32(1e-3), jnp.float32(1e4),
+                any_hit=is_shadow, interpret=False, live=live).t
+
         ja, jb = (j_s3o, j_s3po) if is_shadow else (j_s3, j_s3p)
 
         def run_s3():
@@ -116,7 +123,8 @@ def main():
 
         trials = [("s3", run_s3)]
         if live is not None:
-            trials += [("s3live", run_s3_live),
+            trials += [("gen1live", run_gen1_live),
+                       ("s3live", run_s3_live),
                        ("s3live+ps", run_s3_live_ps)]
         # gen1 is the validated baseline: a stream variant that poisons
         # truncated packets to miss would TIME well while being wrong,
