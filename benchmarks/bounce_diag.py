@@ -14,7 +14,7 @@ o0, d0 = bench_rays()
 n = o0.shape[0]
 rows_w = tuple(jnp.asarray(o0[:, k]) for k in range(3)) + tuple(jnp.asarray(d0[:, k]) for k in range(3))
 tstart, _ = leaf_tables(scene.knode_f, scene.kleaf.shape[0])
-j_run = jax.jit(functools.partial(s3._run, precision="default",
+j_run = jax.jit(functools.partial(s3._run, precision="f32",
                                   interpret=False, with_diag=True))
 t0 = time.time()
 rec, diag = jax.block_until_ready(j_run(rows_w, 1e-3, 1e4, scene.knode_f,

@@ -23,7 +23,12 @@ def main():
     from radiance_tpu.ops import stream3, traversal
     from radiance_tpu.ops.intersect import FLT_MAX
 
-    precision = sys.argv[1] if len(sys.argv) > 1 else "default"
+    # 'f32' = Precision.HIGHEST, the shipping default.  'default'
+    # (backend-default bf16-class matmul) is known-broken for the
+    # Pluecker sign tests -- on-chip 2026-08-20 it measured agree
+    # 0.808 / prim match 0.376 through this very script (BASELINE.md
+    # round-3 incident); pass it explicitly only to reproduce that.
+    precision = sys.argv[1] if len(sys.argv) > 1 else "f32"
     scene = bench.build_or_load_scene()
     o0, d0 = bench_rays()
     k = 64 * 1024                       # oracle-sized slice (64 pkts)

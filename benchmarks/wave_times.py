@@ -17,7 +17,7 @@ light = jnp.asarray(np.tile([0.26726124, 0.8017837, 0.5345225], (n, 1)).astype(n
 rows0 = tuple(o[:, k] for k in range(3)) + tuple(d[:, k] for k in range(3))
 FLT_MAX = np.float32(3.402823466e38)
 
-tr3 = stream3.build_tracer(scene, check=False, check_every_wave=False, precision="default")
+tr3 = stream3.build_tracer(scene, check=False, check_every_wave=False, precision="f32")
 closest = packet_trace.build_tracer(scene, any_hit=False)
 anyhit = packet_trace.build_tracer(scene, any_hit=True)
 

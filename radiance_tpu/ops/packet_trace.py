@@ -420,6 +420,13 @@ def _run(origin, direction, tmin, tmax, nodef, kleaf, kprim, ktri_geo,
         lv = live.astype(f32)
         if pad:
             lv = jnp.concatenate([lv, jnp.zeros(pad, f32)])
+        # dead lanes may carry NaN/Inf (a wavefront engine's retired
+        # paths reflect off garbage normals): park them on a harmless
+        # out-of-scene ray so mom/planes/octant sums stay finite --
+        # NaN in a packet's union planes would poison node culling for
+        # the LIVE lanes of the same packet
+        o = jnp.where(lv[:, None] > 0, o, jnp.float32(1e30))
+        d = jnp.where(lv[:, None] > 0, d, jnp.float32(1.0))
 
     mom = jnp.cross(o, d)
     # feats column 11 carries the live flag in masked mode: kleaf rows

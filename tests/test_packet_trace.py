@@ -283,3 +283,29 @@ def test_packet_live_mask_any_hit():
         (np.asarray(got.t) < FLT_MAX)[lv],
         (np.asarray(base.t) < FLT_MAX)[lv])
     assert np.all(np.asarray(got.t)[~lv] == FLT_MAX)
+
+
+def test_packet_live_mask_nan_dead_lanes():
+    """Dead lanes carrying NaN/Inf geometry (a wavefront engine's
+    retired paths: reflect() off a garbage normal is NaN) must not
+    poison the packet's union planes -- live lanes in the SAME packet
+    still bit-match the unmasked kernel (bench.py's G1LIVE bounce wave
+    is exactly this shape)."""
+    ds = _single_instance_scene()
+    rng = np.random.default_rng(8)
+    o, d = gen_rays(rng, 640, spread=8.0)
+    live = rng.uniform(size=640) < 0.3
+    o_bad, d_bad = o.copy(), d.copy()
+    o_bad[~live] = np.inf
+    d_bad[~live] = np.nan
+    o, d = jnp.asarray(o), jnp.asarray(d)
+    o_bad, d_bad = jnp.asarray(o_bad), jnp.asarray(d_bad)
+
+    base = packet_trace.trace_rays_packet(
+        ds, o, d, jnp.float32(1e-3), jnp.float32(1e3))
+    got = packet_trace.trace_rays_packet(
+        ds, o_bad, d_bad, jnp.float32(1e-3), jnp.float32(1e3),
+        live=jnp.asarray(live))
+    np.testing.assert_array_equal(np.asarray(got.t)[live],
+                                  np.asarray(base.t)[live])
+    assert np.all(np.asarray(got.t)[~live] == FLT_MAX)
