@@ -952,10 +952,12 @@ def test_stream3_sah_collapse_vs_oracle(monkeypatch):
 def test_stream3_multipacket_city_vs_oracle():
     """Multi-packet regression for the round-3 precision incident: at
     >1 packet on a cluster scene, precision='default' (backend-default
-    matmul = bf16-class on BOTH TPU and current XLA:CPU) flips Pluecker
-    side-product signs and fabricates ~4-5x false hits -- the shipped
-    bench measured 9.65 Mrays/s of wrong results before
-    benchmarks/verify_entry.py caught it.  The safe 'f32' path
+    matmul = one bf16 MXU pass on TPU) flips Pluecker side-product
+    signs and fabricates ~4-5x false hits -- the shipped bench
+    measured 9.65 Mrays/s of wrong results before
+    benchmarks/verify_entry.py caught it.  (XLA:CPU default dots are
+    exact, so this test cannot reproduce the wrong values on the CPU
+    test backend -- it pins the safe path instead.)  The 'f32' path
     (Precision.HIGHEST) must match the oracle at multi-packet scale;
     'default' is kept available for experiments but nothing defaults
     to it (bench.py, engine/pathtracer.py)."""
