@@ -278,19 +278,42 @@ def make_tracer(scene, probe_rays=None):
                     po, pd = probe_rays
                     s = (len(po) // 2) & ~2047
                     po, pd = po[s:s + 2048], pd[s:s + 2048]
-                    t_s = np.asarray(run_stream3(po, pd, 1e4, False))
-                    t_p = np.asarray(_pk.trace_rays_packet(
+                    rec_s = jax.block_until_ready(j_entry(
+                        scene, stream3.rows_from_aos(
+                            jnp.asarray(po), jnp.asarray(pd)),
+                        jnp.float32(1e-3), jnp.float32(1e4)))
+                    rec_p = _pk.trace_rays_packet(
                         scene, jnp.asarray(po), jnp.asarray(pd),
                         jnp.float32(1e-3), jnp.float32(1e4),
-                        interpret=False).t)
+                        interpret=False)
+                    t_s = np.asarray(rec_s.t)
+                    t_p = np.asarray(rec_p.t)
                     fmax = np.float32(3.402823466e38)
-                    agree = float(((t_s < fmax) == (t_p < fmax)).mean())
-                    print(f"# stream3 integrity vs gen-1: "
-                          f"{agree:.4f}", file=sys.stderr)
-                    if agree < 0.995:
+                    hs, hp = t_s < fmax, t_p < fmax
+                    agree = float((hs == hp).mean())
+                    # hit/miss agreement alone missed the failure mode
+                    # that matters next: a regression that preserves
+                    # the hit mask but corrupts t or primID (advisor
+                    # r3).  Both records are already materialized, so
+                    # check all three on the agreeing hits.
+                    both = hs & hp
+                    if both.any():
+                        rel = (np.abs(t_s[both] - t_p[both])
+                               / np.maximum(t_p[both], 1e-6))
+                        t_p99 = float(np.quantile(rel, 0.99))
+                        prim_m = float(np.mean(
+                            np.asarray(rec_s.prim)[both]
+                            == np.asarray(rec_p.prim)[both]))
+                    else:
+                        t_p99, prim_m = 0.0, 1.0
+                    print(f"# stream3 integrity vs gen-1: {agree:.4f} "
+                          f"t_rel_p99 {t_p99:.2e} prim {prim_m:.4f}",
+                          file=sys.stderr)
+                    if agree < 0.995 or t_p99 > 1e-3 or prim_m < 0.99:
                         raise RuntimeError(
-                            f"stream3/gen-1 hit disagreement "
-                            f"{1 - agree:.4f} on the probe packet")
+                            f"stream3/gen-1 disagreement on the probe "
+                            f"packet: agree {agree:.4f}, t_rel_p99 "
+                            f"{t_p99:.2e}, prim {prim_m:.4f}")
                 return "pallas_stream3", run_stream3
         except Exception as e:  # pragma: no cover - fallback path
             print(f"# stream3 tracer unavailable ({type(e).__name__}: "
@@ -784,9 +807,7 @@ def run_shard1_bench():
     weak #5).  Prints ONE JSON line."""
     import jax
     import jax.numpy as jnp
-    from radiance_tpu.parallel.sharding import make_mesh, render_sharded
-
-    from radiance_tpu.parallel.sharding import shard_frame
+    from radiance_tpu.parallel.sharding import make_mesh, shard_frame
 
     BATCH, DEPTH = 2, 2
     w = h = int(os.environ.get("RADIANCE_SHARD1_RES", "1024"))

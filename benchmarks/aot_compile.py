@@ -210,6 +210,38 @@ def compile_tlas_native():
     return total
 
 
+def compile_packet(masked: bool, any_hit: bool):
+    """Gen-1 packet kernel (ops/packet_trace._run) incl. the live-mask
+    variant -- the G1LIVE bench config compiles these fresh on the
+    remote Mosaic (round-3's G1LIVE step wedged the device; this local
+    precheck is the chain's compile-risk gate for it)."""
+    from radiance_tpu.ops import packet_trace as pk
+    rng = np.random.default_rng(0)
+    n = 4 * pk.PACKET
+    o = rng.standard_normal((n, 3)).astype(np.float32)
+    d = rng.standard_normal((n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    nk_local = 256
+    nodef = rng.standard_normal((8 * nk_local, 16)).astype(np.float32)
+    nleaf = 128
+    kleaf = rng.standard_normal(
+        (nleaf, 16, kernel_pack.KERNEL_LEAF_LANES)).astype(np.float32)
+    kprim = np.arange(nleaf * pk.T, dtype=np.int32)
+    ktri_geo = rng.standard_normal((nleaf * pk.T, 9)).astype(np.float32)
+    inv0 = np.eye(4, dtype=np.float32)
+    live = (rng.random(n) > 0.5)
+
+    def fn(o, d, nodef, kleaf, kprim, ktri_geo, inv0, *lv):
+        return pk._run(o, d, 1e-3, 1e4, nodef, kleaf, kprim, ktri_geo,
+                       inv0, any_hit=any_hit, interpret=False,
+                       live=lv[0] if lv else None)
+
+    args = (o, d, nodef, kleaf, kprim, ktri_geo, inv0)
+    if masked:
+        args = args + (live,)
+    return aot_compile(fn, *args)
+
+
 TARGETS = {
     "emit": lambda: compile_emit(False),
     "emit-treelet": lambda: compile_emit(True),
@@ -219,6 +251,9 @@ TARGETS = {
     "isect-occl": compile_isect_occl,
     "refine": compile_refine,
     "tlas": compile_tlas_native,
+    "packet": lambda: compile_packet(False, False),
+    "packet-live": lambda: compile_packet(True, False),
+    "packet-occl-live": lambda: compile_packet(True, True),
 }
 
 

@@ -68,7 +68,29 @@ def agree_line(tag, wave, t_got, prim_got, t_ref, prim_ref, live,
             "prim_match": pm if pm is None else round(pm, 6),
             "secs": round(secs, 2)}
     print(json.dumps(line), flush=True)
+    RESULTS.append(line)
     return agree
+
+
+RESULTS = []
+
+
+def write_artifact(ok: bool):
+    """VERIFY_OUT=<path>: persist the audit as a JSON artifact (the
+    round's proof that the shipping bench defaults were verified on
+    chip before any headline was reported -- VERDICT r3 #3)."""
+    out = os.environ.get("VERIFY_OUT")
+    if not out:
+        return
+    import datetime
+    art = {"ok": bool(ok), "n_rays": N_SLICE,
+           "precision": os.environ.get("VERIFY_PREC", "f32"),
+           "date": datetime.datetime.now(
+               datetime.timezone.utc).isoformat(timespec="seconds"),
+           "results": RESULTS}
+    with open(out, "w") as f:
+        json.dump(art, f, indent=1)
+        f.write("\n")
 
 
 def main():
@@ -191,9 +213,10 @@ def main():
                       f"{str(e)[:200]}", file=sys.stderr, flush=True)
                 worst = 0.0
 
-    print("VERIFY-ENTRY", "OK" if worst >= 0.999 else "FAIL",
-          flush=True)
-    return 0 if worst >= 0.999 else 1
+    ok = worst >= 0.999
+    print("VERIFY-ENTRY", "OK" if ok else "FAIL", flush=True)
+    write_artifact(ok)
+    return 0 if ok else 1
 
 
 if __name__ == "__main__":

@@ -30,6 +30,8 @@ def compact_mask(mask: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     # construction is a few ms.  Stability falls out of the scan:
     # live entry i lands at (#live before i), dead entry i at
     # n_live + (#dead before i).
+    if n == 0:
+        return jnp.zeros(0, jnp.int32), jnp.int32(0)
     idx = jnp.arange(n, dtype=jnp.int32)
     c_live = jnp.cumsum(mask.astype(jnp.int32)).astype(jnp.int32)
     n_live = c_live[-1]

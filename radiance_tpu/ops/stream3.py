@@ -50,6 +50,7 @@ XLA/NumPy oracles on a probe wave, with salted recompiles.
 
 import functools
 import os
+import sys
 
 import jax
 import jax.numpy as jnp
@@ -1779,6 +1780,17 @@ def _isect3_kernel(slot_pkt, lim_ref, emeta_ref, words_ref,
                         m = jax.lax.dot_general(
                             x, w, dims,
                             preferred_element_type=f32)
+                    elif precision == "high":
+                        # 3-pass bf16x3: ~f32-comparable products at
+                        # half the HIGHEST (6-pass) MXU cost.  Round-3
+                        # lesson: 'default' (1 bf16 pass) flips Pluecker
+                        # signs; any non-HIGHEST mode must pass
+                        # benchmarks/verify_entry.py on chip before it
+                        # may headline (BASELINE.md incident note).
+                        m = jax.lax.dot_general(
+                            x, w, dims,
+                            preferred_element_type=f32,
+                            precision=jax.lax.Precision.HIGH)
                     else:
                         m = jax.lax.dot_general(
                             x, w, dims,
@@ -1909,6 +1921,11 @@ def _isect3_occl_kernel(slot_pkt, lim_ref, emeta_ref, words_ref,
                     elif precision == "default":
                         m = jax.lax.dot_general(
                             x, w, dims, preferred_element_type=f32)
+                    elif precision == "high":
+                        # 3-pass bf16x3 (see the closest-hit kernel)
+                        m = jax.lax.dot_general(
+                            x, w, dims, preferred_element_type=f32,
+                            precision=jax.lax.Precision.HIGH)
                     else:
                         m = jax.lax.dot_general(
                             x, w, dims, preferred_element_type=f32,
@@ -2145,6 +2162,9 @@ def _run(rows_w, tmin, tmax, nodef, kleaf_k, kprim, ktri_geo, inv0,
         # treelet is chip-viable.  Interpret mode (tests, oracles)
         # keeps it.
         if treelet and not interpret:
+            print("# stream3: treelet=True downgraded to plain walk "
+                  "(compiled non-WS mode; only the WS-composed treelet "
+                  "kernel is chip-viable)", file=sys.stderr)
             treelet = False
         words, emeta = _stage_emit(lim, scal, smeta, bscal, nodef,
                                    interpret=interpret, treelet=treelet)
@@ -2366,11 +2386,12 @@ def trace_rows_stream3(scene, rows_w, tmin, tmax,
     if treelet is None:
         # composed WS+treelet (_emit3wst_kernel) is chip-validated; the
         # WS-less lockstep treelet (_emit3t_kernel) HANGS the remote
-        # Mosaic compiler (two compiler generations, BASELINE.md) --
-        # the default below only ever reaches the composed kernel
-        # because ws defaults ON for compiled TPU runs.  Explicit
-        # RADIANCE_TREELET=1 RADIANCE_WS=0 still selects the hanging
-        # kernel; don't.
+        # Mosaic compiler (two compiler generations, BASELINE.md).
+        # The default below only ever reaches the composed kernel
+        # because ws defaults ON for compiled TPU runs, and _run
+        # force-downgrades treelet on the compiled non-WS path (with a
+        # stderr note), so the hanging kernel is unreachable compiled;
+        # interpret mode (tests, oracles) still exercises both walks.
         treelet = os.environ.get(
             "RADIANCE_TREELET", "1" if interpret is False else "0") == "1"
     n = rows_w[0].shape[0]

@@ -116,6 +116,7 @@ def test_direct_light_shadowing(tracer, cornell):
     assert lum.std() > 4  # meaningful shading variation
 
 
+@pytest.mark.slow
 def test_convergence_more_samples_less_noise(tracer, cornell):
     accum4, _ = render(tracer, cornell, batch=4, depth=3)
     accum16, _ = render(tracer, cornell, batch=16, depth=3)
@@ -127,6 +128,7 @@ def test_convergence_more_samples_less_noise(tracer, cornell):
     assert patch16.std() <= patch4.std() * 1.2  # generally less noisy
 
 
+@pytest.mark.slow
 def test_debug_modes_11_17(tracer, cornell):
     """BRDF-term probes (reference: shader.cl:663-714): each mode renders,
     is deterministic, differs from the lit render, and geometry pixels
@@ -182,6 +184,7 @@ def test_make_context_single_instance_elides_gathers():
                                   np.asarray(ds.inst_sbt[slot]))
 
 
+@pytest.mark.slow
 def test_engine_wave_routing_xla_matches_default(monkeypatch, tracer,
                                                  cornell):
     """RADIANCE_ENGINE_BOUNCE/SHADOW=xla (parked-lane per-ray walk, no
@@ -200,6 +203,7 @@ def test_engine_wave_routing_xla_matches_default(monkeypatch, tracer,
                                rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_temporal_bound_progressive(monkeypatch):
     """RADIANCE_ENGINE_TBOUND=1: progressive accumulation with
     per-block temporal t bounds (sample s's primary wave culled by
@@ -267,6 +271,7 @@ def test_temporal_bound_progressive(monkeypatch):
     np.testing.assert_array_equal(img1, img0)
 
 
+@pytest.mark.slow
 def test_tbound_residual_overflow_rewalked(monkeypatch):
     """An invalid temporal bound whose residual overflows the in-jit
     cap marks rays slot=-2 (don't-trust); _traced_wavefront must
@@ -315,6 +320,7 @@ def test_tbound_residual_overflow_rewalked(monkeypatch):
     assert (np.asarray(got.slot) >= -1).all()
 
 
+@pytest.mark.slow
 def test_tbound_store_is_per_tracer(monkeypatch):
     """Two tracers rendering the same scene/resolution with DIFFERENT
     cameras must not share temporal bounds: each tracer's bounded

@@ -15,6 +15,7 @@ triangle (no BVH) and re-implement the shading/tonemap math straight
 from the reference semantics, sharing the bit-exact PCG3D and BRDF
 helpers of test_golden.
 """
+import pytest
 
 import os
 import sys
@@ -198,6 +199,7 @@ class _Sample2Oracle:
         return img.reshape(size, size, 3)
 
 
+@pytest.mark.slow
 def test_golden_sample2(tmp_path):
     import sample2
 

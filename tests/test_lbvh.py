@@ -31,6 +31,7 @@ def decode(scene):
 
 
 @pytest.mark.parametrize("n_tris", [5, 64, 1000])
+@pytest.mark.slow
 def test_lbvh_structure(n_tris):
     rng = np.random.default_rng(n_tris)
     verts, tris = random_tris(rng, n_tris)
@@ -53,6 +54,7 @@ def test_lbvh_structure(n_tris):
 
 
 @pytest.mark.parametrize("n_tris,seed", [(100, 0), (2000, 1)])
+@pytest.mark.slow
 def test_lbvh_traversal_matches_oracle(n_tris, seed):
     rng = np.random.default_rng(seed)
     verts, tris = random_tris(rng, n_tris)
@@ -85,6 +87,7 @@ def test_lbvh_traversal_matches_oracle(n_tris, seed):
     assert (np.asarray(hits.prim)[close] == prim_ref[close]).mean() > 0.98
 
 
+@pytest.mark.slow
 def test_lbvh_jit_rebuild_is_fast_to_retrace():
     """The dynamic-geometry path: rebuild + trace under one jit."""
     rng = np.random.default_rng(5)

@@ -65,6 +65,7 @@ def _run(cap):
 
 
 @pytest.mark.parametrize("cap", [64])
+@pytest.mark.slow
 def test_leaf_cap_parity(cap):
     r = _run(cap)
     assert r.returncode == 0, r.stdout + r.stderr

@@ -5,6 +5,8 @@ leaf-matrix math against the Moller-Trumbore oracle, and the full
 packet walk against both the XLA traversal and the brute-force soup.
 """
 
+import pytest
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -156,6 +158,7 @@ def test_multi_instance_not_supported():
     assert packet_trace.supports_multi(ds)  # few instances: sweep path
 
 
+@pytest.mark.slow
 def test_multi_instance_packet_sweeps():
     """Instance-sequential kernel sweeps vs the XLA two-level walk."""
     rng = np.random.default_rng(31)

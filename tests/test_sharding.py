@@ -52,6 +52,7 @@ def test_pixel_sharded_matches_single_device(setup):
     np.testing.assert_array_equal(np.asarray(img_s), np.asarray(img_1))
 
 
+@pytest.mark.slow
 def test_sample_parallel_converges(setup):
     scene, res, tracer = setup
     mesh = sharding.make_mesh(8)
@@ -73,6 +74,7 @@ def test_sample_parallel_converges(setup):
     np.testing.assert_allclose(accum, np.asarray(acc), rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_tile_sample_2d_mesh_matches_single_device(setup):
     """4x2 mesh (pixels x samples): equals a single-device frame of
     batch = n_sp * batch over the same sample ids."""

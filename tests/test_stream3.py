@@ -33,6 +33,7 @@ def _agree(ref, got, flag=None, n=None):
                                atol=1e-4)
 
 
+@pytest.mark.slow
 def test_stream3_coherent_vs_oracle():
     ds = _single_instance_scene(n_tris=900, seed=3)
     assert stream3.supports(ds)
@@ -59,6 +60,32 @@ def test_stream3_coherent_vs_oracle():
             == np.asarray(ref.prim)[both]).mean() > 0.98
 
 
+def test_stream3_precision_high_vs_oracle():
+    """precision='high' (3-pass bf16x3 pair matmuls) must keep oracle
+    agreement in interpret mode; its on-chip acceptance gate is
+    benchmarks/verify_entry.py VERIFY_PREC=high (BASELINE.md round-3
+    incident note: any non-HIGHEST mode is guilty until verified)."""
+    ds = _single_instance_scene(n_tris=400, seed=7)
+    n = 1024
+    ij = np.arange(n)
+    xs = (ij % 32) / 32.0 - 0.5
+    ys = (ij // 32) / 32.0 - 0.5
+    o = np.tile([[0.0, 0.0, 12.0]], (n, 1)).astype(np.float32)
+    d = np.stack([xs, ys, np.full(n, -1.0)], -1).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    o, d = jnp.asarray(o), jnp.asarray(d)
+    ref = traversal.trace_rays(ds, o, d, 1e-3, 1e3)
+    rows_w = stream3.rows_from_aos(o, d)
+    tstart, _ = stream3.leaf_tables(ds.knode_f, ds.kleaf.shape[0])
+    rec, diag = stream3._run(
+        rows_w, 1e-3, 1e3, ds.knode_f, ds.kleaf, ds.kprim, ds.ktri_geo,
+        ds.inst_inv[0], tstart, precision="high", interpret=True,
+        with_diag=True)
+    flag = np.asarray(diag["pkt_flag"])[:n // stream3.PKT]
+    _agree(ref, rec, flag)
+
+
+@pytest.mark.slow
 def test_stream3_random_mixed_packets():
     ds = _single_instance_scene(n_tris=400, seed=21)
     rng = np.random.default_rng(5)
@@ -72,6 +99,7 @@ def test_stream3_random_mixed_packets():
     _agree(ref, rec)
 
 
+@pytest.mark.slow
 def test_stream3_build_tracer_residual_and_spotcheck():
     ds = _single_instance_scene(n_tris=400, seed=9)
     tracer = stream3.build_tracer(ds, check=True,
@@ -92,6 +120,7 @@ def test_stream3_zero_direction_rays_miss():
     assert (np.asarray(rec.t) == FLT_MAX).all()
 
 
+@pytest.mark.slow
 def test_stream3_tmax_clip():
     ds = _single_instance_scene(n_tris=900, seed=3)
     n = 1024
@@ -108,6 +137,7 @@ def test_stream3_tmax_clip():
     _agree(ref, rec)
 
 
+@pytest.mark.slow
 def test_stream3_conservative_fallback(monkeypatch):
     """When the octant sub-slot pool is too small, mixed packets walk
     conservatively on their base slot with WHOLE-packet scalars --
@@ -124,6 +154,7 @@ def test_stream3_conservative_fallback(monkeypatch):
     _agree(ref, rec)
 
 
+@pytest.mark.slow
 def test_stream3_in_jit_residual(monkeypatch):
     """Step-capped packets are exactly re-walked in-jit: with a tiny
     cap every packet truncates, and the residual XLA walk must still
@@ -145,6 +176,7 @@ def test_stream3_in_jit_residual(monkeypatch):
     _agree(ref, rec)
 
 
+@pytest.mark.slow
 def test_stream3_residual_overflow_poisons(monkeypatch):
     monkeypatch.setattr(stream3, "STEP_CAP", 4)
     monkeypatch.setattr(stream3, "RES_CAP", 1)
@@ -166,6 +198,7 @@ def test_stream3_residual_overflow_poisons(monkeypatch):
     assert miss_pkt0 or miss_pkt1
 
 
+@pytest.mark.slow
 def test_stream3_live_mask_vs_oracle():
     """Dead lanes (garbage rays of retired paths) are excluded from
     every frustum and report miss; live lanes match the oracle even
@@ -224,6 +257,7 @@ def test_stream3_live_mask_keeps_frusta_tight():
     assert (np.asarray(diag["pkt_flag"])[:n // stream3.PKT] == 0).all()
 
 
+@pytest.mark.slow
 def test_stream3_live_mask_all_dead_packet():
     ds = _single_instance_scene(n_tris=200, seed=2)
     n = 2 * stream3.PKT
@@ -243,6 +277,7 @@ def test_stream3_live_mask_all_dead_packet():
     assert ((t[stream3.PKT:] < FLT_MAX) == hr).all()
 
 
+@pytest.mark.slow
 def test_stream3_live_mask_presort():
     """Block presort with a live mask: dead blocks sort last and the
     inverse permutation restores caller order for live results."""
@@ -272,6 +307,7 @@ def test_stream3_live_mask_presort():
                                atol=1e-4)
 
 
+@pytest.mark.slow
 def test_engine_wavefront_stream3_route(monkeypatch):
     """_traced_wavefront's opt-in stream3 route (live mask, presort,
     no element compaction) must agree with the default argsort+park
@@ -303,6 +339,7 @@ def test_engine_wavefront_stream3_route(monkeypatch):
                                rtol=2e-3, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_stream3_occlusion_mode():
     """occl=True: hit/miss sets match the closest-hit oracle exactly
     (any hit in (tmin, tmax) occludes), t is 0 for occluded rays."""
@@ -339,6 +376,7 @@ def test_stream3_occlusion_tmax_window():
             == (np.asarray(ref.t) < FLT_MAX)).all()
 
 
+@pytest.mark.slow
 def test_stream3_occlusion_live_mask():
     ds = _single_instance_scene(n_tris=900, seed=3)
     n = 2 * stream3.PKT
@@ -388,6 +426,7 @@ def test_rows_from_aos_fast_kernel_numerics():
                                       np.asarray(ref[k]))
 
 
+@pytest.mark.slow
 def test_stream3_treelet_vs_oracle():
     """The treelet emit walk (aligned 8-row windows + in-window
     path-follow + flat predicated appends) must reproduce the plain
@@ -416,6 +455,7 @@ def test_stream3_treelet_vs_oracle():
             == np.asarray(ref.prim)[both]).mean() > 0.98
 
 
+@pytest.mark.slow
 def test_stream3_treelet_mixed_octants():
     """Treelet walk with octant sub-slots (random directions)."""
     ds = _single_instance_scene(n_tris=400, seed=21)
@@ -433,6 +473,7 @@ def test_stream3_treelet_mixed_octants():
     _agree(ref, rec, flag)
 
 
+@pytest.mark.slow
 def test_stream3_exact_refine_prunes_and_preserves(monkeypatch):
     """Stage 1.5 (exact per-ray block refine): results identical with
     and without, and the kept pair count shrinks to at most the
@@ -464,6 +505,7 @@ def test_stream3_exact_refine_prunes_and_preserves(monkeypatch):
             == np.asarray(recs[False].prim)).all()
 
 
+@pytest.mark.slow
 def test_stream3_cascade_matches_full_trace():
     """The near/far t-cascade must equal a single full-range trace
     (hits inside the near window are globally closest; near-misses
@@ -558,6 +600,7 @@ def test_stream3_ws_end_to_end_matches_plain():
                              ws=True))
 
 
+@pytest.mark.slow
 def test_stream3_ws_live_mask_and_diag():
     """ws with a live mask: masked-dead lanes keep tight frusta and
     the diag word/step counters stay populated."""
@@ -628,6 +671,7 @@ def test_stream3_ws_treelet_matches_lockstep_treelet():
             np.asarray(getattr(rec_w, f)), err_msg=f)
 
 
+@pytest.mark.slow
 def test_stream3_tqsort_refine(monkeypatch):
     """RADIANCE_TQSORT=1: refine outputs the same word multiset per
     slot, bucket-ordered by tq ascending; end-to-end t is identical
@@ -685,6 +729,7 @@ def test_stream3_tqsort_refine(monkeypatch):
     assert checked > 0
 
 
+@pytest.mark.slow
 def test_stream3_tq7_word_format(monkeypatch):
     """RADIANCE_TQ_BITS=7 (via _apply_tq_bits): the narrower tq field
     quadruples leaf-id reach for concatenated multi-BLAS tables.  The
@@ -719,6 +764,7 @@ def test_stream3_tq7_word_format(monkeypatch):
     assert agree > 0.99       # sort may reorder exact-t ties
 
 
+@pytest.mark.slow
 def test_stream3_bf16_epilogue(monkeypatch):
     """RADIANCE_ISECT_EPI=bf16: t and prim stay exact; b1/b2 within
     bf16 tolerance of the f32 epilogue."""
@@ -744,6 +790,7 @@ def test_stream3_bf16_epilogue(monkeypatch):
                                np.asarray(rec_p.b2)[hit], atol=5e-3)
 
 
+@pytest.mark.slow
 def test_stream3_ws_wide_groups():
     """wg=16 (RADIANCE_WSG): one scalar round trip serves 16 walk
     rows.  Per-slot lists must still bit-match the lockstep kernel,
@@ -780,6 +827,7 @@ def test_stream3_ws_wide_groups():
 
 
 @pytest.mark.parametrize("ws", [False, True])
+@pytest.mark.slow
 def test_stream3_temporal_block_bound_exact(monkeypatch, ws):
     """blk_bound from a previous identical wave's t: the bounded trace
     must reproduce the unbounded result exactly (every ray's true t is
@@ -813,6 +861,7 @@ def test_stream3_temporal_block_bound_exact(monkeypatch, ws):
                                   np.asarray(base.prim))
 
 
+@pytest.mark.slow
 def test_stream3_temporal_bound_residual_rewalk():
     """An artificially tight bound culls real hits; the in-jit
     residual re-walk must restore them exactly (result equals the
@@ -846,6 +895,7 @@ def test_stream3_temporal_bound_residual_rewalk():
                                atol=1e-4)
 
 
+@pytest.mark.slow
 def test_stream3_temporal_bound_occlusion():
     """occl waves: a finite bound with an occluder inside it resolves
     without residual; unoccluded rays under a finite bound re-walk
@@ -876,6 +926,7 @@ def test_stream3_temporal_bound_occlusion():
     np.testing.assert_array_equal(occ1, occ0)
 
 
+@pytest.mark.slow
 def test_stream3_temporal_bound_overflow_marks_slot(monkeypatch):
     """Residual rays beyond the re-walk cap must surface as the
     observable don't-trust marker (slot == -2, t == FLT_MAX), never as
@@ -921,6 +972,7 @@ def test_stream3_temporal_bound_overflow_marks_slot(monkeypatch):
                                   t0[ok] >= FLT_MAX)
 
 
+@pytest.mark.slow
 def test_stream3_sah_collapse_vs_oracle(monkeypatch):
     """RADIANCE_COLLAPSE=sah emits a different kernel-leaf cut of the
     same BVH; traces must still match the XLA oracle exactly, and the

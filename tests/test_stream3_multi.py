@@ -27,6 +27,7 @@ def _multi_scene(n_inst=5, tris_per=120, seed=4):
     return tlas.device_scene()
 
 
+@pytest.mark.slow
 def test_multi_vs_oracle():
     ds = _multi_scene()
     assert stream3_multi.supports(ds)
@@ -57,6 +58,7 @@ def test_multi_vs_oracle():
             == np.asarray(ref.slot)[close]).mean() > 0.98
 
 
+@pytest.mark.slow
 def test_multi_coherent_tiles():
     ds = _multi_scene(n_inst=4, tris_per=200, seed=9)
     mt = stream3_multi.MultiTables(ds)
@@ -82,6 +84,7 @@ def test_multi_coherent_tiles():
                                atol=1e-4)
 
 
+@pytest.mark.slow
 def test_multi_live_mask_and_occlusion():
     """Many-instance trace with a live mask: dead lanes (garbage rays)
     are excluded from the TLAS block cull and every sub-wave frustum;
@@ -121,6 +124,7 @@ def test_multi_live_mask_and_occlusion():
     assert ((to[ok2] < FLT_MAX) == hr[ok2]).all()
 
 
+@pytest.mark.slow
 def test_multi_tables_dedup_and_traced_frame():
     """MultiTables stack per UNIQUE BLAS (copies share one table), the
     pytree form rides on DeviceScene.multi, and trace_rows_multi works
@@ -192,6 +196,7 @@ def test_engine_auto_attach_multi(monkeypatch):
     assert tracer._maybe_attach_multi(out) is out
 
 
+@pytest.mark.slow
 def test_multi_ws_matches_default(monkeypatch):
     """RADIANCE_WS=1 reaches the per-instance _run inside the multi
     sweep and must not change results."""
@@ -250,6 +255,7 @@ def _tlas_scene(n_inst=9, n_uniq=3, tris_per=150, seed=7):
     return accel.BuildTopAccelStruct(instances).device_scene()
 
 
+@pytest.mark.slow
 def test_tlas_native_vs_oracle():
     """TLAS-native slot path (one emit/refine/isect invocation over
     (packet, instance) slots; reference two-level semantics
@@ -292,6 +298,7 @@ def test_tlas_native_vs_oracle():
     assert ((np.asarray(occ.t)[ok] < FLT_MAX) == hr[ok]).all()
 
 
+@pytest.mark.slow
 def test_tlas_native_live_mask_and_dispatch(monkeypatch):
     """Dead lanes (NaN rays) are excluded from every native-slot
     frustum; RADIANCE_MULTI=native routes trace_rows_multi to the
@@ -337,6 +344,7 @@ def test_tlas_native_live_mask_and_dispatch(monkeypatch):
     assert (hg[ok] == hr[ok]).all()
 
 
+@pytest.mark.slow
 def test_tlas_native_pool_overflow_residual_and_poison():
     """Packets whose slots overflow the static capacity are exactly
     re-walked in-jit by the XLA two-level traversal (up to RES_CAP
@@ -402,6 +410,7 @@ def test_supports_native_tracks_tq_bits():
     assert stream3_multi.supports_native(mt)
 
 
+@pytest.mark.slow
 def test_multi_temporal_bound_scan_and_native():
     """blk_bound on both many-instance routes: a bound from a previous
     identical trace must reproduce the unbounded result exactly, and
@@ -456,6 +465,7 @@ def test_multi_temporal_bound_scan_and_native():
                                    atol=1e-4)
 
 
+@pytest.mark.slow
 def test_tlas_native_sah_collapse(monkeypatch):
     """RADIANCE_COLLAPSE=sah changes every BLAS's kernel-leaf cut at
     device_scene() time; the TLAS-native concatenated tables must keep
@@ -484,6 +494,7 @@ def test_tlas_native_sah_collapse(monkeypatch):
                                atol=1e-4)
 
 
+@pytest.mark.slow
 def test_tlas_native_treelet_window_clamp():
     """Treelet emit on the TLAS-concatenated table: the 8-row window
     clamp must bind at the END of the concatenated array, not at

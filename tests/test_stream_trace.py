@@ -31,6 +31,7 @@ def _check_match(ref, got, hit_frac=0.995):
 
 
 @pytest.mark.parametrize("precision", ["f32", "bf16"])
+@pytest.mark.slow
 def test_stream_vs_xla_traversal(precision):
     ds = _single_instance_scene()
     assert stream_trace.supports(ds)
@@ -59,6 +60,7 @@ def test_stream_vs_xla_traversal(precision):
     assert np.all(np.asarray(got.slot)[np.asarray(got.hit)] == 0)
 
 
+@pytest.mark.slow
 def test_stream_coherent_tile_rays():
     ds = _single_instance_scene(n_tris=400, seed=21)
     n = 512
@@ -79,6 +81,7 @@ def test_stream_coherent_tile_rays():
                                atol=1e-4)
 
 
+@pytest.mark.slow
 def test_stream_transformed_instance():
     c, s = np.cos(0.6), np.sin(0.6)
     tf = np.array([[c * 2, 0, s * 2, 1.0],

@@ -103,6 +103,7 @@ print("TPU_SMOKE_OK", dev.platform, float(agree), float(pagree),
 
 
 @pytest.mark.timeout(900)
+@pytest.mark.slow
 def test_tpu_smoke():
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     env = {k: v for k, v in os.environ.items()
