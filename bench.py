@@ -418,10 +418,23 @@ def run_bench_stream3(scene, trace, o, d, light, n, bounce_rays):
     # through the whole city (wave_compare 2026-08-20: those dead lanes
     # make shadow the most expensive wave at 0.44 s)
     gen1_live = os.environ.get("RADIANCE_GEN1_LIVE", "0") == "1"
+    # RADIANCE_GEN1_SORT=1: additionally bucket-sort the secondary
+    # waves (stable 9-bucket counting sort, ops/reorder.py) so dead
+    # lanes collapse into trailing all-dead packets (retired in ~one
+    # node step by the masked kernel) and live packets are
+    # direction-octant pure.  Implies the live-mask kernel variant.
+    gen1_sort = os.environ.get("RADIANCE_GEN1_SORT", "0") == "1"
+    gen1_live = gen1_live or gen1_sort
+    if gen1_sort:
+        from radiance_tpu.ops import reorder
 
     # which secondary waves also ride stream3 (with the live mask +
-    # block presort): "b" = bounce, "s" = shadow.  Decided per
-    # platform measurement (benchmarks/wave_compare.py).
+    # block presort): "b" = bounce, "s" = shadow.  MEASURED VERDICT
+    # (chip 2026-08-20, chain_r3.log): a 10x LOSS -- 1.001/0.891
+    # Mrays/s vs 8.6 -- scattered secondary packets blow the stream
+    # walk's step caps without ray-level reordering.  Default stays ""
+    # (gen-1 packet kernel); the knob remains as the A/B instrument
+    # for future reorder experiments only.
     s3waves = os.environ.get("RADIANCE_BENCH_S3WAVES", "")
     prec = os.environ.get("RADIANCE_BENCH_PRECISION", "f32")
     near = float(os.environ.get("RADIANCE_BENCH_NEAR", "0"))
@@ -464,6 +477,10 @@ def run_bench_stream3(scene, trace, o, d, light, n, bounce_rays):
         return (tuple(o2[:, k] for k in range(3))
                 + tuple(d2[:, k] for k in range(3)), t1 < FLT_MAX)
 
+    if gen1_sort:
+        j_sortkeys = jax.jit(
+            lambda d2, lv: reorder.coherence_perm(d2, lv))
+
     # FUSE defaults ON (chip-validated 2026-08-20: 9.652 Mrays/s vs
     # 8.787 unfused -- the ~3 tunnel round trips it saves are ~10% of
     # the wave); a fused compile failure falls back to the unfused
@@ -498,11 +515,22 @@ def run_bench_stream3(scene, trace, o, d, light, n, bounce_rays):
                          + tuple(d2[:, k] for k in range(3)))
                 live = t1 < FLT_MAX
             g1_live = (t1 < FLT_MAX) if gen1_live else None
+            if gen1_sort:
+                # one stable bucket sort serves both secondary waves
+                # (shadow dirs are uniform, so any live-compacting
+                # order suits them); outputs unsorted via inv gather
+                perm, inv = reorder.coherence_perm(d2, g1_live)
+                o2g, d2g = o2[perm], d2[perm]
+                lvg = g1_live[perm]
             if "b" in s3waves:
                 t2 = stream3.trace_rows_stream3(
                     scn, rows2, jnp.float32(1e-3), jnp.float32(1e4),
                     precision=prec, interpret=False, presort=False,
                     live=live).t
+            elif gen1_sort:
+                t2 = packet_trace.trace_rays_packet(
+                    scn, o2g, d2g, jnp.float32(1e-3), jnp.float32(1e4),
+                    interpret=False, live=lvg).t[inv]
             else:
                 t2 = packet_trace.trace_rays_packet(
                     scn, o2, d2, jnp.float32(1e-3), jnp.float32(1e4),
@@ -513,6 +541,11 @@ def run_bench_stream3(scene, trace, o, d, light, n, bounce_rays):
                     scn, rows3, jnp.float32(1e-3), jnp.float32(1e4),
                     precision=prec, interpret=False, presort=False,
                     live=live, occl=True).t
+            elif gen1_sort:
+                t3 = packet_trace.trace_rays_packet(
+                    scn, o2g, light, jnp.float32(1e-3),
+                    jnp.float32(1e4), any_hit=True, interpret=False,
+                    live=lvg).t[inv]
             else:
                 t3 = packet_trace.trace_rays_packet(
                     scn, o2, light, jnp.float32(1e-3),
@@ -529,14 +562,23 @@ def run_bench_stream3(scene, trace, o, d, light, n, bounce_rays):
         if s3waves:
             rows2, live = rows_live(o2, d2, t1)
         g1_live = (t1 < FLT_MAX) if gen1_live else None
+        if gen1_sort:
+            perm, inv = j_sortkeys(d2, g1_live)
+            o2g, d2g, lvg = o2[perm], d2[perm], g1_live[perm]
         if "b" in s3waves:
             t2 = j_live(scene, rows2, live, jnp.float32(1e4)).t
+        elif gen1_sort:
+            t2 = closest(o2g, d2g, jnp.float32(1e-3),
+                         jnp.float32(1e4), lvg).t[inv]
         else:
             t2 = closest(o2, d2, jnp.float32(1e-3),
                          jnp.float32(1e4), g1_live).t
         if "s" in s3waves:
             rows3 = rows2[:3] + light_rows
             t3 = j_occl(scene, rows3, live, jnp.float32(1e4)).t
+        elif gen1_sort:
+            t3 = anyhit(o2g, light, jnp.float32(1e-3),
+                        jnp.float32(1e4), lvg).t[inv]
         else:
             t3 = anyhit(o2, light, jnp.float32(1e-3),
                         jnp.float32(1e4), g1_live).t

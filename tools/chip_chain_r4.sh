@@ -83,6 +83,10 @@ run VERIFY 3600 VERIFY_OUT=VERIFY_r04.json -- python benchmarks/verify_entry.py;
 run HEAD    1800 RADIANCE_NOOP=0 -- python bench.py;  gate
 if need AOTPK; then
   run G1LIVE 1800 RADIANCE_GEN1_LIVE=1 -- python bench.py;  gate
+  # live-compacting octant bucket sort in front of the masked gen-1
+  # kernels: dead lanes (~78% of secondary rays) collapse into
+  # trailing all-dead packets that retire in ~1 node step
+  run G1SORT 1800 RADIANCE_GEN1_SORT=1 -- python bench.py;  gate
 else
   echo "# G1LIVE fenced: AOTPK precheck failed $(date)" >> "$LOG"
 fi
