@@ -425,7 +425,11 @@ def run_bench_stream3(scene, trace, o, d, light, n, bounce_rays):
     # direction-octant pure.  Implies the live-mask kernel variant.
     gen1_sort = os.environ.get("RADIANCE_GEN1_SORT", "0") == "1"
     gen1_live = gen1_live or gen1_sort
-    if gen1_sort:
+    # RADIANCE_S3_OSORT=1: same bucket sort in front of the stream3
+    # secondary routing (S3WAVES) -- the A/B that decides whether
+    # sign-pure packets rescue the measured-out stream3 bounce route
+    s3_osort = os.environ.get("RADIANCE_S3_OSORT", "0") == "1"
+    if gen1_sort or s3_osort:
         from radiance_tpu.ops import reorder
 
     # which secondary waves also ride stream3 (with the live mask +
@@ -477,7 +481,7 @@ def run_bench_stream3(scene, trace, o, d, light, n, bounce_rays):
         return (tuple(o2[:, k] for k in range(3))
                 + tuple(d2[:, k] for k in range(3)), t1 < FLT_MAX)
 
-    if gen1_sort:
+    if gen1_sort or s3_osort:
         j_sortkeys = jax.jit(
             lambda d2, lv: reorder.coherence_perm(d2, lv))
 
@@ -522,11 +526,17 @@ def run_bench_stream3(scene, trace, o, d, light, n, bounce_rays):
                 perm, inv = reorder.coherence_perm(d2, g1_live)
                 o2g, d2g = o2[perm], d2[perm]
                 lvg = g1_live[perm]
+            if s3waves and s3_osort:
+                s_perm, s_inv = reorder.coherence_perm(d2, live)
+                rows2 = tuple(r[s_perm] for r in rows2)
+                live_s = live[s_perm]
             if "b" in s3waves:
                 t2 = stream3.trace_rows_stream3(
                     scn, rows2, jnp.float32(1e-3), jnp.float32(1e4),
                     precision=prec, interpret=False, presort=False,
-                    live=live).t
+                    live=live_s if s3_osort else live).t
+                if s3_osort:
+                    t2 = t2[s_inv]
             elif gen1_sort:
                 t2 = packet_trace.trace_rays_packet(
                     scn, o2g, d2g, jnp.float32(1e-3), jnp.float32(1e4),
@@ -540,7 +550,9 @@ def run_bench_stream3(scene, trace, o, d, light, n, bounce_rays):
                 t3 = stream3.trace_rows_stream3(
                     scn, rows3, jnp.float32(1e-3), jnp.float32(1e4),
                     precision=prec, interpret=False, presort=False,
-                    live=live, occl=True).t
+                    live=live_s if s3_osort else live, occl=True).t
+                if s3_osort:
+                    t3 = t3[s_inv]
             elif gen1_sort:
                 t3 = packet_trace.trace_rays_packet(
                     scn, o2g, light, jnp.float32(1e-3),
@@ -565,8 +577,16 @@ def run_bench_stream3(scene, trace, o, d, light, n, bounce_rays):
         if gen1_sort:
             perm, inv = j_sortkeys(d2, g1_live)
             o2g, d2g, lvg = o2[perm], d2[perm], g1_live[perm]
+        if s3waves and s3_osort:
+            s_perm, s_inv = j_sortkeys(d2, live)
+            rows2 = tuple(r[s_perm] for r in rows2)
+            live_s = live[s_perm]
         if "b" in s3waves:
-            t2 = j_live(scene, rows2, live, jnp.float32(1e4)).t
+            t2 = j_live(scene, rows2,
+                        live_s if s3_osort else live,
+                        jnp.float32(1e4)).t
+            if s3_osort:
+                t2 = t2[s_inv]
         elif gen1_sort:
             t2 = closest(o2g, d2g, jnp.float32(1e-3),
                          jnp.float32(1e4), lvg).t[inv]
@@ -575,7 +595,11 @@ def run_bench_stream3(scene, trace, o, d, light, n, bounce_rays):
                          jnp.float32(1e4), g1_live).t
         if "s" in s3waves:
             rows3 = rows2[:3] + light_rows
-            t3 = j_occl(scene, rows3, live, jnp.float32(1e4)).t
+            t3 = j_occl(scene, rows3,
+                        live_s if s3_osort else live,
+                        jnp.float32(1e4)).t
+            if s3_osort:
+                t3 = t3[s_inv]
         elif gen1_sort:
             t3 = anyhit(o2g, light, jnp.float32(1e-3),
                         jnp.float32(1e4), lvg).t[inv]

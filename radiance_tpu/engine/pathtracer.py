@@ -240,6 +240,28 @@ def _traced_wavefront(scene, o, d, tmin, tmax, alive, sort_key=None,
             t=rec.t, prim=rec.prim, slot=jnp.maximum(rec.slot, -1),
             b1=rec.b1, b2=rec.b2)
     from radiance_tpu.ops import packet_trace
+    if (os.environ.get("RADIANCE_GEN1_SORT", "0") == "1"
+            and trace_kw.get("any_hit_program") is None
+            and packet_trace.supports(scene)
+            and jax.default_backend() == "tpu"):
+        # bucket-sorted live-mask packet kernel: a stable 9-bucket
+        # counting sort (ops/reorder.py; a few ms, NOT the ~212 ms
+        # argsort) collapses dead lanes into trailing all-dead packets
+        # (retired in ~1 node step) and groups live rays into
+        # direction-octant-pure packets with pixel-order origin
+        # coherence preserved.
+        from radiance_tpu.ops import reorder
+        perm, inv = reorder.coherence_perm(d, alive)
+        rec = _trace_dispatch(scene, o[perm], d[perm], tmin, tmax,
+                              live=alive[perm], **trace_kw)
+        rec = compaction.apply_perm(rec, inv)
+        miss = ~alive
+        return traversal.HitRecord(
+            t=jnp.where(miss, FLT_MAX, rec.t),
+            prim=jnp.where(miss, -1, rec.prim),
+            slot=jnp.where(miss, -1, rec.slot),
+            b1=jnp.where(miss, 0.0, rec.b1),
+            b2=jnp.where(miss, 0.0, rec.b2))
     if (os.environ.get("RADIANCE_GEN1_LIVE", "0") == "1"
             and trace_kw.get("any_hit_program") is None
             and packet_trace.supports(scene)

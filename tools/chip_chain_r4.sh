@@ -91,6 +91,9 @@ else
   echo "# G1LIVE fenced: AOTPK precheck failed $(date)" >> "$LOG"
 fi
 run EPI16   1800 RADIANCE_ISECT_EPI=bf16 -- python bench.py;  gate
+# stream3 secondary routing WITH the octant sort: does sign-pure
+# packet grouping rescue the measured-out S3WAVES route?
+run S3W_OS  1800 RADIANCE_BENCH_S3WAVES=bs RADIANCE_S3_OSORT=1 -- python bench.py;  gate
 run WSG16   1800 RADIANCE_WS=1 RADIANCE_WSG=16 -- python bench.py;  gate
 run RSUB16  1800 RADIANCE_REFINE_SUB=16 -- python bench.py;  gate
 # -- mixed-precision lever (VERDICT r3 #2): Precision.HIGH = 3-pass
@@ -113,6 +116,7 @@ python tools/pick_bench_env.py "$LOG" >> "$LOG" 2>&1
 run ENGINE  2400 RADIANCE_NOOP=0 -- python bench.py --engine;  gate
 if need AOTPK; then
   run ENGINE_G1L 2400 RADIANCE_GEN1_LIVE=1 -- python bench.py --engine;  gate
+  run ENGINE_G1S 2400 RADIANCE_GEN1_SORT=1 -- python bench.py --engine;  gate
 fi
 
 # -- group 3: ledger + capability matrix
