@@ -1693,7 +1693,7 @@ def _isect3_kernel(slot_pkt, lim_ref, emeta_ref, words_ref,
                    w_s, sem, best_t, best_prim, best_b1, best_b2, *,
                    precision: str, orient: str = "major",
                    cull: bool = True, salt: int = 0,
-                   epi: str = "f32"):
+                   epi: str = "f32", dbg: bool = False):
     """Slot-direct pair intersection.  One grid step = one slot: walk
     its word list (leaf matrices DMA-pipelined S_SLOTS deep), and for
     each set keep bit k run a statically-sliced [BLK, 16] x [16, 4T]
@@ -1740,6 +1740,16 @@ def _isect3_kernel(slot_pkt, lim_ref, emeta_ref, words_ref,
         kmask = (wd >> W_KEEP_SHIFT) & 255
         tq = wd & W_TQ_MASK
         cp(i, i % S_SLOTS).wait()
+        if dbg:
+            # device-side debug layer (RADIANCE_KERNEL_DEBUG=1): the
+            # in-kernel analog of the reference's DATA_LAYOUT_DEBUG
+            # printers (radiance/shader/data.cl:101-235) -- dumps each
+            # processed pair word so a miscompiled/misrouted word list
+            # is visible from the device, not only via host probes
+            pl.debug_print(
+                "isect slot={} word[{}]={} kmask={} leaf={}",
+                pl.program_id(0), i, wd, kmask,
+                jnp.maximum((wd >> W_LEAF_SHIFT) - 1, 0))
         lb_bits = jnp.where(tq == 0, 0, (tq + TQ_BIAS3) << TQ_SHIFT)
         wf = w_s[i % S_SLOTS]
         prim_row = wf[10:11, 0:T]                   # [1, T] f32 exact
@@ -2003,9 +2013,13 @@ def _stage_isect(words, emeta, slot_pkt, feats, lim, kleaf_k,
     else:
         epi = os.environ.get("RADIANCE_ISECT_EPI", "f32")
         bdt = jnp.bfloat16 if epi == "bf16" else jnp.float32
-        kern = functools.partial(_isect3_kernel, precision=precision,
-                                 orient=orient, cull=cull, salt=salt,
-                                 epi=epi)
+        kern = functools.partial(
+            _isect3_kernel, precision=precision,
+            orient=orient, cull=cull, salt=salt, epi=epi,
+            # compiled-mode only: interpret-mode lowering of
+            # debug_print(program_id) has no CPU rule
+            dbg=(not interpret and os.environ.get(
+                "RADIANCE_KERNEL_DEBUG", "0") == "1"))
         best_scratch = [pltpu.VMEM((PKT, T), jnp.float32),
                         pltpu.VMEM((PKT, T), jnp.float32),
                         pltpu.VMEM((PKT, T), bdt),

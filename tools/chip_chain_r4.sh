@@ -112,6 +112,17 @@ run PLAIN   1800 RADIANCE_WS=0 RADIANCE_TREELET=0 -- python bench.py;  gate
 run NOFUSE  1800 RADIANCE_BENCH_FUSE=0 -- python bench.py;  gate
 python tools/pick_bench_env.py "$LOG" >> "$LOG" 2>&1
 
+# -- leaf-shape gamble, AOT-fenced (round 3's LEAF64 remote compile
+#    HTTP-500'd and knocked the step out): the cap-64 kernel shapes
+#    must compile locally before any remote attempt
+run AOT64 1800 RADIANCE_LEAF_CAP=64 RADIANCE_TQ_BITS=7 -- python benchmarks/aot_compile.py emit-ws-treelet isect refine
+if need AOT64; then
+  run LEAF64 2400 RADIANCE_LEAF_CAP=64 RADIANCE_TQ_BITS=7 -- python bench.py;  gate
+  python tools/pick_bench_env.py "$LOG" >> "$LOG" 2>&1
+else
+  echo "# LEAF64 fenced: AOT64 precheck failed $(date)" >> "$LOG"
+fi
+
 # -- group 2: the engine 1080p frame metric (BASELINE.json metric #2)
 run ENGINE  2400 RADIANCE_NOOP=0 -- python bench.py --engine;  gate
 if need AOTPK; then
