@@ -104,6 +104,29 @@ def compile_isect():
     return aot_compile(fn, words, emeta, slot_pkt, feats, lim, kleaf)
 
 
+def compile_isect_lean():
+    from radiance_tpu.ops import stream3 as s3
+    nslot = 64
+    npk = 32
+    rng = np.random.default_rng(0)
+    words = np.zeros((nslot, s3.PCAP), np.int32)
+    emeta = np.zeros((nslot, 8), np.int32)
+    slot_pkt = np.arange(nslot, dtype=np.int32) % npk
+    feats = rng.standard_normal((npk * s3.PKT, 16)).astype(np.float32)
+    lim = np.asarray([[1e-3, 1e4]], np.float32)
+    nleaf = 512
+    kleaf = rng.standard_normal(
+        (nleaf, 16, kernel_pack.KERNEL_LEAF_LANES)).astype(np.float32)
+
+    def fn(words, emeta, slot_pkt, feats, lim, kleaf):
+        return s3._stage_isect(words, emeta, slot_pkt, feats, lim,
+                               kleaf, precision="default",
+                               interpret=False, orient="major",
+                               lean=True)
+
+    return aot_compile(fn, words, emeta, slot_pkt, feats, lim, kleaf)
+
+
 def compile_isect_occl():
     from radiance_tpu.ops import stream3 as s3
     nslot = 64
@@ -248,6 +271,7 @@ TARGETS = {
     "emit-ws": compile_emit_ws,
     "emit-ws-treelet": lambda: compile_emit_ws(True),
     "isect": compile_isect,
+    "isect-lean": compile_isect_lean,
     "isect-occl": compile_isect_occl,
     "refine": compile_refine,
     "tlas": compile_tlas_native,

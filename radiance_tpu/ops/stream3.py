@@ -1690,10 +1690,11 @@ def _stage_refine_exact(words, emeta, slot_pkt, feats_t, aabb8, lim,
 
 def _isect3_kernel(slot_pkt, lim_ref, emeta_ref, words_ref,
                    x_ref, kleaf_any, out_ref,
-                   w_s, sem, best_t, best_prim, best_b1, best_b2, *,
+                   w_s, sem, best_t, best_prim, *scr,
                    precision: str, orient: str = "major",
                    cull: bool = True, salt: int = 0,
-                   epi: str = "f32", dbg: bool = False):
+                   epi: str = "f32", dbg: bool = False,
+                   lean: bool = False):
     """Slot-direct pair intersection.  One grid step = one slot: walk
     its word list (leaf matrices DMA-pipelined S_SLOTS deep), and for
     each set keep bit k run a statically-sliced [BLK, 16] x [16, 4T]
@@ -1702,8 +1703,19 @@ def _isect3_kernel(slot_pkt, lim_ref, emeta_ref, words_ref,
     kleaf row 10 (kernel_pack) and its barycentrics fall out of the
     Pluecker signs (b1 = s2/ssum, b2 = s0/ssum), so the epilogue needs
     NO wave-sized gathers.  Flush once per slot into [1, PKT, 4]
-    (t, prim, b1, b2)."""
+    (t, prim, b1, b2).
+
+    lean=True drops the two barycentric fold arrays entirely (the
+    occlusion kernel's attribute-skip trick applied to closest hit,
+    ~4-5 fewer VPU ops of the ~12-op per-pair epilogue); the caller
+    recomputes the single winner's (b1, b2) outside the kernel from
+    ktri_geo -- exactly the gen-1 packet kernel's contract
+    (packet_trace._run)."""
     f32, i32 = jnp.float32, jnp.int32
+    if lean:
+        best_b1 = best_b2 = None
+    else:
+        best_b1, best_b2 = scr
     # bf16 epilogue: barycentric fold arrays (and their selects) run
     # at half the vreg count.  t and primID stay f32-exact -- b1/b2
     # only interpolate attributes, where 4e-3 is invisible.
@@ -1717,8 +1729,9 @@ def _isect3_kernel(slot_pkt, lim_ref, emeta_ref, words_ref,
 
     best_t[:, :] = jnp.full((PKT, T), _FMAX, f32)
     best_prim[:, :] = jnp.full((PKT, T), -1.0, f32)
-    best_b1[:, :] = jnp.zeros((PKT, T), bdt)
-    best_b2[:, :] = jnp.zeros((PKT, T), bdt)
+    if not lean:
+        best_b1[:, :] = jnp.zeros((PKT, T), bdt)
+        best_b2[:, :] = jnp.zeros((PKT, T), bdt)
 
     def word_at(j):
         return words_ref[r, j]
@@ -1826,12 +1839,13 @@ def _isect3_kernel(slot_pkt, lim_ref, emeta_ref, words_ref,
                     best_prim[k * BLK:(k + 1) * BLK, :] = jnp.where(
                         improve, jnp.broadcast_to(prim_row, (BLK, T)),
                         best_prim[k * BLK:(k + 1) * BLK, :])
-                    best_b1[k * BLK:(k + 1) * BLK, :] = jnp.where(
-                        improve, (s2 * rv).astype(bdt),
-                        best_b1[k * BLK:(k + 1) * BLK, :])
-                    best_b2[k * BLK:(k + 1) * BLK, :] = jnp.where(
-                        improve, (s0 * rv).astype(bdt),
-                        best_b2[k * BLK:(k + 1) * BLK, :])
+                    if not lean:
+                        best_b1[k * BLK:(k + 1) * BLK, :] = jnp.where(
+                            improve, (s2 * rv).astype(bdt),
+                            best_b1[k * BLK:(k + 1) * BLK, :])
+                        best_b2[k * BLK:(k + 1) * BLK, :] = jnp.where(
+                            improve, (s0 * rv).astype(bdt),
+                            best_b2[k * BLK:(k + 1) * BLK, :])
 
         @pl.when(i + S_SLOTS - 1 < cnt)
         def _():
@@ -1847,14 +1861,17 @@ def _isect3_kernel(slot_pkt, lim_ref, emeta_ref, words_ref,
     jmin = jnp.min(jnp.where(match, lanes_p, T), axis=1, keepdims=True)
     first = (lanes_p == jmin).astype(f32)
     prim = jnp.sum(best_prim[:, :] * first, axis=1, keepdims=True)
-    b1w = jnp.sum(best_b1[:, :].astype(f32) * first, axis=1,
-                  keepdims=True)
-    b2w = jnp.sum(best_b2[:, :].astype(f32) * first, axis=1,
-                  keepdims=True)
     out_ref[0, :, 0:1] = pr
     out_ref[0, :, 1:2] = prim
-    out_ref[0, :, 2:3] = b1w
-    out_ref[0, :, 3:4] = b2w
+    if lean:
+        out_ref[0, :, 2:4] = jnp.zeros((PKT, 2), f32)
+    else:
+        b1w = jnp.sum(best_b1[:, :].astype(f32) * first, axis=1,
+                      keepdims=True)
+        b2w = jnp.sum(best_b2[:, :].astype(f32) * first, axis=1,
+                      keepdims=True)
+        out_ref[0, :, 2:3] = b1w
+        out_ref[0, :, 3:4] = b2w
     # static salt baked into the module bytes
     @pl.when(cnt < jnp.int32(-1 - salt))
     def _():
@@ -1993,11 +2010,14 @@ def _isect3_occl_kernel(slot_pkt, lim_ref, emeta_ref, words_ref,
 def _stage_isect(words, emeta, slot_pkt, feats, lim, kleaf_k,
                  *, precision: str, interpret: bool,
                  orient: str = "major", cull: bool = True,
-                 salt: int = 0, occl: bool = False):
+                 salt: int = 0, occl: bool = False,
+                 lean: bool = False):
     """Run phase 2 over all slots.  Returns out [NSLOT, PKT, 4] f32
     with lanes (t, prim, b1, b2); dead or empty slots hold
     (FLT_MAX, -1, 0, 0).  occl=True runs the any-hit variant: t is 0
-    on hit, winner attributes are not computed."""
+    on hit, winner attributes are not computed.  lean=True skips the
+    in-kernel barycentric folds (lanes 2-3 are zeros; caller
+    recomputes the winner's barys from ktri_geo)."""
     nslot = words.shape[0]
     if orient == "major":
         x_spec = pl.BlockSpec((PKT, 16), lambda i, sp: (sp[i], 0),
@@ -2019,11 +2039,13 @@ def _stage_isect(words, emeta, slot_pkt, feats, lim, kleaf_k,
             # compiled-mode only: interpret-mode lowering of
             # debug_print(program_id) has no CPU rule
             dbg=(not interpret and os.environ.get(
-                "RADIANCE_KERNEL_DEBUG", "0") == "1"))
+                "RADIANCE_KERNEL_DEBUG", "0") == "1"),
+            lean=lean)
         best_scratch = [pltpu.VMEM((PKT, T), jnp.float32),
-                        pltpu.VMEM((PKT, T), jnp.float32),
-                        pltpu.VMEM((PKT, T), bdt),
-                        pltpu.VMEM((PKT, T), bdt)]
+                        pltpu.VMEM((PKT, T), jnp.float32)]
+        if not lean:
+            best_scratch += [pltpu.VMEM((PKT, T), bdt),
+                             pltpu.VMEM((PKT, T), bdt)]
     return pl.pallas_call(
         kern,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -2119,6 +2141,54 @@ def _stage_glue(out_s, smeta, npk, n):
 
 # ----------------------------------------------------------------- run
 
+def _winner_barys(rows_w, inv0, kprim, ktri_geo, prim, t, n):
+    """Recompute the winning triangle's (b1, b2) for lean-isect waves.
+
+    Component-wise Moeller-Trumbore on the world component rows
+    (transformed to object space per component -- no [N, 3] AoS
+    relayout, which costs ~90 ms/wave on this backend) against the
+    winner's ktri_geo row.  ktri_geo is indexed by kernel face id;
+    prim is the original primitive id (kleaf row 10), so the gather
+    goes through the inverse of kprim.  Same contract as the gen-1
+    packet kernel's epilogue (packet_trace._run).  Reference math:
+    radiance.cl:211-251 (Moeller-Trumbore barycentrics)."""
+    f32, i32 = jnp.float32, jnp.int32
+    nf = kprim.shape[0]                  # Nf + T (tail rows carry -1)
+    # inverse of the face->prim map; padding rows (-1) dump into slot
+    # nf-1, which no real primID occupies (primIDs < Nf <= nf - T)
+    idx = jnp.where(kprim >= 0, kprim, nf - 1)
+    iprim = jnp.zeros(nf, i32).at[idx].set(jnp.arange(nf, dtype=i32))
+    hit = (t < FLT_MAX) & (prim >= 0)
+    face = iprim[jnp.clip(prim, 0, nf - 1)]
+    geo = ktri_geo[face]                 # [n, 9] = (v0, e1, e2)
+    ox, oy, oz, dx, dy, dz = (r[:n] for r in rows_w[:6])
+    # object space per component (t is invariant under the affine map)
+    m = inv0
+    ox, oy, oz = (m[0, 0] * ox + m[0, 1] * oy + m[0, 2] * oz + m[0, 3],
+                  m[1, 0] * ox + m[1, 1] * oy + m[1, 2] * oz + m[1, 3],
+                  m[2, 0] * ox + m[2, 1] * oy + m[2, 2] * oz + m[2, 3])
+    dx, dy, dz = (m[0, 0] * dx + m[0, 1] * dy + m[0, 2] * dz,
+                  m[1, 0] * dx + m[1, 1] * dy + m[1, 2] * dz,
+                  m[2, 0] * dx + m[2, 1] * dy + m[2, 2] * dz)
+    v0x, v0y, v0z = geo[:, 0], geo[:, 1], geo[:, 2]
+    e1x, e1y, e1z = geo[:, 3], geo[:, 4], geo[:, 5]
+    e2x, e2y, e2z = geo[:, 6], geo[:, 7], geo[:, 8]
+    px = dy * e2z - dz * e2y
+    py = dz * e2x - dx * e2z
+    pz = dx * e2y - dy * e2x
+    det = e1x * px + e1y * py + e1z * pz
+    inv_det = 1.0 / det
+    tx, ty, tz = ox - v0x, oy - v0y, oz - v0z
+    b1 = (tx * px + ty * py + tz * pz) * inv_det
+    qx = ty * e1z - tz * e1y
+    qy = tz * e1x - tx * e1z
+    qz = tx * e1y - ty * e1x
+    b2 = (dx * qx + dy * qy + dz * qz) * inv_det
+    zero = jnp.zeros_like(b1)
+    return (jnp.where(hit, b1, zero).astype(f32),
+            jnp.where(hit, b2, zero).astype(f32))
+
+
 def _run(rows_w, tmin, tmax, nodef, kleaf_k, kprim, ktri_geo, inv0,
          tstart, *, precision: str, interpret: bool, raw: bool = False,
          orient: str = "major", treelet: bool = False,
@@ -2131,7 +2201,15 @@ def _run(rows_w, tmin, tmax, nodef, kleaf_k, kprim, ktri_geo, inv0,
     MUST be re-traced or poisoned by the caller.  `live` masks dead
     lanes out of every frustum (see _stage_prep); dead lanes' outputs
     are garbage and must be masked by the caller."""
-    del kprim, ktri_geo, tstart, raw  # attrs ride through the kernel
+    del tstart, raw  # attrs ride through the kernel
+    # lean isect: skip the in-kernel bary folds; the single winner's
+    # (b1, b2) are recomputed below from ktri_geo (the gen-1 packet
+    # kernel's contract) -- ~4-5 fewer VPU ops of the ~12-op per-pair
+    # epilogue at the price of one wave-sized [N, 9] gather
+    lean = (not occl) and os.environ.get(
+        "RADIANCE_ISECT_LEAN", "0") == "1"
+    if not lean:
+        del kprim, ktri_geo
     n = rows_w[0].shape[0]
     pad = (-n) % (G * PKT)
     if pad:
@@ -2140,6 +2218,7 @@ def _run(rows_w, tmin, tmax, nodef, kleaf_k, kprim, ktri_geo, inv0,
             for r in rows_w)
         if live is not None:
             live = jnp.concatenate([live, jnp.zeros(pad, dtype=bool)])
+    rows_keep = rows_w    # caller order (pre-presort), for lean barys
     if presort:
         if live is not None:
             rows_w, inv_blk, live = _block_sort(rows_w, live)
@@ -2221,7 +2300,7 @@ def _run(rows_w, tmin, tmax, nodef, kleaf_k, kprim, ktri_geo, inv0,
     out_s = _stage_isect(words_i, emeta_i, slot_pkt, feats, lim,
                          kleaf_k, precision=precision,
                          interpret=interpret, orient=orient,
-                         occl=occl)
+                         occl=occl, lean=lean)
     # back to storage order (slot p == packet p for base slots), so
     # the glue's fold stays a tiny extras-only row scatter
     inv_order = jnp.zeros_like(order).at[order].set(
@@ -2243,6 +2322,11 @@ def _run(rows_w, tmin, tmax, nodef, kleaf_k, kprim, ktri_geo, inv0,
                         b1=unblk(rec.b1), b2=unblk(rec.b2))
     rec = HitRecord(t=rec.t[:n], prim=rec.prim[:n], slot=rec.slot[:n],
                     b1=rec.b1[:n], b2=rec.b2[:n])
+    if lean:
+        b1, b2 = _winner_barys(rows_keep, inv0, kprim, ktri_geo,
+                               rec.prim, rec.t, n)
+        rec = HitRecord(t=rec.t, prim=rec.prim, slot=rec.slot,
+                        b1=b1, b2=b2)
     alive = smeta[:, 1] > 0
     trunc = alive & ((emeta_sorted[:, 1] > 0)
                      | (emeta_sorted[:, 0] > PCAP))

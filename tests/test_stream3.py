@@ -85,6 +85,44 @@ def test_stream3_precision_high_vs_oracle():
     _agree(ref, rec, flag)
 
 
+def test_stream3_lean_isect_matches_plain(monkeypatch):
+    """RADIANCE_ISECT_LEAN=1 drops the in-kernel bary folds and
+    recomputes the winner's (b1, b2) outside: t/prim must be
+    IDENTICAL to the plain kernel, barys equal to the oracle's
+    Moeller-Trumbore within float noise."""
+    ds = _single_instance_scene(n_tris=500, seed=11)
+    n = 1024
+    ij = np.arange(n)
+    xs = (ij % 32) / 32.0 - 0.5
+    ys = (ij // 32) / 32.0 - 0.5
+    o = np.tile([[0.0, 0.0, 12.0]], (n, 1)).astype(np.float32)
+    d = np.stack([xs, ys, np.full(n, -1.0)], -1).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    o, d = jnp.asarray(o), jnp.asarray(d)
+    rows_w = stream3.rows_from_aos(o, d)
+    tstart, _ = stream3.leaf_tables(ds.knode_f, ds.kleaf.shape[0])
+    args = (rows_w, 1e-3, 1e3, ds.knode_f, ds.kleaf, ds.kprim,
+            ds.ktri_geo, ds.inst_inv[0], tstart)
+    rec_p = stream3._run(*args, precision="f32", interpret=True)
+    monkeypatch.setenv("RADIANCE_ISECT_LEAN", "1")
+    rec_l = stream3._run(*args, precision="f32", interpret=True)
+    np.testing.assert_array_equal(np.asarray(rec_p.t),
+                                  np.asarray(rec_l.t))
+    np.testing.assert_array_equal(np.asarray(rec_p.prim),
+                                  np.asarray(rec_l.prim))
+    hit = np.asarray(rec_p.t) < FLT_MAX
+    assert hit.any()
+    # bary conventions must agree between the Pluecker fold (plain)
+    # and the Moeller-Trumbore recompute (lean)
+    np.testing.assert_allclose(np.asarray(rec_l.b1)[hit],
+                               np.asarray(rec_p.b1)[hit],
+                               rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(rec_l.b2)[hit],
+                               np.asarray(rec_p.b2)[hit],
+                               rtol=2e-3, atol=2e-3)
+    assert (np.asarray(rec_l.b1)[~hit] == 0).all()
+
+
 @pytest.mark.slow
 def test_stream3_random_mixed_packets():
     ds = _single_instance_scene(n_tris=400, seed=21)

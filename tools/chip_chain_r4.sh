@@ -73,7 +73,7 @@ echo "=== chain_r4 start $(date)" >> "$LOG"
 #    cannot touch the device).  AOTPK gates G1LIVE; AOTS3 gates the
 #    stream3 lever steps that compile fresh isect shapes.
 run AOTPK 1200 RADIANCE_NOOP=0 -- python benchmarks/aot_compile.py packet-live packet-occl-live
-run AOTS3 1200 RADIANCE_NOOP=0 -- python benchmarks/aot_compile.py emit-ws-treelet isect isect-occl refine
+run AOTS3 1200 RADIANCE_NOOP=0 -- python benchmarks/aot_compile.py emit-ws-treelet isect isect-lean isect-occl refine
 
 # -- group 0: correctness artifact under shipping defaults
 gate
@@ -95,6 +95,9 @@ run EPI16   1800 RADIANCE_ISECT_EPI=bf16 -- python bench.py;  gate
 # packet grouping rescue the measured-out S3WAVES route?
 run S3W_OS  1800 RADIANCE_BENCH_S3WAVES=bs RADIANCE_S3_OSORT=1 -- python bench.py;  gate
 run WSG16   1800 RADIANCE_WS=1 RADIANCE_WSG=16 -- python bench.py;  gate
+# lean isect epilogue: bary folds dropped from the pair kernel,
+# winner barys recomputed outside (ILEAN); composes with EPI16's gains
+run ILEAN   1800 RADIANCE_ISECT_LEAN=1 -- python bench.py;  gate
 run RSUB16  1800 RADIANCE_REFINE_SUB=16 -- python bench.py;  gate
 # -- mixed-precision lever (VERDICT r3 #2): Precision.HIGH = 3-pass
 #    bf16x3 pair matmuls, ~half the HIGHEST MXU cost.  verify_entry
