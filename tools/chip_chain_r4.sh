@@ -33,9 +33,11 @@ health() {
 }
 
 wait_healthy() {
+  # 240s probe timeout: post-wedge backend init can exceed 120s (r4:
+  # the waiter's 240s probe passed while 120s probes flapped for 7min)
   local mins=${1:-45}
   for _ in $(seq "$mins"); do
-    health 120 && return 0
+    health 240 && return 0
     echo "# device unhealthy; waiting 60s ($(date))" >> "$LOG"
     sleep 60
   done
@@ -96,8 +98,14 @@ run EPI16   1800 RADIANCE_ISECT_EPI=bf16 -- python bench.py;  gate
 run S3W_OS  1800 RADIANCE_BENCH_S3WAVES=bs RADIANCE_S3_OSORT=1 -- python bench.py;  gate
 run WSG16   1800 RADIANCE_WS=1 RADIANCE_WSG=16 -- python bench.py;  gate
 # lean isect epilogue: bary folds dropped from the pair kernel,
-# winner barys recomputed outside (ILEAN); composes with EPI16's gains
-run ILEAN   1800 RADIANCE_ISECT_LEAN=1 -- python bench.py;  gate
+# winner barys recomputed outside (ILEAN); composes with EPI16's gains.
+# Its own verify first (different compiled kernel body than plain)
+run VERIFY_ILEAN 2400 RADIANCE_ISECT_LEAN=1 VERIFY_CONFIGS=wst -- python benchmarks/verify_entry.py;  gate
+if need VERIFY_ILEAN; then
+  run ILEAN 1800 RADIANCE_ISECT_LEAN=1 -- python bench.py;  gate
+else
+  echo "# ILEAN fenced: VERIFY_ILEAN did not pass $(date)" >> "$LOG"
+fi
 run RSUB16  1800 RADIANCE_REFINE_SUB=16 -- python bench.py;  gate
 # -- mixed-precision lever (VERDICT r3 #2): Precision.HIGH = 3-pass
 #    bf16x3 pair matmuls, ~half the HIGHEST MXU cost.  verify_entry
