@@ -117,6 +117,13 @@ if need VERIFY_HIGH; then
 else
   echo "# PRECHIGH fenced: VERIFY_HIGH did not pass $(date)" >> "$LOG"
 fi
+# lever compositions: the headline candidates
+if need VERIFY_ILEAN; then
+  run COMBO1 1800 RADIANCE_GEN1_SORT=1 RADIANCE_ISECT_LEAN=1 -- python bench.py;  gate
+  if need VERIFY_HIGH; then
+    run COMBO2 1800 RADIANCE_GEN1_SORT=1 RADIANCE_ISECT_LEAN=1 RADIANCE_BENCH_PRECISION=high -- python bench.py;  gate
+  fi
+fi
 # f32 re-ranking of the emit levers (r3a's ranking is void)
 run WSONLY  1800 RADIANCE_TREELET=0 -- python bench.py;  gate
 run PLAIN   1800 RADIANCE_WS=0 RADIANCE_TREELET=0 -- python bench.py;  gate
