@@ -135,12 +135,22 @@ def main():
 
     hit = ref1.t < FLT_MAX
     hit_p = o + ref1.t[:, None] * d
-    nrm = rmath.normalize(o - hit_p, eps=1e-6)
+    # secondary directions: jittered back-into-the-scene rays.  (The
+    # earlier mirror around the to-camera facing normal sent every
+    # bounce ray out of the scene -- hits_ref was 0 and the bounce
+    # audit was vacuous, chain_r4 2026-08-21.)  Aiming at a jittered
+    # point near the scene origin from scattered hit origins gives an
+    # incoherent wave WITH real hits -- the regime the emit walk finds
+    # hard -- while staying deterministic (PCG3D on the ray index).
+    idx = jnp.arange(N_SLICE, dtype=jnp.uint32)
+    rnd = rmath.pcg3d(jnp.stack(              # float32 in [0, 1]
+        [idx, idx ^ jnp.uint32(0x9E3779B9), idx >> 7], axis=-1))
+    jit3 = (rnd - 0.5) * 60.0
+    d2r = rmath.normalize(jit3 - hit_p, eps=1e-6)
     # park dead lanes OUT of the scene for the oracle too (the stream
-    # path parks them internally; garbage mirror dirs of miss lanes
-    # would otherwise NaN the oracle walk)
-    d2 = jnp.where(hit[:, None], rmath.reflect(-d, nrm),
-                   jnp.float32(1.0))
+    # path parks them internally; garbage dirs of miss lanes would
+    # otherwise NaN the oracle walk)
+    d2 = jnp.where(hit[:, None], d2r, jnp.float32(1.0))
     o2 = jnp.where(hit[:, None], hit_p + nrm * 1e-3, jnp.float32(1e30))
     live = jax.block_until_ready(hit)
 

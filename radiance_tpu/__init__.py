@@ -35,6 +35,28 @@ if not _os.environ.get("RADIANCE_KEEP_HLO_LOCATIONS"):
     _jax.config.update(
         "jax_hlo_source_file_canonicalization_regex", ".*")
 
+# Persistent XLA compilation cache.  Every measurement-chain step is a
+# fresh process, and on this platform a cold engine compile runs 5-15
+# minutes through the remote-compile tunnel; with the source-location
+# canonicalization above, identical kernels hash identically across
+# entry points, so one compiled executable serves the whole chain.
+# RADIANCE_JAX_CACHE=0 disables; any other value overrides the dir.
+_cache = _os.environ.get("RADIANCE_JAX_CACHE", "")
+if _cache != "0":
+    if not _cache:
+        _cache = _os.path.join(
+            _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+            ".bench_cache", "xla_cache")
+    try:
+        _os.makedirs(_cache, exist_ok=True)
+        _jax.config.update("jax_compilation_cache_dir", _cache)
+        # cache anything that took >=2 s to compile (the default 1 s
+        # would also cache hundreds of tiny test programs)
+        _jax.config.update(
+            "jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception:  # unsupported on this jax/backend: run uncached
+        pass
+
 from radiance_tpu import config
 from radiance_tpu.core import math as rmath
 from radiance_tpu.core import types

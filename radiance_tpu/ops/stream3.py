@@ -2463,12 +2463,19 @@ def trace_rows_stream3(scene, rows_w, tmin, tmax,
                        live=None, occl: bool = False,
                        treelet=None, blk_bound=None) -> HitRecord:
     """Jit-traceable v6 entry on component rows (the fast wave
-    format).  Up to RES_CAP truncated packets (step-capped or
-    word-overflowed) are exactly re-walked IN-JIT by the per-ray XLA
-    traversal; flags beyond that poison their packets to miss (use
-    build_tracer for the unbounded host-side retrace).  `live` masks
-    dead lanes (parked rays of a wavefront engine) out of every
-    frustum; dead lanes report miss.
+    format).  EVERY truncated packet (step-capped or word-overflowed)
+    is exactly re-walked IN-JIT by the per-ray XLA traversal, drained
+    in RES_CAP-packet chunks under a while_loop (data-dependent trip
+    count, fixed shape per chunk).  `live` masks dead lanes (parked
+    rays of a wavefront engine) out of every frustum; dead lanes
+    report miss.
+
+    History: flags beyond RES_CAP used to poison their packets to a
+    plain miss -- on occlusion waves "miss" reads as UNOCCLUDED, and
+    verify_entry measured the resulting light leak at 4.7% of live
+    shadow lanes on the bench scene (chain_r4, 2026-08-21; treelet
+    emit truncated less and leaked only 0.3%).  Correctness must not
+    depend on how many packets truncate.
 
     blk_bound: optional [ceil(n/128)] f32 per-block temporal t upper
     bounds (previous progressive sample's worst t per block; +inf
@@ -2509,23 +2516,29 @@ def trace_rows_stream3(scene, rows_w, tmin, tmax,
                      occl=occl, treelet=treelet, blk_bound=blk_bound)
     flag = diag["pkt_flag"]                         # sorted pkt space
     blk_perm = diag["blk_perm"]
-    nb = blk_perm.shape[0]
-
-    # flagged sorted packets -> caller-order blocks
-    fidx = jnp.nonzero(flag > 0, size=RES_CAP,
-                       fill_value=flag.shape[0])[0].astype(jnp.int32)
-    fvalid = fidx < flag.shape[0]
     nsub = PKT // BLK
-    fblk_sorted = (jnp.where(fvalid, fidx, 0)[:, None] * nsub
-                   + jnp.arange(nsub, dtype=jnp.int32)[None, :]
-                   ).reshape(-1)                    # [RES_CAP*nsub]
-    fblk = blk_perm[fblk_sorted]                    # caller blocks
-    sel = (fblk[:, None] * BLK
-           + jnp.arange(BLK, dtype=jnp.int32)[None, :]).reshape(-1)
-    smask = jnp.repeat(jnp.repeat(fvalid, nsub), BLK) & (sel < n)
-    sel_g = jnp.minimum(sel, n - 1)                 # gather-safe
 
-    def run_residual(rec):
+    flag_b = flag > 0
+    rank = jnp.cumsum(flag_b.astype(jnp.int32)) - 1  # rank among flagged
+    nflag = jnp.sum(flag_b.astype(jnp.int32))
+
+    def residual_chunk(state):
+        c, rec = state
+        # flagged sorted packets with rank in [c*CAP, (c+1)*CAP) ->
+        # caller-order blocks
+        mask_c = flag_b & (rank >= c * RES_CAP) \
+            & (rank < (c + 1) * RES_CAP)
+        fidx = jnp.nonzero(mask_c, size=RES_CAP,
+                           fill_value=flag.shape[0])[0].astype(jnp.int32)
+        fvalid = fidx < flag.shape[0]
+        fblk_sorted = (jnp.where(fvalid, fidx, 0)[:, None] * nsub
+                       + jnp.arange(nsub, dtype=jnp.int32)[None, :]
+                       ).reshape(-1)                # [RES_CAP*nsub]
+        fblk = blk_perm[fblk_sorted]                # caller blocks
+        sel = (fblk[:, None] * BLK
+               + jnp.arange(BLK, dtype=jnp.int32)[None, :]).reshape(-1)
+        smask = jnp.repeat(jnp.repeat(fvalid, nsub), BLK) & (sel < n)
+        sel_g = jnp.minimum(sel, n - 1)             # gather-safe
         ow = jnp.stack([rows_w[0][sel_g], rows_w[1][sel_g],
                         rows_w[2][sel_g]], axis=1)
         dw = jnp.stack([rows_w[3][sel_g], rows_w[4][sel_g],
@@ -2542,40 +2555,35 @@ def trace_rows_stream3(scene, rows_w, tmin, tmax,
             return dst.at[jnp.where(smask, sel_g, n)].set(src_,
                                                           mode="drop")
 
-        return HitRecord(t=patch(rec.t, sub_t),
-                         prim=patch(rec.prim, sub.prim),
-                         slot=patch(rec.slot, sub.slot),
-                         b1=patch(rec.b1, sub.b1),
-                         b2=patch(rec.b2, sub.b2))
+        return c + 1, HitRecord(t=patch(rec.t, sub_t),
+                                prim=patch(rec.prim, sub.prim),
+                                slot=patch(rec.slot, sub.slot),
+                                b1=patch(rec.b1, sub.b1),
+                                b2=patch(rec.b2, sub.b2))
 
-    # the residual gather + RES_CAP*PKT-ray XLA walk only runs when a
-    # packet actually flagged (lax.cond: a fixed ~8k-ray walk per wave
-    # would otherwise tax every clean wave)
-    rec = jax.lax.cond(jnp.any(fvalid), run_residual, lambda r: r,
-                       rec)
+    # drain EVERY flagged packet, RES_CAP at a time (while_loop: a
+    # clean wave never enters the body, so the gather + XLA-walk cost
+    # is paid only by flagged chunks; the trip count is bounded by
+    # npkt/RES_CAP by construction)
+    _, rec = jax.lax.while_loop(
+        lambda s: s[0] * RES_CAP < nflag, residual_chunk,
+        (jnp.int32(0), rec))
 
     if blk_bound is not None:
         rec = _tb_residual(scene, rows_w, tmin, tmax, rec, blk_bound,
                            occl=occl, live=live, n=n)
 
-    # flags beyond RES_CAP poison their packets to miss
-    nflag = jnp.sum((flag > 0).astype(jnp.int32))
-    leftover = nflag > RES_CAP
-    rank = jnp.cumsum((flag > 0).astype(jnp.int32)) - 1
-    late = (flag > 0) & (rank >= RES_CAP)
-    blk_bad_sorted = jnp.repeat(late, nsub)         # [nb] sorted
-    blk_bad = jnp.zeros(nb, bool).at[blk_perm].set(blk_bad_sorted)
-    ray_bad = jnp.repeat(blk_bad, BLK)[:n] & leftover
     if live is not None:
         # dead lanes inside live blocks produce garbage intersections;
         # report them as the miss they are
-        ray_bad = ray_bad | ~live[:n]
-    return HitRecord(
-        t=jnp.where(ray_bad, FLT_MAX, rec.t),
-        prim=jnp.where(ray_bad, -1, rec.prim),
-        slot=jnp.where(ray_bad, -1, rec.slot),
-        b1=jnp.where(ray_bad, 0.0, rec.b1),
-        b2=jnp.where(ray_bad, 0.0, rec.b2))
+        dead = ~live[:n]
+        rec = HitRecord(
+            t=jnp.where(dead, FLT_MAX, rec.t),
+            prim=jnp.where(dead, -1, rec.prim),
+            slot=jnp.where(dead, -1, rec.slot),
+            b1=jnp.where(dead, 0.0, rec.b1),
+            b2=jnp.where(dead, 0.0, rec.b2))
+    return rec
 
 
 def trace_rows_cascade(scene, rows_w, tmin, tmax, near,

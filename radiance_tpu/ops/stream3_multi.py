@@ -663,54 +663,60 @@ def trace_rows_tlas(scene, mt, rows_w, tmin, tmax,
         jnp.zeros(npk, jnp.int32).at[smeta[:, 3]].max(
             trunc.astype(jnp.int32), mode="drop"))
 
-    # up to RES_CAP flagged packets are exactly re-walked IN-JIT by
-    # the XLA two-level traversal (it handles the full TLAS); flags
-    # beyond that poison their packets to slot=-2 (mirrors
-    # trace_rows_stream3's residual contract)
+    # EVERY flagged packet is exactly re-walked IN-JIT by the XLA
+    # two-level traversal (it handles the full TLAS), drained in
+    # RES_CAP-packet chunks under a while_loop -- mirrors
+    # trace_rows_stream3's round-4 residual contract (poisoning flags
+    # beyond the cap to miss read as "unoccluded" on occlusion waves:
+    # the shadow light leak verify_entry measured, chain_r4
+    # 2026-08-21).  The occl walk is any-hit-terminating, normalized
+    # to the pipeline's t=0-on-hit convention.
     from radiance_tpu.ops import traversal as _trav
-    fidx = jnp.nonzero(pkt_flag > 0, size=s3.RES_CAP,
-                       fill_value=npk)[0].astype(jnp.int32)
-    fvalid = fidx < npk
-    sel = (jnp.where(fvalid, fidx, 0)[:, None] * PKT
-           + jnp.arange(PKT, dtype=jnp.int32)[None, :]).reshape(-1)
-    smask = jnp.repeat(fvalid, PKT) & (sel < n)
-    sel_g = jnp.minimum(sel, npad - 1)
 
-    def run_residual(rec):
+    flag_b = pkt_flag > 0
+    rank = jnp.cumsum(flag_b.astype(jnp.int32)) - 1
+    nflag = jnp.sum(flag_b.astype(jnp.int32))
+
+    def residual_chunk(state):
+        c, rec = state
+        mask_c = flag_b & (rank >= c * s3.RES_CAP) \
+            & (rank < (c + 1) * s3.RES_CAP)
+        fidx = jnp.nonzero(mask_c, size=s3.RES_CAP,
+                           fill_value=npk)[0].astype(jnp.int32)
+        fvalid = fidx < npk
+        sel = (jnp.where(fvalid, fidx, 0)[:, None] * PKT
+               + jnp.arange(PKT, dtype=jnp.int32)[None, :]).reshape(-1)
+        smask = jnp.repeat(fvalid, PKT) & (sel < n)
+        sel_g = jnp.minimum(sel, npad - 1)
         ow = jnp.stack([rows_p[0][sel_g], rows_p[1][sel_g],
                         rows_p[2][sel_g]], axis=1)
         dw = jnp.stack([rows_p[3][sel_g], rows_p[4][sel_g],
                         rows_p[5][sel_g]], axis=1)
-        sub = _trav.trace_rays(scene, ow, dw, tmin, tmax)
+        sub = _trav.trace_rays(scene, ow, dw, tmin, tmax,
+                               any_hit_terminate=occl)
+        sub_t = jnp.where(sub.t < FLT_MAX, jnp.float32(0.0),
+                          FLT_MAX) if occl else sub.t
         tgt = jnp.where(smask, sel_g, n)
 
         def patch(dst, src_):
             return dst.at[tgt].set(src_, mode="drop")
 
-        return HitRecord(t=patch(rec.t, sub.t),
-                         prim=patch(rec.prim, sub.prim),
-                         slot=patch(rec.slot, sub.slot),
-                         b1=patch(rec.b1, sub.b1),
-                         b2=patch(rec.b2, sub.b2))
+        return c + 1, HitRecord(t=patch(rec.t, sub_t),
+                                prim=patch(rec.prim, sub.prim),
+                                slot=patch(rec.slot, sub.slot),
+                                b1=patch(rec.b1, sub.b1),
+                                b2=patch(rec.b2, sub.b2))
 
-    rec = jax.lax.cond(jnp.any(fvalid), run_residual, lambda r: r,
-                       rec)
+    _, rec = jax.lax.while_loop(
+        lambda s: s[0] * s3.RES_CAP < nflag, residual_chunk,
+        (jnp.int32(0), rec))
 
-    nflag = jnp.sum((pkt_flag > 0).astype(jnp.int32))
-    rank = jnp.cumsum((pkt_flag > 0).astype(jnp.int32)) - 1
-    late = (pkt_flag > 0) & (rank >= s3.RES_CAP)
-    bad = jnp.repeat(late, PKT)[:n] & (nflag > s3.RES_CAP)
     if live is not None:
         rec = HitRecord(t=jnp.where(live, rec.t, FLT_MAX),
                         prim=jnp.where(live, rec.prim, -1),
                         slot=jnp.where(live, rec.slot, -1),
                         b1=jnp.where(live, rec.b1, 0.0),
                         b2=jnp.where(live, rec.b2, 0.0))
-    rec = HitRecord(t=jnp.where(bad, FLT_MAX, rec.t),
-                    prim=jnp.where(bad, -1, rec.prim),
-                    slot=jnp.where(bad, -2, rec.slot),
-                    b1=jnp.where(bad, 0.0, rec.b1),
-                    b2=jnp.where(bad, 0.0, rec.b2))
     if blk_bound is not None:
         rec = s3._tb_residual(scene, rows_w, tmin, tmax, rec,
                               blk_bound, occl=occl, live=live, n=n)
