@@ -95,6 +95,11 @@ def write_artifact(ok: bool):
 
 def main():
     import jax
+    if os.environ.get("VERIFY_CPU") == "1":
+        # host-only smoke (this build ignores JAX_PLATFORMS; the
+        # config update is the only way off the axon backend) --
+        # stream3 runs in interpret mode, so keep VERIFY_RAYS tiny
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
     from radiance_tpu.core import math as rmath
     from radiance_tpu.ops import stream3, traversal
@@ -147,6 +152,7 @@ def main():
         [idx, idx ^ jnp.uint32(0x9E3779B9), idx >> 7], axis=-1))
     jit3 = (rnd - 0.5) * 60.0
     d2r = rmath.normalize(jit3 - hit_p, eps=1e-6)
+    nrm = rmath.normalize(o - hit_p, eps=1e-6)   # facing offset dir
     # park dead lanes OUT of the scene for the oracle too (the stream
     # path parks them internally; garbage dirs of miss lanes would
     # otherwise NaN the oracle walk)
@@ -191,7 +197,8 @@ def main():
     for tag, ws_env, treelet in configs:
         os.environ["RADIANCE_WS"] = ws_env  # read at trace time
 
-        interp = os.environ.get("VERIFY_INTERPRET", "0") == "1"
+        interp = (os.environ.get("VERIFY_INTERPRET", "0") == "1"
+                  or os.environ.get("VERIFY_CPU") == "1")
         prec = os.environ.get("VERIFY_PREC", "f32")
 
         def mk(occl):

@@ -345,12 +345,13 @@ def test_tlas_native_live_mask_and_dispatch(monkeypatch):
 
 
 @pytest.mark.slow
-def test_tlas_native_pool_overflow_residual_and_poison():
+def test_tlas_native_pool_overflow_residual_drains():
     """Packets whose slots overflow the static capacity are exactly
-    re-walked in-jit by the XLA two-level traversal (up to RES_CAP
-    packets), so results still match the oracle; flags BEYOND RES_CAP
-    poison to slot -2 / forced miss rather than silently dropping
-    hits."""
+    re-walked in-jit by the XLA two-level traversal, drained in
+    RES_CAP-sized chunks (round-4 contract: flags beyond the cap used
+    to poison to miss, which on occlusion waves read as "unoccluded"
+    -- the shadow light leak verify_entry measured on chip), so
+    results match the oracle no matter how many packets flag."""
     ds = _tlas_scene(n_inst=9, seed=7)
     mt = stream3_multi.MultiTables(ds)
     rng = np.random.default_rng(3)
@@ -374,17 +375,24 @@ def test_tlas_native_pool_overflow_residual_and_poison():
                                np.asarray(ref.t)[hr],
                                rtol=2e-3, atol=1e-4)
 
-    # > RES_CAP flagged packets: the excess poisons (slot -2, miss)
+    # > RES_CAP flagged packets: the drain must still be exact
     n2 = 16 * stream3.PKT
     o2 = rng.uniform(-14, 14, (n2, 3)).astype(np.float32)
     d2 = rng.normal(size=(n2, 3)).astype(np.float32)
     d2 /= np.linalg.norm(d2, axis=-1, keepdims=True)
     rows2 = stream3.rows_from_aos(jnp.asarray(o2), jnp.asarray(d2))
+    ref2 = traversal.trace_rays(ds, jnp.asarray(o2), jnp.asarray(d2),
+                                1e-3, 1e3)
     got2 = stream3_multi.trace_rows_tlas(
         ds, mt, rows2, 1e-3, 1e3, interpret=True, scap=8)
     slot2 = np.asarray(got2.slot)
-    assert (slot2 == -2).any()
-    assert (np.asarray(got2.t)[slot2 == -2] == FLT_MAX).all()
+    assert not (slot2 == -2).any()          # every flag drained
+    hr2 = np.asarray(ref2.t) < FLT_MAX
+    hg2 = np.asarray(got2.t) < FLT_MAX
+    assert (hr2 == hg2).all()
+    np.testing.assert_allclose(np.asarray(got2.t)[hr2],
+                               np.asarray(ref2.t)[hr2],
+                               rtol=2e-3, atol=1e-4)
 
 
 def test_supports_native_tracks_tq_bits():
