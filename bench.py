@@ -314,6 +314,30 @@ def make_tracer(scene, probe_rays=None):
                             f"stream3/gen-1 disagreement on the probe "
                             f"packet: agree {agree:.4f}, t_rel_p99 "
                             f"{t_p99:.2e}, prim {prim_m:.4f}")
+                    if os.environ.get("RADIANCE_BENCH_S3WAVES"):
+                        # S3WAVES routes the SHADOW wave through the
+                        # stream3 occl kernel, so the gate must cover
+                        # it too (the round-4 light leak -- truncated
+                        # packets poisoned to "unoccluded" -- was
+                        # invisible to a closest-hit-only probe)
+                        rec_so = jax.block_until_ready(j_entry(
+                            scene, stream3.rows_from_aos(
+                                jnp.asarray(po), jnp.asarray(pd)),
+                            jnp.float32(1e-3), jnp.float32(1e4),
+                            occl=True))
+                        rec_po = _pk.trace_rays_packet(
+                            scene, jnp.asarray(po), jnp.asarray(pd),
+                            jnp.float32(1e-3), jnp.float32(1e4),
+                            interpret=False, any_hit=True)
+                        ho = np.asarray(rec_so.t) < fmax
+                        hpo = np.asarray(rec_po.t) < fmax
+                        agree_o = float((ho == hpo).mean())
+                        print(f"# stream3 occl integrity vs gen-1: "
+                              f"{agree_o:.4f}", file=sys.stderr)
+                        if agree_o < 0.995:
+                            raise RuntimeError(
+                                f"stream3/gen-1 OCCL disagreement on "
+                                f"the probe packet: {agree_o:.4f}")
                 return "pallas_stream3", run_stream3
         except Exception as e:  # pragma: no cover - fallback path
             print(f"# stream3 tracer unavailable ({type(e).__name__}: "
