@@ -1,7 +1,7 @@
 #!/bin/bash
 # Round-4 chain, part D: follow-ups from part C's findings.  Shares
 # the done-file; safe to run after (never concurrently with) r4c.
-#   - ENGINE_RT: the bench-winning hybrid INSIDE the engine (stream3
+#   - ENGINE_RT: stream3-primary routing INSIDE the engine (the
 #     primary + live-mask gen-1 secondaries).  ENGINE at 0.95 Mrays/s
 #     measured the default route (argsort + packet for every wave).
 #   - ENGINE_TB: + temporal bounds across the progressive loop.
@@ -48,6 +48,10 @@ gate() {
 
 echo "=== chain_r4d start $(date)" >> "$LOG"
 gate
-run ENGINE_RT 2400 RADIANCE_ENGINE_PRIMARY=stream3 RADIANCE_GEN1_LIVE=1 -- python bench.py --engine;  gate
-run ENGINE_TB 2400 RADIANCE_ENGINE_PRIMARY=stream3 RADIANCE_GEN1_LIVE=1 RADIANCE_ENGINE_TBOUND=1 -- python bench.py --engine;  gate
+# ENGINE_G1L crashed the TPU worker (kernel fault) after a 534s
+# compile: the live-mask packet kernel inside the engine frame is
+# evidence-based risky.  Route ONLY the primary wave to stream3;
+# secondaries keep the default argsort+packet path.
+run ENGINE_RT 2400 RADIANCE_ENGINE_PRIMARY=stream3 -- python bench.py --engine;  gate
+run ENGINE_TB 2400 RADIANCE_ENGINE_PRIMARY=stream3 RADIANCE_ENGINE_TBOUND=1 -- python bench.py --engine;  gate
 echo "=== chain_r4d done $(date)" >> "$LOG"
