@@ -48,6 +48,10 @@ gate() {
 
 echo "=== chain_r4d start $(date)" >> "$LOG"
 gate
+# VERIFY3: the round's verify artifact under the NEW ship-config
+# gating (stream3 wst primary + gen-1 secondaries = what bench.py
+# actually ships) with the mismatch dump for the f64 classifier.
+run VERIFY3 3600 VERIFY_OUT=VERIFY_r04.json VERIFY_DUMP=.bench_cache/vdump_r4.npz -- python benchmarks/verify_entry.py;  gate
 # ENGINE_G1L crashed the TPU worker (kernel fault) after a 534s
 # compile: the live-mask packet kernel inside the engine frame is
 # evidence-based risky.  Route ONLY the primary wave to stream3;
