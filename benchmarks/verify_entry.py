@@ -262,7 +262,9 @@ def main():
     if "ship" in os.environ.get("VERIFY_CONFIGS", "ship"):
         from radiance_tpu.ops import packet_trace
 
-        @jax.jit
+        import functools
+
+        @functools.partial(jax.jit, static_argnames=("ah",))
         def g_pk(scn, o_, d_, ah):
             return packet_trace.trace_rays_packet(
                 scn, o_, d_, jnp.float32(1e-3), jnp.float32(1e4),
@@ -274,7 +276,7 @@ def main():
             try:
                 t0 = time.time()
                 rec = jax.block_until_ready(
-                    g_pk(scene, o_, d_, ah))
+                    g_pk(scene, o_, d_, ah=ah))
                 secs = time.time() - t0
                 tg = np.asarray(rec.t).copy()
                 if wave == "shadow":   # normalize to t=0-on-hit
