@@ -53,7 +53,14 @@ from jax.experimental.pallas import tpu as pltpu
 from radiance_tpu.bvh.kernel_pack import KERNEL_MAX_TRIS, KERNEL_LEAF_LANES
 from radiance_tpu.config import vmem_limit_bytes as _vmem_limit
 from radiance_tpu.core import math as rmath
-from radiance_tpu.ops.intersect import FLT_MAX
+from radiance_tpu.ops.intersect import FLT_MAX, dot_bf16x3
+
+import os as _os
+
+# pair-matmul precision for the leaf MXU dot: "f32" = exact-f32
+# HIGHEST (default, the integrity-reference setting), "high" = 3-pass
+# bf16x3 (verify-gated).  Import-time: the kernel body bakes the mode.
+_PK_PREC = _os.environ.get("RADIANCE_PK_PRECISION", "f32")
 
 _FMAX = 3.4028235e38  # python float: jnp scalars would be captured consts in the kernel
 from radiance_tpu.ops.traversal import HitRecord
@@ -159,8 +166,17 @@ def _kernel(base_ref, lim_ref, planes_ref, x_ref, eye_ref, nodef_ref,
 
         Padding lanes need no explicit mask: their all-zero columns give
         ssum == 0 -> t = nan -> every window comparison is False."""
-        m = jnp.dot(x, w_s[slot], preferred_element_type=f32,
-                    precision=jax.lax.Precision.HIGHEST)   # [PACKET, 4T]
+        if _PK_PREC == "high":
+            # 3-pass bf16x3 (ops/intersect.dot_bf16x3): ~half the MXU
+            # cost of the exact-f32 six-pass HIGHEST.  Opt-in via
+            # RADIANCE_PK_PRECISION=high and verify-gated: the gen-1
+            # kernel is the bench integrity gate's reference, so any
+            # non-HIGHEST mode here must pass verify_entry's "ship"
+            # audit (gen-1 vs XLA oracle) on chip first.
+            m = dot_bf16x3(x, w_s[slot], (((1,), (0,)), ((), ())))
+        else:
+            m = jnp.dot(x, w_s[slot], preferred_element_type=f32,
+                        precision=jax.lax.Precision.HIGHEST)  # [PACKET, 4T]
         s0 = m[:, 0 * T:1 * T]
         s1 = m[:, 1 * T:2 * T]
         s2 = m[:, 2 * T:3 * T]

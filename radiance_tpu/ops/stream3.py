@@ -128,6 +128,8 @@ def _apply_tq_bits(bits: int) -> None:
 
 _apply_tq_bits(int(os.environ.get("RADIANCE_TQ_BITS", "9")))
 
+from radiance_tpu.ops.intersect import dot_bf16x3 as _dot_bf16x3  # noqa: E402
+
 
 def supports(scene) -> bool:
     """True when the single-instance v6 fast path applies."""
@@ -1804,16 +1806,18 @@ def _isect3_kernel(slot_pkt, lim_ref, emeta_ref, words_ref,
                             x, w, dims,
                             preferred_element_type=f32)
                     elif precision == "high":
-                        # 3-pass bf16x3: ~f32-comparable products at
-                        # half the HIGHEST (6-pass) MXU cost.  Round-3
-                        # lesson: 'default' (1 bf16 pass) flips Pluecker
-                        # signs; any non-HIGHEST mode must pass
-                        # benchmarks/verify_entry.py on chip before it
-                        # may headline (BASELINE.md incident note).
-                        m = jax.lax.dot_general(
-                            x, w, dims,
-                            preferred_element_type=f32,
-                            precision=jax.lax.Precision.HIGH)
+                        # 3-pass bf16x3 BY HAND (Mosaic rejects
+                        # lax.Precision.HIGH: 'Unsupported dot
+                        # precision', chain_r4 2026-08-21): split each
+                        # operand into bf16 hi + bf16 lo-residual and
+                        # sum three DEFAULT bf16 MXU passes -- ~16
+                        # mantissa bits of each operand vs HIGHEST's
+                        # exact-f32 six passes.  Round-3 lesson:
+                        # 'default' (1 bf16 pass, 8 mantissa bits)
+                        # flips Pluecker signs; any non-HIGHEST mode
+                        # must pass benchmarks/verify_entry.py on chip
+                        # before it may headline (BASELINE.md).
+                        m = _dot_bf16x3(x, w, dims)
                     else:
                         m = jax.lax.dot_general(
                             x, w, dims,
@@ -1950,9 +1954,7 @@ def _isect3_occl_kernel(slot_pkt, lim_ref, emeta_ref, words_ref,
                             x, w, dims, preferred_element_type=f32)
                     elif precision == "high":
                         # 3-pass bf16x3 (see the closest-hit kernel)
-                        m = jax.lax.dot_general(
-                            x, w, dims, preferred_element_type=f32,
-                            precision=jax.lax.Precision.HIGH)
+                        m = _dot_bf16x3(x, w, dims)
                     else:
                         m = jax.lax.dot_general(
                             x, w, dims, preferred_element_type=f32,
