@@ -50,8 +50,13 @@ def apply_bench_env():
     ran on this chip are ever recorded, so this can never make the
     bench first-compile an unvalidated kernel (remote Mosaic compile
     hangs wedge the device queue; see BASELINE.md)."""
-    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                        ".bench_cache", "bench_env")
+    root = os.path.dirname(os.path.abspath(__file__))
+    path = os.path.join(root, ".bench_cache", "bench_env")
+    if not os.path.exists(path):
+        # .bench_cache does not survive container restarts (round 4
+        # started with the picked config lost); fall back to the
+        # TRACKED snapshot of the last chip-validated pick
+        path = os.path.join(root, "tools", "bench_env.default")
     if not os.path.exists(path):
         return
     applied = []
