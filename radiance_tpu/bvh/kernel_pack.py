@@ -319,9 +319,37 @@ def build_kernel_tables(kind, a, b, bot, top, faces, verts3) -> Optional[dict]:
     pc = np.where(vm, p2, 0.0).astype(np.float32)
     nrm = np.cross(pb - pa, pc - pa)                        # [nl, T, 3]
     kleaf = np.zeros((nl, 16, KERNEL_LEAF_LANES), np.float32)
-    for k, (p, q) in enumerate(((pa, pb), (pb, pc), (pc, pa))):
-        kleaf[:, 0:3, k * T:(k + 1) * T] = np.cross(p, q).transpose(0, 2, 1)
-        kleaf[:, 3:6, k * T:(k + 1) * T] = (q - p).transpose(0, 2, 1)
+    stable = os.environ.get("RADIANCE_STABLE_FRAMES", "0") == "1"
+    if stable:
+        # Translation-stabilized leaf frames (round-4 root cause: the
+        # origin-centered moment p x q stores at ~|p||q| magnitude, so
+        # its one-time f32 rounding flips grazing side products --
+        # docs/raystream-design.md; offline proof recovers 196/196
+        # kernel-missed real hits).  Rows 0:3 hold the LEAF-LOCAL
+        # moment (p-c) x (q-c) computed in f64, with the centroid c in
+        # the structurally-zero rows 12:14 (column 0 of each edge
+        # block is fine: ray-feature columns 12-14 are zero in every
+        # kernel variant).  Kernels then subtract the (c x d).e
+        # correction -- see packet_trace.process_leaf /
+        # stream3._isect3_kernel.
+        cen = np.where(vm, (p0 + p1 + p2) / 3.0, 0.0).sum(axis=1) \
+            / np.maximum(valid.sum(axis=1, keepdims=True), 1)  # [nl,3]
+        c64 = cen.astype(np.float64)[:, None, :]
+        for k, (p, q) in enumerate(((p0, p1), (p1, p2), (p2, p0))):
+            lp = np.where(vm, p.astype(np.float64) - c64, 0.0)
+            lq = np.where(vm, q.astype(np.float64) - c64, 0.0)
+            kleaf[:, 0:3, k * T:(k + 1) * T] = np.cross(
+                lp, lq).transpose(0, 2, 1).astype(np.float32)
+            kleaf[:, 3:6, k * T:(k + 1) * T] = np.where(
+                vm, q - p, 0.0).astype(np.float32).transpose(0, 2, 1)
+        kleaf[:, 12, 0] = cen[:, 0].astype(np.float32)
+        kleaf[:, 13, 0] = cen[:, 1].astype(np.float32)
+        kleaf[:, 14, 0] = cen[:, 2].astype(np.float32)
+    else:
+        for k, (p, q) in enumerate(((pa, pb), (pb, pc), (pc, pa))):
+            kleaf[:, 0:3, k * T:(k + 1) * T] = np.cross(
+                p, q).transpose(0, 2, 1)
+            kleaf[:, 3:6, k * T:(k + 1) * T] = (q - p).transpose(0, 2, 1)
     kleaf[:, 6:9, 3 * T:4 * T] = nrm.transpose(0, 2, 1)
     kleaf[:, 9, 3 * T:4 * T] = -np.sum(nrm * pa, axis=-1)
     # row 10, quarter 0: the lane's face-order primID as f32 (exact:

@@ -124,7 +124,8 @@ def trace_rays_packet_multi(scene, origin, direction, tmin, tmax,
 def _kernel(base_ref, lim_ref, planes_ref, x_ref, eye_ref, nodef_ref,
             kleaf_ref, outf_ref,
             w_s, best_t, best_tri, sem,
-            *, any_hit: bool, masked: bool = False):
+            *, any_hit: bool, masked: bool = False,
+            stable: bool = False):
     """masked=True is the LIVE-MASK variant: a 7th ray plane carries a
     1.0/0.0 live flag (and feats column 11 mirrors it -- kleaf rows
     11-15 are structurally zero, kernel_pack.py; row 10 is the stream
@@ -177,6 +178,28 @@ def _kernel(base_ref, lim_ref, planes_ref, x_ref, eye_ref, nodef_ref,
         else:
             m = jnp.dot(x, w_s[slot], preferred_element_type=f32,
                         precision=jax.lax.Precision.HIGHEST)  # [PACKET, 4T]
+        if stable:
+            # translation-stabilized frames (kernel_pack stores the
+            # LEAF-LOCAL moment in rows 0:3 and the leaf centroid c in
+            # rows 12:14 col 0): the matmul above yields
+            # d.m_local + (o x d).e; subtract the (c x d).e term so
+            # s equals the exact origin-frame side product with every
+            # operand leaf-local (docs/raystream-design.md, round-4).
+            # The num block's rows 3:6 are zero, so its correction
+            # vanishes automatically.
+            wsl = w_s[slot]
+            c0 = wsl[12, 0]
+            c1 = wsl[13, 0]
+            c2 = wsl[14, 0]
+            dv = x[:, 0:3]                            # [PACKET, 3]
+            cd = jnp.concatenate(
+                [c1 * dv[:, 2:3] - c2 * dv[:, 1:2],
+                 c2 * dv[:, 0:1] - c0 * dv[:, 2:3],
+                 c0 * dv[:, 1:2] - c1 * dv[:, 0:1]], axis=1)
+            m = m - jax.lax.dot_general(
+                cd, wsl[3:6, :], (((1,), (0,)), ((), ())),
+                preferred_element_type=f32,
+                precision=jax.lax.Precision.HIGHEST)
         s0 = m[:, 0 * T:1 * T]
         s1 = m[:, 1 * T:2 * T]
         s2 = m[:, 2 * T:3 * T]
@@ -423,7 +446,9 @@ def _run(origin, direction, tmin, tmax, nodef, kleaf, kprim, ktri_geo,
     f32, i32 = jnp.float32, jnp.int32
     inst_slot = jnp.int32(0)
     masked = live is not None
-    kern = functools.partial(_kernel, any_hit=any_hit, masked=masked)
+    kern = functools.partial(
+        _kernel, any_hit=any_hit, masked=masked,
+        stable=_os.environ.get("RADIANCE_STABLE_FRAMES", "0") == "1")
     n = origin.shape[0]
     o = rmath.mat4_transform_point(inv0, origin.astype(f32))
     d = rmath.mat4_transform_dir(inv0, direction.astype(f32))

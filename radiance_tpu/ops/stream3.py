@@ -1696,7 +1696,7 @@ def _isect3_kernel(slot_pkt, lim_ref, emeta_ref, words_ref,
                    precision: str, orient: str = "major",
                    cull: bool = True, salt: int = 0,
                    epi: str = "f32", dbg: bool = False,
-                   lean: bool = False):
+                   lean: bool = False, stable: bool = False):
     """Slot-direct pair intersection.  One grid step = one slot: walk
     its word list (leaf matrices DMA-pipelined S_SLOTS deep), and for
     each set keep bit k run a statically-sliced [BLK, 16] x [16, 4T]
@@ -1823,6 +1823,40 @@ def _isect3_kernel(slot_pkt, lim_ref, emeta_ref, words_ref,
                             x, w, dims,
                             preferred_element_type=f32,
                             precision=jax.lax.Precision.HIGHEST)
+
+                    if stable:
+                        # translation-stabilized frames: rows 0:3 of
+                        # wf hold the LEAF-LOCAL moment, the leaf
+                        # centroid rides rows 12:14 col 0
+                        # (kernel_pack); subtract (c x d).e so the
+                        # side products equal the exact origin-frame
+                        # values with every operand leaf-local
+                        # (docs/raystream-design.md round-4; offline
+                        # proof benchmarks/stable_frame_sim.py).  The
+                        # num block's rows 3:6 are zero -> no-op there.
+                        c0 = wf[12, 0]
+                        c1 = wf[13, 0]
+                        c2 = wf[14, 0]
+                        if orient == "major":
+                            dv0 = x[:, 0:1]
+                            dv1 = x[:, 1:2]
+                            dv2 = x[:, 2:3]
+                            cd = jnp.concatenate(
+                                [c1 * dv2 - c2 * dv1,
+                                 c2 * dv0 - c0 * dv2,
+                                 c0 * dv1 - c1 * dv0], axis=1)
+                        else:
+                            dv0 = x[0:1, :]
+                            dv1 = x[1:2, :]
+                            dv2 = x[2:3, :]
+                            cd = jnp.concatenate(
+                                [c1 * dv2 - c2 * dv1,
+                                 c2 * dv0 - c0 * dv2,
+                                 c0 * dv1 - c1 * dv0], axis=0)
+                        m = m - jax.lax.dot_general(
+                            cd, wf[3:6, :], dims,
+                            preferred_element_type=f32,
+                            precision=jax.lax.Precision.HIGHEST)
                     s0 = m[:, 0 * T:1 * T]
                     s1 = m[:, 1 * T:2 * T]
                     s2 = m[:, 2 * T:3 * T]
@@ -1886,7 +1920,7 @@ def _isect3_occl_kernel(slot_pkt, lim_ref, emeta_ref, words_ref,
                         x_ref, kleaf_any, out_ref,
                         w_s, sem, best_t, *,
                         precision: str, orient: str = "major",
-                        salt: int = 0):
+                        salt: int = 0, stable: bool = False):
     """Occlusion-only variant of _isect3_kernel: any hit in (tmin,
     tmax) zeroes the ray's best_t lanes -- no winner attributes, no
     prim/bary scratch, ~40% fewer epilogue ops per pair.  A fully-hit
@@ -1959,6 +1993,33 @@ def _isect3_occl_kernel(slot_pkt, lim_ref, emeta_ref, words_ref,
                         m = jax.lax.dot_general(
                             x, w, dims, preferred_element_type=f32,
                             precision=jax.lax.Precision.HIGHEST)
+
+                    if stable:
+                        # stabilized-frame correction (see the
+                        # closest-hit kernel)
+                        c0 = wf[12, 0]
+                        c1 = wf[13, 0]
+                        c2 = wf[14, 0]
+                        if orient == "major":
+                            dv0 = x[:, 0:1]
+                            dv1 = x[:, 1:2]
+                            dv2 = x[:, 2:3]
+                            cd = jnp.concatenate(
+                                [c1 * dv2 - c2 * dv1,
+                                 c2 * dv0 - c0 * dv2,
+                                 c0 * dv1 - c1 * dv0], axis=1)
+                        else:
+                            dv0 = x[0:1, :]
+                            dv1 = x[1:2, :]
+                            dv2 = x[2:3, :]
+                            cd = jnp.concatenate(
+                                [c1 * dv2 - c2 * dv1,
+                                 c2 * dv0 - c0 * dv2,
+                                 c0 * dv1 - c1 * dv0], axis=0)
+                        m = m - jax.lax.dot_general(
+                            cd, wf[3:6, :], dims,
+                            preferred_element_type=f32,
+                            precision=jax.lax.Precision.HIGHEST)
                     s0 = m[:, 0 * T:1 * T]
                     s1 = m[:, 1 * T:2 * T]
                     s2 = m[:, 2 * T:3 * T]
@@ -2021,6 +2082,7 @@ def _stage_isect(words, emeta, slot_pkt, feats, lim, kleaf_k,
     in-kernel barycentric folds (lanes 2-3 are zeros; caller
     recomputes the winner's barys from ktri_geo)."""
     nslot = words.shape[0]
+    stable = os.environ.get("RADIANCE_STABLE_FRAMES", "0") == "1"
     if orient == "major":
         x_spec = pl.BlockSpec((PKT, 16), lambda i, sp: (sp[i], 0),
                               memory_space=pltpu.VMEM)
@@ -2030,7 +2092,7 @@ def _stage_isect(words, emeta, slot_pkt, feats, lim, kleaf_k,
     if occl:
         kern = functools.partial(_isect3_occl_kernel,
                                  precision=precision, orient=orient,
-                                 salt=salt)
+                                 salt=salt, stable=stable)
         best_scratch = [pltpu.VMEM((PKT, T), jnp.float32)]
     else:
         epi = os.environ.get("RADIANCE_ISECT_EPI", "f32")
@@ -2042,7 +2104,7 @@ def _stage_isect(words, emeta, slot_pkt, feats, lim, kleaf_k,
             # debug_print(program_id) has no CPU rule
             dbg=(not interpret and os.environ.get(
                 "RADIANCE_KERNEL_DEBUG", "0") == "1"),
-            lean=lean)
+            lean=lean, stable=stable)
         best_scratch = [pltpu.VMEM((PKT, T), jnp.float32),
                         pltpu.VMEM((PKT, T), jnp.float32)]
         if not lean:
