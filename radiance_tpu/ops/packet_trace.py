@@ -181,23 +181,26 @@ def _kernel(base_ref, lim_ref, planes_ref, x_ref, eye_ref, nodef_ref,
         if stable:
             # translation-stabilized frames (kernel_pack stores the
             # LEAF-LOCAL moment in rows 0:3 and the leaf centroid c in
-            # rows 12:14 col 0): the matmul above yields
-            # d.m_local + (o x d).e; subtract the (c x d).e term so
-            # s equals the exact origin-frame side product with every
-            # operand leaf-local (docs/raystream-design.md, round-4).
-            # The num block's rows 3:6 are zero, so its correction
-            # vanishes automatically.
+            # rows 12:14 col 0; the feats' mom columns are ZERO in
+            # stable mode): add the per-leaf ray moment (o - c) x d
+            # paired with the edge rows, so the side products carry
+            # no |origin|-scale operand anywhere
+            # (docs/raystream-design.md, round-4).  The num block's
+            # rows 3:6 are zero, so its term vanishes automatically.
             wsl = w_s[slot]
             c0 = wsl[12, 0]
             c1 = wsl[13, 0]
             c2 = wsl[14, 0]
             dv = x[:, 0:3]                            # [PACKET, 3]
-            cd = jnp.concatenate(
-                [c1 * dv[:, 2:3] - c2 * dv[:, 1:2],
-                 c2 * dv[:, 0:1] - c0 * dv[:, 2:3],
-                 c0 * dv[:, 1:2] - c1 * dv[:, 0:1]], axis=1)
-            m = m - jax.lax.dot_general(
-                cd, wsl[3:6, :], (((1,), (0,)), ((), ())),
+            lo0 = x[:, 6:7] - c0
+            lo1 = x[:, 7:8] - c1
+            lo2 = x[:, 8:9] - c2
+            rm = jnp.concatenate(
+                [lo1 * dv[:, 2:3] - lo2 * dv[:, 1:2],
+                 lo2 * dv[:, 0:1] - lo0 * dv[:, 2:3],
+                 lo0 * dv[:, 1:2] - lo1 * dv[:, 0:1]], axis=1)
+            m = m + jax.lax.dot_general(
+                rm, wsl[3:6, :], (((1,), (0,)), ((), ())),
                 preferred_element_type=f32,
                 precision=jax.lax.Precision.HIGHEST)
         s0 = m[:, 0 * T:1 * T]
@@ -469,7 +472,13 @@ def _run(origin, direction, tmin, tmax, nodef, kleaf, kprim, ktri_geo,
         o = jnp.where(lv[:, None] > 0, o, jnp.float32(1e30))
         d = jnp.where(lv[:, None] > 0, d, jnp.float32(1.0))
 
-    mom = jnp.cross(o, d)
+    if _os.environ.get("RADIANCE_STABLE_FRAMES", "0") == "1":
+        # stabilized frames: the ray moment is computed per leaf in
+        # the kernel as (o - c) x d; the precomputed origin moment
+        # must not contribute (kernel_pack stores leaf-local moments)
+        mom = jnp.zeros_like(o)
+    else:
+        mom = jnp.cross(o, d)
     # feats column 11 carries the live flag in masked mode: kleaf rows
     # 11-15 are structurally zero (row 10 holds the stream tracer's
     # primID lane, kernel_pack.py), so the leaf matmul result is

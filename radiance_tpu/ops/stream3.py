@@ -306,11 +306,17 @@ def _stage_prep(rows_w, tmin, tmax, nodef, inv0, live=None):
     npk = npad // PKT
     nk_local = nodef.shape[0] // 8
 
-    mx = oy * dz - oz * dy
-    my = oz * dx - ox * dz
-    mz = ox * dy - oy * dx
     ones = jnp.ones(npad, f32)
     zeros = jnp.zeros(npad, f32)
+    if os.environ.get("RADIANCE_STABLE_FRAMES", "0") == "1":
+        # stabilized frames: the ray moment is computed PER LEAF in
+        # the isect kernel as (o - c) x d (leaf-local magnitudes), so
+        # the precomputed origin moment columns must not contribute
+        mx = my = mz = zeros
+    else:
+        mx = oy * dz - oz * dy
+        my = oz * dx - ox * dz
+        mz = ox * dy - oy * dx
     feats_t = jnp.stack([dx, dy, dz, mx, my, mz, ox, oy, oz, ones,
                          zeros, zeros, zeros, zeros, zeros, zeros])
 
@@ -1834,27 +1840,36 @@ def _isect3_kernel(slot_pkt, lim_ref, emeta_ref, words_ref,
                         # (docs/raystream-design.md round-4; offline
                         # proof benchmarks/stable_frame_sim.py).  The
                         # num block's rows 3:6 are zero -> no-op there.
+                        # every operand leaf-local: the feats' mom
+                        # columns are ZERO in stable mode and the ray
+                        # moment is (o - c) x d computed here, so the
+                        # side products carry no |origin|-scale terms
+                        # at all (docs/raystream-design.md round-4)
                         c0 = wf[12, 0]
                         c1 = wf[13, 0]
                         c2 = wf[14, 0]
                         if orient == "major":
-                            dv0 = x[:, 0:1]
-                            dv1 = x[:, 1:2]
-                            dv2 = x[:, 2:3]
-                            cd = jnp.concatenate(
-                                [c1 * dv2 - c2 * dv1,
-                                 c2 * dv0 - c0 * dv2,
-                                 c0 * dv1 - c1 * dv0], axis=1)
+                            dv0, dv1, dv2 = (x[:, 0:1], x[:, 1:2],
+                                             x[:, 2:3])
+                            lo0 = x[:, 6:7] - c0
+                            lo1 = x[:, 7:8] - c1
+                            lo2 = x[:, 8:9] - c2
+                            rm = jnp.concatenate(
+                                [lo1 * dv2 - lo2 * dv1,
+                                 lo2 * dv0 - lo0 * dv2,
+                                 lo0 * dv1 - lo1 * dv0], axis=1)
                         else:
-                            dv0 = x[0:1, :]
-                            dv1 = x[1:2, :]
-                            dv2 = x[2:3, :]
-                            cd = jnp.concatenate(
-                                [c1 * dv2 - c2 * dv1,
-                                 c2 * dv0 - c0 * dv2,
-                                 c0 * dv1 - c1 * dv0], axis=0)
-                        m = m - jax.lax.dot_general(
-                            cd, wf[3:6, :], dims,
+                            dv0, dv1, dv2 = (x[0:1, :], x[1:2, :],
+                                             x[2:3, :])
+                            lo0 = x[6:7, :] - c0
+                            lo1 = x[7:8, :] - c1
+                            lo2 = x[8:9, :] - c2
+                            rm = jnp.concatenate(
+                                [lo1 * dv2 - lo2 * dv1,
+                                 lo2 * dv0 - lo0 * dv2,
+                                 lo0 * dv1 - lo1 * dv0], axis=0)
+                        m = m + jax.lax.dot_general(
+                            rm, wf[3:6, :], dims,
                             preferred_element_type=f32,
                             precision=jax.lax.Precision.HIGHEST)
                     s0 = m[:, 0 * T:1 * T]
@@ -1997,27 +2012,36 @@ def _isect3_occl_kernel(slot_pkt, lim_ref, emeta_ref, words_ref,
                     if stable:
                         # stabilized-frame correction (see the
                         # closest-hit kernel)
+                        # every operand leaf-local: the feats' mom
+                        # columns are ZERO in stable mode and the ray
+                        # moment is (o - c) x d computed here, so the
+                        # side products carry no |origin|-scale terms
+                        # at all (docs/raystream-design.md round-4)
                         c0 = wf[12, 0]
                         c1 = wf[13, 0]
                         c2 = wf[14, 0]
                         if orient == "major":
-                            dv0 = x[:, 0:1]
-                            dv1 = x[:, 1:2]
-                            dv2 = x[:, 2:3]
-                            cd = jnp.concatenate(
-                                [c1 * dv2 - c2 * dv1,
-                                 c2 * dv0 - c0 * dv2,
-                                 c0 * dv1 - c1 * dv0], axis=1)
+                            dv0, dv1, dv2 = (x[:, 0:1], x[:, 1:2],
+                                             x[:, 2:3])
+                            lo0 = x[:, 6:7] - c0
+                            lo1 = x[:, 7:8] - c1
+                            lo2 = x[:, 8:9] - c2
+                            rm = jnp.concatenate(
+                                [lo1 * dv2 - lo2 * dv1,
+                                 lo2 * dv0 - lo0 * dv2,
+                                 lo0 * dv1 - lo1 * dv0], axis=1)
                         else:
-                            dv0 = x[0:1, :]
-                            dv1 = x[1:2, :]
-                            dv2 = x[2:3, :]
-                            cd = jnp.concatenate(
-                                [c1 * dv2 - c2 * dv1,
-                                 c2 * dv0 - c0 * dv2,
-                                 c0 * dv1 - c1 * dv0], axis=0)
-                        m = m - jax.lax.dot_general(
-                            cd, wf[3:6, :], dims,
+                            dv0, dv1, dv2 = (x[0:1, :], x[1:2, :],
+                                             x[2:3, :])
+                            lo0 = x[6:7, :] - c0
+                            lo1 = x[7:8, :] - c1
+                            lo2 = x[8:9, :] - c2
+                            rm = jnp.concatenate(
+                                [lo1 * dv2 - lo2 * dv1,
+                                 lo2 * dv0 - lo0 * dv2,
+                                 lo0 * dv1 - lo1 * dv0], axis=0)
+                        m = m + jax.lax.dot_general(
+                            rm, wf[3:6, :], dims,
                             preferred_element_type=f32,
                             precision=jax.lax.Precision.HIGHEST)
                     s0 = m[:, 0 * T:1 * T]
