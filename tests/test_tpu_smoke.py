@@ -94,7 +94,7 @@ r_n = jax.jit(lambda r: stream3_multi.trace_rows_tlas(
 tn = np.asarray(r_n.t)
 nok = np.asarray(r_n.slot) != -2
 nagree = ((tn[nok] < FLT_MAX) == (tx[nok] < FLT_MAX)).mean()
-assert nok.mean() > 0.9, f"native slot pool poisoned {1-nok.mean():.2%}"
+assert nok.mean() > 0.9, f"native slot pool poisoned {1-nok.mean():.2%%}"
 assert nagree > 0.995, f"TLAS-native hit agreement {nagree}"
 
 print("TPU_SMOKE_OK", dev.platform, float(agree), float(pagree),
