@@ -149,7 +149,8 @@ def _stream3_wavefront_supported(scene, trace_kw, wave="primary"):
 
 
 def _traced_wavefront(scene, o, d, tmin, tmax, alive, sort_key=None,
-                      wave="primary", blk_bound=None, **trace_kw):
+                      wave="primary", blk_bound=None, route=None,
+                      **trace_kw):
     """Trace only live rays, the wavefront-compaction way (SURVEY 7:
     generate -> traverse -> shade -> compact; BASELINE north-star).
 
@@ -185,8 +186,30 @@ def _traced_wavefront(scene, o, d, tmin, tmax, alive, sort_key=None,
     # PARKED IN PLACE -- no element argsort/gather compaction at all
     # (the sort pays ~212 ms per 2M-ray wave on the axon backend, and
     # a per-ray walk has no packet-union tax to amortize it against).
-    route = os.environ.get(f"RADIANCE_ENGINE_{wave.upper()}", "")
-    if route == "xla" and trace_kw.get("any_hit_program") is None:
+    #
+    # route=None: env-driven selection (exactly the historical knobs).
+    # route="xla"|"stream3"|"gen1_sort"|"gen1_live"|"argsort": explicit
+    # pick from the staged frame scheduler (_render_staged), which
+    # mirrors the bench's validated per-wave composition; unsupported
+    # explicit routes degrade to "argsort" (never an error under jit).
+    if route is not None:
+        from radiance_tpu.ops import packet_trace as _pk
+        prog_ok = trace_kw.get("any_hit_program") is None
+        if not prog_ok:
+            route = "argsort"
+        elif route == "stream3":
+            from radiance_tpu.ops import stream3 as _s3
+            if not (_s3.supports(scene)
+                    and jax.default_backend() == "tpu"):
+                route = "argsort"
+        elif route in ("gen1_live", "gen1_sort"):
+            if not (_pk.supports(scene)
+                    and jax.default_backend() == "tpu"):
+                route = "argsort"
+    env_route = os.environ.get(f"RADIANCE_ENGINE_{wave.upper()}", "")
+    if ((route == "xla"
+         or (route is None and env_route == "xla"))
+            and trace_kw.get("any_hit_program") is None):
         o_c = jnp.where(alive[:, None], o, _PARK_ORIGIN)
         d_c = jnp.where(alive[:, None], d, 1.0)
         rec = traversal.trace_rays(
@@ -200,7 +223,9 @@ def _traced_wavefront(scene, o, d, tmin, tmax, alive, sort_key=None,
             slot=jnp.where(miss, -1, rec.slot),
             b1=jnp.where(miss, 0.0, rec.b1),
             b2=jnp.where(miss, 0.0, rec.b2))
-    if _stream3_wavefront_supported(scene, trace_kw, wave):
+    if (route == "stream3"
+            or (route is None
+                and _stream3_wavefront_supported(scene, trace_kw, wave))):
         from radiance_tpu.ops import stream3
         occl = bool(trace_kw.get("any_hit_terminate", False))
         rows = stream3.rows_from_aos_fast(o, d)
@@ -240,10 +265,12 @@ def _traced_wavefront(scene, o, d, tmin, tmax, alive, sort_key=None,
             t=rec.t, prim=rec.prim, slot=jnp.maximum(rec.slot, -1),
             b1=rec.b1, b2=rec.b2)
     from radiance_tpu.ops import packet_trace
-    if (os.environ.get("RADIANCE_GEN1_SORT", "0") == "1"
-            and trace_kw.get("any_hit_program") is None
-            and packet_trace.supports(scene)
-            and jax.default_backend() == "tpu"):
+    if (route == "gen1_sort"
+            or (route is None
+                and os.environ.get("RADIANCE_GEN1_SORT", "0") == "1"
+                and trace_kw.get("any_hit_program") is None
+                and packet_trace.supports(scene)
+                and jax.default_backend() == "tpu")):
         # bucket-sorted live-mask packet kernel: a stable 9-bucket
         # counting sort (ops/reorder.py; a few ms, NOT the ~212 ms
         # argsort) collapses dead lanes into trailing all-dead packets
@@ -262,10 +289,12 @@ def _traced_wavefront(scene, o, d, tmin, tmax, alive, sort_key=None,
             slot=jnp.where(miss, -1, rec.slot),
             b1=jnp.where(miss, 0.0, rec.b1),
             b2=jnp.where(miss, 0.0, rec.b2))
-    if (os.environ.get("RADIANCE_GEN1_LIVE", "0") == "1"
-            and trace_kw.get("any_hit_program") is None
-            and packet_trace.supports(scene)
-            and jax.default_backend() == "tpu"):
+    if (route == "gen1_live"
+            or (route is None
+                and os.environ.get("RADIANCE_GEN1_LIVE", "0") == "1"
+                and trace_kw.get("any_hit_program") is None
+                and packet_trace.supports(scene)
+                and jax.default_backend() == "tpu")):
         # live-mask packet kernel: dead lanes traverse nothing, live
         # lanes stay in pixel order (tile-adjacent origins) -- no
         # element argsort/gather compaction (~212 ms/2M-ray wave) and
@@ -304,6 +333,114 @@ def _traced_wavefront(scene, o, d, tmin, tmax, alive, sort_key=None,
         slot=jnp.where(miss, -1, rec.slot),
         b1=jnp.where(miss, 0.0, rec.b1),
         b2=jnp.where(miss, 0.0, rec.b2))
+
+
+def _sample_step(tracer, scene, resources, pixel_index, frame_id, b,
+                 state, *, debug, hit_offset, miss_index,
+                 wave="bounce", tb=None, want_t=False, route=None,
+                 shadow_route=None):
+    """One engine wave: closest-hit trace, SBT shading (shaders may
+    trace occlusion rays inline), color/throughput/alive update --
+    shader.cl:233-260's per-bounce body in wavefront form.  Shared by
+    the monolithic frame function (frame_fn, everything in one jit)
+    and the staged per-wave scheduler (_render_staged, one jit per
+    wave); same math, different dispatch granularity.
+
+    route / shadow_route: explicit backend picks for this wave and for
+    occlusion rays traced inside its shading (see _traced_wavefront);
+    None preserves the env-driven selection."""
+    sbt = tracer.sbt
+    color, contribution, alive, o, d = state
+    n = pixel_index.shape[0]
+
+    def trace_occlusion(scene_, origin, direction, tmin, tmax,
+                        resources=None, active=None):
+        # custom any-hit programs (alpha test etc.) registered at the
+        # shadow offset ride into the traversal; the canonical
+        # terminate-on-first anyShadow compiles to the cheap flag
+        prog = sbt.make_any_hit_program(tracer.shadow_hit_offset,
+                                        resources)
+        kw = dict(any_hit_terminate=(prog is None),
+                  any_hit_program=prog)
+        if active is None:
+            rec = _trace_dispatch(scene_, origin, direction,
+                                  tmin, tmax, **kw)
+        else:
+            rec = _traced_wavefront(scene_, origin, direction,
+                                    tmin, tmax, active, wave="shadow",
+                                    route=shadow_route, **kw)
+        return rec.hit
+
+    occl = functools.partial(trace_occlusion, scene,
+                             resources=resources)
+    # user shaders' closest-hit handle goes through the same backend
+    # dispatch as the engine's own waves, so sample2-style recursive
+    # traces get the packet/stream fast path
+    full = functools.partial(_trace_dispatch, scene)
+    hit_anyhit = sbt.make_any_hit_program(hit_offset, resources)
+
+    hits = _traced_wavefront(scene, o, d, tracer.tmin, tracer.tmax,
+                             alive, wave=wave, blk_bound=tb,
+                             route=route, any_hit_program=hit_anyhit)
+    ctx = _make_context(scene, hits, o, d, pixel_index, frame_id, b,
+                        resources, debug, occl, full)
+    payload = Payload(
+        color=jnp.zeros((n, 3), jnp.float32),
+        hit=jnp.zeros(n, bool),
+        next_factor=jnp.ones((n, 3), jnp.float32),
+        next_origin=o,
+        next_dir=d,
+    )
+    payload = sbt.call_hit(hit_offset, ctx, payload,
+                           alive & hits.hit)
+    payload = sbt.call_miss(miss_index, ctx, payload,
+                            alive & (~hits.hit))
+
+    hit = payload.hit
+    # accumulation logic of shader.cl:238-252
+    add = alive & hit
+    color = color + jnp.where(add[:, None],
+                              contribution * payload.color, 0.0)
+    # first-bounce miss paints the background
+    bg = alive & (~hit) & (b == 0)
+    color = jnp.where(bg[:, None], payload.color, color)
+    contribution = jnp.where(add[:, None],
+                             contribution * payload.next_factor,
+                             contribution)
+    alive = alive & hit
+    st_out = (color, contribution, alive,
+              payload.next_origin, payload.next_dir)
+    return (st_out, hits.t) if want_t else st_out
+
+
+def _sample_init(tracer, resources, pixel_index, frame_id,
+                 total_samples0):
+    """Fresh per-sample path state: PCG-seeded raygen + unit
+    throughput (the reference's per-sample loop head,
+    shader.cl:197-231)."""
+    n = pixel_index.shape[0]
+    rand_input = jnp.stack([
+        jnp.broadcast_to(frame_id, (n,)).astype(jnp.uint32),
+        jnp.broadcast_to(total_samples0, (n,)).astype(jnp.uint32),
+        pixel_index.astype(jnp.uint32),
+    ], axis=-1)
+    origin, direction = tracer.ray_generator(resources, pixel_index,
+                                             rand_input)
+    return (jnp.zeros((n, 3), jnp.float32),
+            jnp.ones((n, 3), jnp.float32),
+            jnp.ones(n, bool), origin, direction)
+
+
+def _finish_frame(tracer, batch, debug, accum, colors, total_samples):
+    """Running-average + tonemap + quantize (shader.cl:262-305); the
+    staged counterpart of frame_fn's epilogue."""
+    f = total_samples.astype(jnp.float32)
+    accum = (f * accum + colors) / (f + jnp.float32(batch))
+    rgb = accum
+    if not debug:
+        rgb = tracer.tonemap(rgb)
+    image = tonemap_ops.quantize_rgba8(rgb)
+    return accum, image
 
 
 def _make_context(scene: DeviceScene, hits: traversal.HitRecord,
@@ -399,86 +536,23 @@ class WavefrontPathTracer:
         tb').  Bounds share accum's invalidation contract: reset to
         +inf whenever total_samples resets (render() does).
         """
-        sbt = self.sbt
         effective_depth = 1 if debug else depth
         hit_offset = self.hit_offset + hit_group_offset
         miss_index = self.miss_index + miss_group_offset
 
-        def trace_occlusion(scene, origin, direction, tmin, tmax,
-                            resources=None, active=None):
-            # custom any-hit programs (alpha test etc.) registered at the
-            # shadow offset ride into the traversal; the canonical
-            # terminate-on-first anyShadow compiles to the cheap flag
-            prog = sbt.make_any_hit_program(self.shadow_hit_offset,
-                                            resources)
-            kw = dict(any_hit_terminate=(prog is None),
-                      any_hit_program=prog)
-            if active is None:
-                rec = _trace_dispatch(scene, origin, direction,
-                                      tmin, tmax, **kw)
-            else:
-                rec = _traced_wavefront(scene, origin, direction,
-                                        tmin, tmax, active,
-                                        wave="shadow", **kw)
-            return rec.hit
-
         def one_sample(scene, resources, pixel_index, frame_id,
                        total_samples0, tb=None):
             n = pixel_index.shape[0]
-            rand_input = jnp.stack([
-                jnp.broadcast_to(frame_id, (n,)).astype(jnp.uint32),
-                jnp.broadcast_to(total_samples0, (n,)).astype(jnp.uint32),
-                pixel_index.astype(jnp.uint32),
-            ], axis=-1)
-            origin, direction = self.ray_generator(resources, pixel_index, rand_input)
-
-            occl = functools.partial(trace_occlusion, scene,
-                                     resources=resources)
-            # user shaders' closest-hit handle goes through the same
-            # backend dispatch as the engine's own waves, so sample2-
-            # style recursive traces get the packet/stream fast path
-            full = functools.partial(_trace_dispatch, scene)
-            hit_anyhit = sbt.make_any_hit_program(hit_offset, resources)
 
             def bounce(b, st, wave="bounce", tb=None, want_t=False):
-                color, contribution, alive, o, d = st
-                hits = _traced_wavefront(scene, o, d, self.tmin, self.tmax,
-                                         alive, wave=wave, blk_bound=tb,
-                                         any_hit_program=hit_anyhit)
-                ctx = _make_context(
-                    scene, hits, o, d, pixel_index, frame_id, b,
-                    resources, debug, occl, full)
-                payload = Payload(
-                    color=jnp.zeros((n, 3), jnp.float32),
-                    hit=jnp.zeros(n, bool),
-                    next_factor=jnp.ones((n, 3), jnp.float32),
-                    next_origin=o,
-                    next_dir=d,
-                )
-                payload = sbt.call_hit(hit_offset, ctx, payload,
-                                       alive & hits.hit)
-                payload = sbt.call_miss(miss_index, ctx, payload,
-                                        alive & (~hits.hit))
+                return _sample_step(self, scene, resources,
+                                    pixel_index, frame_id, b, st,
+                                    debug=debug, hit_offset=hit_offset,
+                                    miss_index=miss_index, wave=wave,
+                                    tb=tb, want_t=want_t)
 
-                hit = payload.hit
-                # accumulation logic of shader.cl:238-252
-                add = alive & hit
-                color = color + jnp.where(add[:, None],
-                                          contribution * payload.color, 0.0)
-                # first-bounce miss paints the background
-                bg = alive & (~hit) & (b == 0)
-                color = jnp.where(bg[:, None], payload.color, color)
-                contribution = jnp.where(add[:, None],
-                                         contribution * payload.next_factor,
-                                         contribution)
-                alive = alive & hit
-                st_out = (color, contribution, alive,
-                          payload.next_origin, payload.next_dir)
-                return (st_out, hits.t) if want_t else st_out
-
-            init = (jnp.zeros((n, 3), jnp.float32),
-                    jnp.ones((n, 3), jnp.float32),
-                    jnp.ones(n, bool), origin, direction)
+            init = _sample_init(self, resources, pixel_index, frame_id,
+                                total_samples0)
             if effective_depth < 1:
                 return (init[0], tb) if tbound else init[0]
             # the primary wave is unrolled out of the loop so its
@@ -570,6 +644,95 @@ class WavefrontPathTracer:
     # with no semantic difference -- the running average composes exactly.
     max_batch_per_dispatch: int = 8
 
+    # ---- staged frame scheduler -------------------------------------
+    # One jitted dispatch PER WAVE (trace + shade + inline occlusion),
+    # chained asynchronously from the host -- no mid-frame host sync, so
+    # dispatch latency pipelines away.  This is the shape the bench's
+    # validated composition runs in (each wave a standalone jit,
+    # bench.py run_bench_stream3); the monolithic frame_fn (everything
+    # under one jit with fori/while loops around two Pallas calls) both
+    # compiled for ~9 minutes and kernel-faulted the TPU worker when
+    # composed with the live-mask kernel (round 4, ENGINE_G1L), and its
+    # default argsort compaction costs ~212 ms per wave.  Staged waves
+    # reuse _sample_step, so the math is identical to the monolith.
+
+    @functools.lru_cache(maxsize=None)
+    def _staged_init_jit(self):
+        return jax.jit(functools.partial(_sample_init, self))
+
+    @functools.lru_cache(maxsize=None)
+    def _staged_step_jit(self, debug, hit_offset, miss_index, wave,
+                         route, shadow_route):
+        fn = functools.partial(_sample_step, self, debug=debug,
+                               hit_offset=hit_offset,
+                               miss_index=miss_index, wave=wave,
+                               route=route, shadow_route=shadow_route)
+        return jax.jit(fn)
+
+    @functools.lru_cache(maxsize=None)
+    def _staged_finish_jit(self, batch, debug):
+        return jax.jit(functools.partial(_finish_frame, self, batch,
+                                         debug))
+
+    @staticmethod
+    def _staged_route(wave, default):
+        """Explicit per-wave route for the staged scheduler, honoring
+        the historical env knobs: any explicit routing env returns None
+        (= let _traced_wavefront's env-driven selection decide), else
+        the staged default applies.  RADIANCE_GEN1_LIVE needs no case:
+        the staged secondary default IS the live-mask route, and the
+        bench's validated interpretation of that knob never applied it
+        to the stream3 primary."""
+        if os.environ.get(f"RADIANCE_ENGINE_{wave.upper()}", ""):
+            return None
+        if os.environ.get("RADIANCE_ENGINE_STREAM3", "0") != "0":
+            return None
+        if os.environ.get("RADIANCE_GEN1_SORT", "0") == "1":
+            return None
+        return default
+
+    def _render_staged(self, scene, resources, accum, total_samples,
+                       width, height, *, batch, depth, debug,
+                       hit_group_offset, miss_group_offset):
+        from radiance_tpu.ops import packet_trace, stream3
+        n = width * height
+        pixel_index = jnp.arange(n, dtype=jnp.int32)
+        hit_offset = self.hit_offset + hit_group_offset
+        miss_index = self.miss_index + miss_group_offset
+        effective_depth = 1 if debug else depth
+        on_tpu = jax.default_backend() == "tpu"
+        pk_ok = on_tpu and packet_trace.supports(scene)
+        s3_ok = on_tpu and stream3.supports(scene)
+        sec_default = "gen1_live" if pk_ok else None
+        primary_route = self._staged_route(
+            "primary", "stream3" if s3_ok else sec_default)
+        bounce_route = self._staged_route("bounce", sec_default)
+        shadow_route = self._staged_route("shadow", sec_default)
+
+        j_init = self._staged_init_jit()
+        j_prim = self._staged_step_jit(debug, hit_offset, miss_index,
+                                       "primary", primary_route,
+                                       shadow_route)
+        j_bounce = self._staged_step_jit(debug, hit_offset, miss_index,
+                                         "bounce", bounce_route,
+                                         shadow_route)
+        j_fin = self._staged_finish_jit(int(batch), int(debug))
+
+        ts0 = jnp.uint32(total_samples)
+        colors = jnp.zeros((n, 3), jnp.float32)
+        for s in range(int(batch)):
+            fid = jnp.uint32(int(total_samples) + s)
+            state = j_init(resources, pixel_index, fid, ts0)
+            if effective_depth >= 1:
+                state = j_prim(scene, resources, pixel_index, fid,
+                               jnp.int32(0), state)
+                for b in range(1, effective_depth):
+                    state = j_bounce(scene, resources, pixel_index,
+                                     fid, jnp.int32(b), state)
+            colors = colors + state[0]
+        accum, image = j_fin(accum, colors, ts0)
+        return accum, image.reshape(height, width, 4)
+
     _ATTACHED = {}
     _TB_CAP = 8
 
@@ -629,12 +792,27 @@ class WavefrontPathTracer:
         (sample1.cpp:479-490).  Only the stream3 primary route culls;
         elsewhere the bounds thread through inert."""
         scene = self._maybe_attach_multi(scene)
+        tbound = os.environ.get("RADIANCE_ENGINE_TBOUND", "0") == "1"
+        # RADIANCE_ENGINE_STAGED: 1 = per-wave dispatch scheduler, 0 =
+        # monolithic jitted frame, unset = staged on TPU (the validated
+        # composition; see _render_staged), monolith elsewhere (CPU
+        # tests compile one program, and tbound threads per-block
+        # bounds through the monolith only).
+        staged_env = os.environ.get("RADIANCE_ENGINE_STAGED", "")
+        staged = (staged_env == "1"
+                  or (staged_env == ""
+                      and jax.default_backend() == "tpu"))
+        if staged and not tbound:
+            return self._render_staged(
+                scene, resources, accum, total_samples, width, height,
+                batch=batch, depth=depth, debug=debug,
+                hit_group_offset=hit_group_offset,
+                miss_group_offset=miss_group_offset)
         n = width * height
         pixel_index = jnp.arange(n, dtype=jnp.int32)
         remaining = int(batch)
         ts = int(total_samples)
         image = None
-        tbound = os.environ.get("RADIANCE_ENGINE_TBOUND", "0") == "1"
         tb = None
         if tbound:
             from radiance_tpu.ops import stream3

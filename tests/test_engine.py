@@ -389,3 +389,34 @@ def test_tbound_store_is_per_tracer(monkeypatch):
                                rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(acc_b), ref_b,
                                rtol=1e-4, atol=1e-5)
+
+
+def test_staged_matches_monolith(tracer, cornell, monkeypatch):
+    """The staged per-wave scheduler (_render_staged) and the
+    monolithic jitted frame must produce identical frames: same
+    _sample_step math, different dispatch granularity.  On CPU both
+    use the same env-driven wave routes, so any difference would be a
+    scheduling bug (sample/bounce chaining, accumulation epilogue)."""
+    res = make_resources(cornell)
+    scene = cornell.device_scene()
+    accum0 = jnp.zeros((W * H, 3), jnp.float32)
+
+    monkeypatch.setenv("RADIANCE_ENGINE_STAGED", "0")
+    a_mono, img_mono = tracer.render(scene, res, accum0, 0, W, H,
+                                     batch=2, depth=2)
+    # second frame exercises the nonzero-total_samples running average
+    a_mono2, img_mono2 = tracer.render(scene, res, a_mono, 2, W, H,
+                                       batch=2, depth=2)
+
+    monkeypatch.setenv("RADIANCE_ENGINE_STAGED", "1")
+    a_st, img_st = tracer.render(scene, res, accum0, 0, W, H,
+                                 batch=2, depth=2)
+    a_st2, img_st2 = tracer.render(scene, res, a_st, 2, W, H,
+                                   batch=2, depth=2)
+
+    np.testing.assert_allclose(np.asarray(a_st), np.asarray(a_mono),
+                               rtol=1e-5, atol=1e-6)
+    assert (np.asarray(img_st) == np.asarray(img_mono)).all()
+    np.testing.assert_allclose(np.asarray(a_st2), np.asarray(a_mono2),
+                               rtol=1e-5, atol=1e-6)
+    assert (np.asarray(img_st2) == np.asarray(img_mono2)).all()
