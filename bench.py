@@ -55,8 +55,22 @@ def apply_bench_env():
     if not os.path.exists(path):
         # .bench_cache does not survive container restarts (round 4
         # started with the picked config lost); fall back to the
-        # TRACKED snapshot of the last chip-validated pick
+        # TRACKED snapshot of the last chip-validated pick.  That
+        # snapshot was validated on a PREVIOUS chip/container, so a
+        # fresh box will first-compile under it -- loudly, so a wedge
+        # here is attributable (advisor r4); RADIANCE_BENCH_NO_DEFAULT_ENV=1
+        # opts out back to true defaults.
         path = os.path.join(root, "tools", "bench_env.default")
+        if os.path.exists(path):
+            if os.environ.get("RADIANCE_BENCH_NO_DEFAULT_ENV") == "1":
+                print("# bench_env: no chip-validated pick; tracked "
+                      "fallback DISABLED by RADIANCE_BENCH_NO_DEFAULT_ENV",
+                      file=sys.stderr)
+                return
+            print("# bench_env: applying TRACKED fallback "
+                  "tools/bench_env.default -- validated on a previous "
+                  "chip, NOT this one (first compiles under it are "
+                  "unproven here)", file=sys.stderr)
     if not os.path.exists(path):
         return
     applied = []
@@ -234,7 +248,7 @@ def make_tracer(scene, probe_rays=None):
     import jax.numpy as jnp
     from radiance_tpu.ops import traversal
 
-    # The two-phase stream tracer (ops/stream_trace.py) is kept out of
+    # The two-phase stream tracer (benchmarks/stream_trace.py (demoted from ops/, r5)) is kept out of
     # the bench engine for now: its end-to-end wave time (~250 ms) has
     # not yet beaten the gen-1 packet kernel, and on this platform its
     # emit/refine stages trip their runtime integrity checks in some
@@ -351,7 +365,7 @@ def make_tracer(scene, probe_rays=None):
 
     if os.environ.get("RADIANCE_BENCH_ENGINE") == "stream":
         try:
-            from radiance_tpu.ops import stream_trace
+            from benchmarks import stream_trace
             if stream_trace.supports(scene):
                 closest_s = stream_trace.build_tracer(scene, raw=True)
 

@@ -7,7 +7,7 @@ import numpy as np, jax, jax.numpy as jnp
 import bench
 from phase_ledger import bench_rays, timed
 from radiance_tpu.ops import stream3 as s3
-from radiance_tpu.ops.stream_trace import leaf_tables
+from radiance_tpu.ops.stream3 import leaf_tables
 
 scene = bench.build_or_load_scene()
 o0, d0 = bench_rays()

@@ -19,8 +19,8 @@ import jax.numpy as jnp
 
 def main():
     import bench
-    from radiance_tpu.ops import stream_trace
-    from radiance_tpu.ops.frustum_trace import prepare_packets, _packet_scalars
+    from benchmarks import stream_trace
+    from benchmarks.frustum_trace import prepare_packets, _packet_scalars
 
     scene = bench.build_or_load_scene()
     W, H = bench.WIDTH, bench.HEIGHT

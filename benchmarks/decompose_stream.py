@@ -36,8 +36,8 @@ def timed(fn, *args, iters=3):
 
 def main():
     import bench
-    from radiance_tpu.ops import stream_trace
-    from radiance_tpu.ops.frustum_trace import prepare_packets, _packet_scalars
+    from benchmarks import stream_trace
+    from benchmarks.frustum_trace import prepare_packets, _packet_scalars
 
     precision = sys.argv[1] if len(sys.argv) > 1 else "f32"
     scene = bench.build_or_load_scene()

@@ -348,6 +348,13 @@ def build_tracer(scene, any_hit: bool = False, sub: int = 8,
     if not supports(scene):
         raise ValueError("frustum kernel requires single-instance scene "
                          "with kernel tables (see kernel_pack.py)")
+    if __import__("os").environ.get("RADIANCE_STABLE_FRAMES", "0") == "1":
+        raise RuntimeError(
+            "frustum_trace is a benchmark-only backend without "
+            "RADIANCE_STABLE_FRAMES support: its kernels read the legacy "
+            "origin-moment Pluecker features, which silently mis-intersect "
+            "against stable-mode (leaf-local) tables -- use ops/stream3 or "
+            "ops/packet_trace (advisor r4)")
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     tables = (scene.knode_f, scene.kleaf, scene.kprim, scene.ktri_geo,
@@ -366,6 +373,11 @@ def trace_rays_frustum(scene, origin, direction, tmin, tmax,
                        interpret=None) -> HitRecord:
     """Trace a wavefront through the frustum kernel, traceable under an
     outer jit.  Caller must check supports(scene)."""
+    if __import__("os").environ.get("RADIANCE_STABLE_FRAMES", "0") == "1":
+        raise RuntimeError(
+            "frustum_trace is a benchmark-only backend without "
+            "RADIANCE_STABLE_FRAMES support -- use ops/stream3 or "
+            "ops/packet_trace (advisor r4)")
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     return _run(origin, direction, tmin, tmax,

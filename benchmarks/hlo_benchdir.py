@@ -4,7 +4,7 @@ import jax, jax.numpy as jnp
 
 def main(tag="bench"):
     import bench
-    from radiance_tpu.ops import stream_trace
+    from benchmarks import stream_trace
 
     scene = bench.build_or_load_scene()
     W, H = bench.WIDTH, bench.HEIGHT

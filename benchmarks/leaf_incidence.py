@@ -23,7 +23,7 @@ import jax.numpy as jnp
 
 def main():
     import bench
-    from radiance_tpu.ops import frustum_trace
+    from benchmarks import frustum_trace
 
     scene = bench.build_or_load_scene()
     W, H = bench.WIDTH, bench.HEIGHT

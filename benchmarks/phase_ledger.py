@@ -62,7 +62,7 @@ def bench_rays():
 
 def main():
     import bench
-    from radiance_tpu.ops import stream_trace as st
+    from benchmarks import stream_trace as st
 
     precision = sys.argv[1] if len(sys.argv) > 1 else "f32"
     iters = int(sys.argv[2]) if len(sys.argv) > 2 else 3

@@ -23,7 +23,7 @@ from phase_ledger import timed, bench_rays
 def main():
     import bench
     import stream2 as s2
-    from radiance_tpu.ops.stream_trace import leaf_tables
+    from radiance_tpu.ops.stream3 import leaf_tables
 
     precision = sys.argv[1] if len(sys.argv) > 1 else "f32"
     iters = int(sys.argv[2]) if len(sys.argv) > 2 else 3

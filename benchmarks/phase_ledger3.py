@@ -22,7 +22,7 @@ from phase_ledger import timed, timed_chain, bench_rays
 def main():
     import bench
     from radiance_tpu.ops import stream3 as s3
-    from radiance_tpu.ops.stream_trace import leaf_tables
+    from radiance_tpu.ops.stream3 import leaf_tables
 
     precision = sys.argv[1] if len(sys.argv) > 1 else "f32"
     iters = int(sys.argv[2]) if len(sys.argv) > 2 else 3

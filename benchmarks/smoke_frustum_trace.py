@@ -1,4 +1,4 @@
-"""Frustum-walk packet kernel (ops/frustum_trace.py) vs oracle
+"""Frustum-walk packet kernel (benchmarks/frustum_trace.py, demoted from ops/ r5) vs oracle
 (interpret mode on CPU).
 
 The frustum walk is conservative (it can only visit MORE nodes than the
@@ -13,9 +13,12 @@ import pytest
 
 from radiance_tpu.api import accel
 from radiance_tpu.core import types
-from radiance_tpu.ops import frustum_trace, traversal
+from benchmarks import frustum_trace
+from radiance_tpu.ops import traversal
 from radiance_tpu.ops.intersect import FLT_MAX
 
+import sys, os
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tests"))
 from test_bvh import random_mesh
 from test_traversal import gen_rays
 from test_packet_trace import _single_instance_scene

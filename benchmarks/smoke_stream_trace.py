@@ -11,9 +11,12 @@ import jax
 import jax.numpy as jnp
 import pytest
 
-from radiance_tpu.ops import stream_trace, traversal
+from benchmarks import stream_trace
+from radiance_tpu.ops import traversal
 from radiance_tpu.ops.intersect import FLT_MAX
 
+import sys, os
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tests"))
 from test_traversal import gen_rays
 from test_packet_trace import _single_instance_scene
 

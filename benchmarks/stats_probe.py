@@ -40,7 +40,7 @@ def main():
     print(f"nodes/octant: {nk}  node table: {nodef.nbytes/1e6:.1f} MB")
 
     o0, d0 = bench_rays()
-    from radiance_tpu.ops.stream_trace import leaf_tables
+    from radiance_tpu.ops.stream3 import leaf_tables
     tstart, aabb = leaf_tables(nodef, scene.kleaf.shape[0])
     inv0 = scene.inst_inv[0]
     tmin, tmax = jnp.float32(1e-3), jnp.float32(1e4)

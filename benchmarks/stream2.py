@@ -80,7 +80,7 @@ from radiance_tpu.bvh.kernel_pack import KERNEL_MAX_TRIS, KERNEL_LEAF_LANES
 from radiance_tpu.config import vmem_limit_bytes as _vmem_limit
 from radiance_tpu.ops.intersect import FLT_MAX
 from radiance_tpu.ops.traversal import HitRecord
-from radiance_tpu.ops.stream_trace import (
+from benchmarks.stream_trace import (
     BLK, CHUNK_BLOCKS, CHUNK_RAYS, CHUNK_CAP, CODE_MOD, CODE_BLK_SHIFT,
     CODE_TQ_SHIFT, TQ_BIAS, S_SLOTS, leaf_tables)
 

@@ -56,7 +56,7 @@ from jax.experimental.pallas import tpu as pltpu
 from radiance_tpu.bvh.kernel_pack import KERNEL_MAX_TRIS, KERNEL_LEAF_LANES
 from radiance_tpu.ops.intersect import FLT_MAX
 from radiance_tpu.ops.traversal import HitRecord
-from radiance_tpu.ops.frustum_trace import prepare_packets, _packet_scalars
+from benchmarks.frustum_trace import prepare_packets, _packet_scalars
 from radiance_tpu.config import vmem_limit_bytes as _vmem_limit
 
 _FMAX = 3.4028235e38
@@ -733,6 +733,16 @@ def _run(origin, direction, tmin, tmax, nodef, kleaf_k, kprim, ktri_geo,
     return rec
 
 
+def _refuse_stable_frames():
+    if __import__("os").environ.get("RADIANCE_STABLE_FRAMES", "0") == "1":
+        raise RuntimeError(
+            "stream_trace is a benchmark-only backend without "
+            "RADIANCE_STABLE_FRAMES support: its kernels read the legacy "
+            "origin-moment Pluecker features, which silently mis-intersect "
+            "against stable-mode (leaf-local) tables -- use ops/stream3 "
+            "or ops/packet_trace (advisor r4)")
+
+
 def trace_rays_stream(scene, origin, direction, tmin, tmax,
                       any_hit: bool = False, precision: str = "f32",
                       interpret=None) -> HitRecord:
@@ -744,6 +754,7 @@ def trace_rays_stream(scene, origin, direction, tmin, tmax,
     (observable, instead of silently losing hits); use build_tracer
     (which checks on-device diagnostics and raises) for tracing that
     must distinguish the cases."""
+    _refuse_stable_frames()
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     tstart, aabb = leaf_tables(scene.knode_f, scene.kleaf.shape[0])
@@ -1041,6 +1052,7 @@ def build_tracer(scene, any_hit: bool = False, precision: str = "f32",
     is recomputed exactly outside the kernel).
     check=True raises RuntimeError on capacity overflow (costs one
     scalar device sync per call)."""
+    _refuse_stable_frames()
     if not supports(scene):
         raise ValueError("stream tracer requires single-instance scene "
                          "with kernel tables (see kernel_pack.py)")

@@ -26,7 +26,7 @@ import jax as _jax
 # This is a PROCESS-GLOBAL side effect (it also strips source
 # attribution from the host app's own HLO and profiles); set
 # RADIANCE_KEEP_HLO_LOCATIONS=1 before import to opt out -- at the
-# cost of per-caller kernel module bytes (see ops/stream_trace.py for
+# cost of per-caller kernel module bytes (see benchmarks/stream_trace.py (demoted from ops/, r5) for
 # why that historically mattered on this platform).
 import os as _os
 

@@ -60,7 +60,7 @@ from jax.experimental.pallas import tpu as pltpu
 from radiance_tpu.bvh.kernel_pack import KERNEL_MAX_TRIS, KERNEL_LEAF_LANES
 from radiance_tpu.ops.intersect import FLT_MAX
 from radiance_tpu.ops.traversal import HitRecord
-from radiance_tpu.ops.stream_trace import S_SLOTS, leaf_tables
+S_SLOTS = 4             # leaf DMA pipeline depth
 RES_CAP = 8             # packets exactly re-walked in-jit per wave
 TB_RES_RAYS = 16384     # temporal-bound residual FLOOR: the per-wave
                         # exact re-walk capacity is
@@ -70,6 +70,29 @@ TB_RES_RAYS = 16384     # temporal-bound residual FLOOR: the per-wave
                         # 0.35% of rays at 2M)
 
 _FMAX = 3.4028235e38
+
+
+def leaf_tables(nodef, n_leaves, with_counts=False):
+    """Derive (tstart [1, Nl] i32, aabb [Nl, 6] f32[, tcount [Nl] i32])
+    keyed by kleaf row from the octant-0 node rows (kernel_pack leaf
+    meta = (a=kleaf row, esc, ntri, tri_start); bounds in words 0-5)."""
+    nk = nodef.shape[0] // 8
+    rows = nodef[:nk]
+    la = rows[:, 8].astype(jnp.int32)
+    lt = rows[:, 11].astype(jnp.int32)
+    isleaf = rows[:, 10] > 0
+    idx = jnp.where(isleaf, la, 0)
+    tstart = (jnp.zeros(n_leaves, jnp.int32)
+              .at[idx].max(jnp.where(isleaf, lt, 0)))
+    aabb = (jnp.full((n_leaves, 6), -_FMAX, jnp.float32)
+            .at[idx].max(jnp.where(isleaf[:, None], rows[:, 0:6],
+                                   -_FMAX)))
+    if not with_counts:
+        return tstart[None, :], aabb
+    ntri = rows[:, 10].astype(jnp.int32)
+    tcount = (jnp.zeros(n_leaves, jnp.int32)
+              .at[idx].max(jnp.where(isleaf, ntri, 0)))
+    return tstart[None, :], aabb, tcount
 _BIG = 1e30
 T = KERNEL_MAX_TRIS
 G = 8                   # walk slots per emit grid step
@@ -829,8 +852,12 @@ def _emit3t_kernel(lim_ref, smeta_ref, scal_ref, bscal_ref, nodef_ref,
 def _stage_emit(lim, scal, smeta, bscal, nodef, *, interpret: bool,
                 treelet: bool = False, salt: int = 0):
     # treelet=True is the aligned-window walk (4x fewer iterations,
-    # verified exact in interpret mode); it stays opt-in until its
-    # Mosaic compile is validated on the real chip
+    # verified exact in interpret mode).  Compiled non-WS runs never
+    # reach it: _emit3t_kernel hangs the remote Mosaic compiler (two
+    # compiler generations, BASELINE.md), so _run force-downgrades
+    # treelet to the plain walk there (with a stderr note); only the
+    # WS-composed treelet (_emit3wst_kernel, _stage_emit_ws) is
+    # chip-viable.  Interpret mode (tests, oracles) exercises both.
     nslot = scal.shape[0]
     assert nslot % G == 0, nslot
     ngrp = nslot // G
@@ -2768,7 +2795,7 @@ def build_tracer(scene, precision: str = "f32", interpret=None,
       against the XLA traversal oracle before use, and (optionally)
       one pseudo-random packet of EVERY wave is re-traced and compared
       -- the platform has miscompiled structurally-similar kernels per
-      process context (see ops/stream_trace.py)."""
+      process context (see benchmarks/stream_trace.py (demoted from ops/, r5))."""
     import numpy as np
     from radiance_tpu.ops import traversal
 

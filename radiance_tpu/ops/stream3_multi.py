@@ -26,7 +26,7 @@ import jax.numpy as jnp
 from radiance_tpu.ops.intersect import FLT_MAX
 from radiance_tpu.ops.traversal import HitRecord
 from radiance_tpu.ops import stream3 as s3
-from radiance_tpu.ops.stream_trace import leaf_tables
+from radiance_tpu.ops.stream3 import leaf_tables
 
 BLK = s3.BLK
 PKT = s3.PKT
