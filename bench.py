@@ -919,6 +919,12 @@ def run_shard1_bench():
     from radiance_tpu.parallel.sharding import make_mesh, shard_frame
 
     BATCH, DEPTH = 2, 2
+    # the engine-monolith x live-mask-kernel composition kernel-faulted
+    # the TPU worker in round 4 (ENGINE_G1L, BASELINE.md) and
+    # shard_frame IS the monolith under shard_map -- strip the fenced
+    # knobs so a bench_env pick can't smuggle that composition in here
+    for k in ("RADIANCE_GEN1_LIVE", "RADIANCE_GEN1_SORT"):
+        os.environ.pop(k, None)
     w = h = int(os.environ.get("RADIANCE_SHARD1_RES", "1024"))
     scene, tracer, res = _engine_setup(w, h)
     n = w * h
@@ -944,14 +950,38 @@ def run_shard1_bench():
         float(jnp.sum(accum[::65536]))
         ts += BATCH
     dt = (time.time() - t0) / iters
+
+    # unsharded MONOLITH frame at the same config (the sharded program
+    # wraps frame_fn, so the honest overhead baseline is frame_fn
+    # unsharded, not the staged scheduler): shard overhead =
+    # dt_sharded / dt_unsharded on the same chip
+    os.environ["RADIANCE_ENGINE_STAGED"] = "0"
+    accum_u = jnp.zeros((n, 3), jnp.float32)
+    accum_u, _img = tracer.render(scene, res, accum_u, 0, w, h,
+                                  batch=BATCH, depth=DEPTH)
+    jax.block_until_ready(accum_u)
+    t0 = time.time()
+    ts = BATCH
+    for _ in range(iters):
+        accum_u, _img = tracer.render(scene, res, accum_u, ts, w, h,
+                                      batch=BATCH, depth=DEPTH)
+        float(jnp.sum(accum_u[::65536]))
+        ts += BATCH
+    dt_u = (time.time() - t0) / iters
+    os.environ.pop("RADIANCE_ENGINE_STAGED", None)
+
     rays = BATCH * DEPTH * 2 * n
     print(json.dumps({
         "metric": "shard1_engine_mrays_per_sec",
         "value": round(rays / dt / 1e6, 3),
         "unit": "Mrays/s",
         "ms_per_frame": round(dt * 1e3, 1),
+        "unsharded_ms_per_frame": round(dt_u * 1e3, 1),
+        "shard_overhead": round(dt / dt_u, 4),
         "mesh": "tpu:1", "res": w,
         "accum_mean": round(float(jnp.mean(accum)), 6),
+        "accum_match": round(float(jnp.max(jnp.abs(
+            accum - accum_u))), 6),
     }))
 
 

@@ -265,7 +265,32 @@ def compile_packet(masked: bool, any_hit: bool):
     return aot_compile(fn, *args)
 
 
+def compile_prep(masked: bool):
+    """Single-pass prep-scalars kernel (stream3._oscal_kernel): the
+    round-5 prep diet candidate (RADIANCE_PREP_KERNEL=1)."""
+    from radiance_tpu.ops import stream3
+    rng = np.random.default_rng(0)
+    npk = 16
+    n = npk * stream3.PKT
+    rows = tuple(rng.standard_normal(n).astype(np.float32)
+                 for _ in range(6))
+    live = rng.random(n) > 0.3
+
+    def fn(*args):
+        if masked:
+            rows_, lv = args[:6], args[6]
+        else:
+            rows_, lv = args, None
+        return stream3._octant_scalars_kernel(rows_, lv, npk,
+                                              interpret=False)
+
+    args = rows + ((live,) if masked else ())
+    return aot_compile(fn, *args)
+
+
 TARGETS = {
+    "prep": lambda: compile_prep(False),
+    "prep-live": lambda: compile_prep(True),
     "emit": lambda: compile_emit(False),
     "emit-treelet": lambda: compile_emit(True),
     "emit-ws": compile_emit_ws,

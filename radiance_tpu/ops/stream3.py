@@ -291,7 +291,163 @@ def _block_sort(rows_w, live=None):
     return rows_s, inv
 
 
-def _stage_prep(rows_w, tmin, tmax, nodef, inv0, live=None):
+def _oscal_kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+                  lv_ref, out_ref, *, masked: bool):
+    """Per-packet octant + full-packet interval scalars in ONE VMEM
+    pass (the prep diet, round 5): the XLA formulation materializes
+    [npk, 8, PKT] broadcast intermediates ~20x (66 MB each at 1080p --
+    pure HBM traffic); here the packet's six component tiles are read
+    once and all 8x15 octant scalars + presence + the whole-packet row
+    reduce in-register.  Formulas mirror _interval_scalars /
+    _stage_prep's octant block exactly (same inits, same select
+    order), so interpret-mode results are bit-identical to the XLA
+    path.  Output row r < 8: octant r's (sgn3, olo3, ohi3, ilo3,
+    ihi3, present); row 8: full-packet scalars (lane 15 zero)."""
+    f32 = jnp.float32
+    big = f32(_BIG)
+    ox, oy, oz = ox_ref[0], oy_ref[0], oz_ref[0]        # [8, 128]
+    dx, dy, dz = dx_ref[0], dy_ref[0], dz_ref[0]
+    lv = (lv_ref[0] > 0.0) if masked else None
+    bx, by, bz = dx < 0.0, dy < 0.0, dz < 0.0
+    axes = []
+    for oc, dc in ((ox, dx), (oy, dy), (oz, dz)):
+        iv = jnp.minimum(1.0 / jnp.maximum(jnp.abs(dc), 1e-30), big)
+        axes.append((oc, dc, iv))
+
+    def axis_scalars(m, k):
+        oc, dc, iv = axes[k]
+        if m is None:
+            dmin = jnp.min(dc)
+            dmax = jnp.max(dc)
+            omin = jnp.min(oc)
+            omax = jnp.max(oc)
+            ilo = jnp.min(iv)
+            ihi = jnp.max(iv)
+        else:
+            dmin = jnp.min(jnp.where(m, dc, big))
+            dmax = jnp.max(jnp.where(m, dc, -big))
+            omin = jnp.min(jnp.where(m, oc, big))
+            omax = jnp.max(jnp.where(m, oc, -big))
+            ilo = jnp.min(jnp.where(m, iv, big))
+            ihi = jnp.max(jnp.where(m, iv, 0.0))
+        sgn = jnp.where(dmin > 0.0, f32(1.0),
+                        jnp.where(dmax < 0.0, f32(-1.0), f32(0.0)))
+        neg = dmax < 0.0
+        # min/max of o * (neg ? -1 : 1) without a second masked pass:
+        # the flip swaps and negates the o extrema (masked-out lanes
+        # land on _BIG either way)
+        olo = jnp.where(neg, -omax, omin)
+        ohi = jnp.where(neg, -omin, omax)
+        return sgn, olo, ohi, ilo, ihi
+
+    for o in range(8):
+        m = ((bx if (o & 1) else ~bx)
+             & (by if (o & 2) else ~by)
+             & (bz if (o & 4) else ~bz))
+        if masked:
+            m = m & lv
+        for k in range(3):
+            sgn, olo, ohi, ilo, ihi = axis_scalars(m, k)
+            out_ref[o, 0 + k] = sgn
+            out_ref[o, 3 + k] = olo
+            out_ref[o, 6 + k] = ohi
+            out_ref[o, 9 + k] = ilo
+            out_ref[o, 12 + k] = ihi
+        out_ref[o, 15] = jnp.max(jnp.where(m, f32(1.0), f32(0.0)))
+    for k in range(3):
+        sgn, olo, ohi, ilo, ihi = axis_scalars(lv, k)
+        out_ref[8, 0 + k] = sgn
+        out_ref[8, 3 + k] = olo
+        out_ref[8, 6 + k] = ohi
+        out_ref[8, 9 + k] = ilo
+        out_ref[8, 12 + k] = ihi
+    out_ref[8, 15] = f32(0.0)
+
+
+def _octant_scalars_kernel(rows, live, npk, interpret):
+    """Pallas route for the prep octant/full scalars.  Returns
+    (cand [npk, 8, 16] f32 with lane 15 zeroed, present [npk, 8] bool,
+    full_pkt [npk, 16] f32)."""
+    f32 = jnp.float32
+    masked = live is not None
+
+    def tile(v):
+        return v.reshape(npk, 8, 128)
+
+    ox, oy, oz, dx, dy, dz = rows
+    lv = (tile(live.astype(f32)) if masked
+          else jnp.zeros((1, 8, 128), f32))
+    lv_spec = (pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM) if masked
+               else pl.BlockSpec((1, 8, 128), lambda i: (0, 0, 0),
+                                 memory_space=pltpu.VMEM))
+    in_spec = pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0),
+                           memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_oscal_kernel, masked=masked),
+        grid=(npk,),
+        in_specs=[in_spec] * 6 + [lv_spec],
+        out_specs=pl.BlockSpec((16, 16), lambda i: (i, 0),
+                               memory_space=pltpu.SMEM),
+        out_shape=jax.ShapeDtypeStruct((npk * 16, 16), f32),
+        interpret=interpret,
+    )(tile(ox), tile(oy), tile(oz), tile(dx), tile(dy), tile(dz), lv)
+    out = out.reshape(npk, 16, 16)
+    present = out[:, :8, 15] > 0.5
+    cand = out[:, :8, :] * (jnp.arange(16) < 15).astype(f32)
+    full_pkt = out[:, 8, :]
+    return cand, present, full_pkt
+
+
+def _octant_scalars(rows, live, npk, interpret=None):
+    """(cand, present, full_pkt) for _stage_prep's slot construction:
+    the Pallas single-pass kernel when RADIANCE_PREP_KERNEL=1 (chip
+    A/B pending), else the XLA broadcast formulation."""
+    f32, i32 = jnp.float32, jnp.int32
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    if os.environ.get("RADIANCE_PREP_KERNEL", "0") == "1":
+        return _octant_scalars_kernel(rows, live, npk, interpret)
+    ox, oy, oz, dx, dy, dz = rows
+    oct_of = ((dx < 0).astype(i32) + 2 * (dy < 0).astype(i32)
+              + 4 * (dz < 0).astype(i32)).reshape(npk, PKT)
+    omask = oct_of[:, None, :] == jax.lax.broadcasted_iota(
+        i32, (npk, 8, PKT), 1)                      # [npk, 8, PKT]
+    if live is not None:
+        omask = omask & live.reshape(npk, 1, PKT)
+    present = jnp.any(omask, axis=2)
+
+    cols = []
+    for oc, dc in ((ox, dx), (oy, dy), (oz, dz)):
+        ocp = oc.reshape(npk, 1, PKT)
+        dcp = dc.reshape(npk, 1, PKT)
+        dmin = jnp.min(jnp.where(omask, dcp, _BIG), axis=2)
+        dmax = jnp.max(jnp.where(omask, dcp, -_BIG), axis=2)
+        sgn_o = jnp.where(dmin > 0.0, 1.0,
+                          jnp.where(dmax < 0.0, -1.0, 0.0)
+                          ).astype(f32)             # [npk, 8]
+        osn = ocp * jnp.where(dmax < 0.0, -1.0, 1.0)[:, :, None]
+        olo_o = jnp.min(jnp.where(omask, osn, _BIG), axis=2)
+        ohi_o = jnp.max(jnp.where(omask, osn, -_BIG), axis=2)
+        inv = jnp.minimum(1.0 / jnp.maximum(jnp.abs(dcp), 1e-30),
+                          _BIG)
+        ilo_o = jnp.min(jnp.where(omask, inv, _BIG), axis=2)
+        ihi_o = jnp.max(jnp.where(omask, inv, 0.0), axis=2)
+        cols.append((sgn_o, olo_o, ohi_o, ilo_o, ihi_o))
+    cand = jnp.stack(
+        [cols[k][0] for k in range(3)] + [cols[k][1] for k in range(3)]
+        + [cols[k][2] for k in range(3)]
+        + [cols[k][3] for k in range(3)]
+        + [cols[k][4] for k in range(3)]
+        + [jnp.zeros((npk, 8), f32)], axis=2)       # [npk, 8, 16]
+    full_pkt = _group_scalars(
+        rows, PKT,
+        mask=None if live is None else live.reshape(npk, PKT))
+    return cand, present, full_pkt
+
+
+def _stage_prep(rows_w, tmin, tmax, nodef, inv0, live=None,
+                interpret=None):
     """Stage 0 (XLA): object-space rows, phase-2 features [16, Npad],
     sub-block scalars, and the slot tables (pure packets 1:1; mixed
     packets expand to per-octant sub-walk slots from a static pool).
@@ -356,49 +512,18 @@ def _stage_prep(rows_w, tmin, tmax, nodef, inv0, live=None):
         .reshape(npk * nlanes, 16)
 
     # ----- slot construction -----
-    # per-(packet, octant) interval scalars, vectorized over octants
-    # in ONE op set (the 8x-unrolled form compiled for minutes)
-    oct_of = ((dx < 0).astype(i32) + 2 * (dy < 0).astype(i32)
-              + 4 * (dz < 0).astype(i32)).reshape(npk, PKT)
-    omask = oct_of[:, None, :] == jax.lax.broadcasted_iota(
-        i32, (npk, 8, PKT), 1)                      # [npk, 8, PKT]
-    if live is not None:
-        omask = omask & live.reshape(npk, 1, PKT)
-    present = jnp.any(omask, axis=2)
+    # per-(packet, octant) interval scalars + presence + whole-packet
+    # scalars: single-pass Pallas kernel or the XLA broadcast
+    # formulation (_octant_scalars; RADIANCE_PREP_KERNEL)
+    cand, present, full_pkt = _octant_scalars(rows, live, npk,
+                                              interpret=interpret)
     pure = jnp.sum(present.astype(i32), axis=1) == 1
-
-    cols = []
-    for oc, dc in ((ox, dx), (oy, dy), (oz, dz)):
-        ocp = oc.reshape(npk, 1, PKT)
-        dcp = dc.reshape(npk, 1, PKT)
-        dmin = jnp.min(jnp.where(omask, dcp, _BIG), axis=2)
-        dmax = jnp.max(jnp.where(omask, dcp, -_BIG), axis=2)
-        sgn_o = jnp.where(dmin > 0.0, 1.0,
-                          jnp.where(dmax < 0.0, -1.0, 0.0)
-                          ).astype(f32)             # [npk, 8]
-        osn = ocp * jnp.where(dmax < 0.0, -1.0, 1.0)[:, :, None]
-        olo_o = jnp.min(jnp.where(omask, osn, _BIG), axis=2)
-        ohi_o = jnp.max(jnp.where(omask, osn, -_BIG), axis=2)
-        inv = jnp.minimum(1.0 / jnp.maximum(jnp.abs(dcp), 1e-30),
-                          _BIG)
-        ilo_o = jnp.min(jnp.where(omask, inv, _BIG), axis=2)
-        ihi_o = jnp.max(jnp.where(omask, inv, 0.0), axis=2)
-        cols.append((sgn_o, olo_o, ohi_o, ilo_o, ihi_o))
-    cand = jnp.stack(
-        [cols[k][0] for k in range(3)] + [cols[k][1] for k in range(3)]
-        + [cols[k][2] for k in range(3)]
-        + [cols[k][3] for k in range(3)]
-        + [cols[k][4] for k in range(3)]
-        + [jnp.zeros((npk, 8), f32)], axis=2)       # [npk, 8, 16]
 
     # a pure packet's slot row IS its single octant's row; the
     # conservative fallback for non-fitting MIXED packets needs true
     # WHOLE-packet scalars (an octant row only covers that octant's
     # rays and would lose the rest's hits)
     oct_idx = jnp.argmax(present, axis=1).astype(i32)   # [npk]
-    full_pkt = _group_scalars(
-        rows, PKT,
-        mask=None if live is None else live.reshape(npk, PKT))
     full = jnp.where(pure[:, None],
                      cand[jnp.arange(npk), oct_idx], full_pkt)
     oct_full = ((full[:, 0] < 0).astype(i32)
@@ -2340,7 +2465,8 @@ def _run(rows_w, tmin, tmax, nodef, kleaf_k, kprim, ktri_geo, inv0,
         else:
             rows_w, inv_blk = _block_sort(rows_w)
     rows, feats_t, scal, smeta, bscal, lim, order = \
-        _stage_prep(rows_w, tmin, tmax, nodef, inv0, live=live)
+        _stage_prep(rows_w, tmin, tmax, nodef, inv0, live=live,
+                    interpret=interpret)
     npk = rows[0].shape[0] // PKT
     if ws is None:
         # default ON for compiled TPU runs (chip-validated 2026-08-20:
