@@ -348,7 +348,7 @@ def build_tracer(scene, any_hit: bool = False, sub: int = 8,
     if not supports(scene):
         raise ValueError("frustum kernel requires single-instance scene "
                          "with kernel tables (see kernel_pack.py)")
-    if __import__("os").environ.get("RADIANCE_STABLE_FRAMES", "0") == "1":
+    if __import__("os").environ.get("RADIANCE_STABLE_FRAMES", "1") == "1":
         raise RuntimeError(
             "frustum_trace is a benchmark-only backend without "
             "RADIANCE_STABLE_FRAMES support: its kernels read the legacy "
@@ -373,7 +373,7 @@ def trace_rays_frustum(scene, origin, direction, tmin, tmax,
                        interpret=None) -> HitRecord:
     """Trace a wavefront through the frustum kernel, traceable under an
     outer jit.  Caller must check supports(scene)."""
-    if __import__("os").environ.get("RADIANCE_STABLE_FRAMES", "0") == "1":
+    if __import__("os").environ.get("RADIANCE_STABLE_FRAMES", "1") == "1":
         raise RuntimeError(
             "frustum_trace is a benchmark-only backend without "
             "RADIANCE_STABLE_FRAMES support -- use ops/stream3 or "

@@ -734,7 +734,7 @@ def _run(origin, direction, tmin, tmax, nodef, kleaf_k, kprim, ktri_geo,
 
 
 def _refuse_stable_frames():
-    if __import__("os").environ.get("RADIANCE_STABLE_FRAMES", "0") == "1":
+    if __import__("os").environ.get("RADIANCE_STABLE_FRAMES", "1") == "1":
         raise RuntimeError(
             "stream_trace is a benchmark-only backend without "
             "RADIANCE_STABLE_FRAMES support: its kernels read the legacy "

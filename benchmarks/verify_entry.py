@@ -210,7 +210,13 @@ def main():
 
     worst = 1.0
     ship_worst = 1.0       # the stream3 wave that ships (wst primary)
-    ship_sec_worst = 1.0   # gen-1 secondaries (classified deficit)
+    ship_sec_worst = 1.0   # gen-1 secondaries
+    # vacuous-pass guard (advisor r4): VERIFY_ONLY/VERIFY_CONFIGS
+    # filters that exclude the shipping waves must not print OK with
+    # the 1.0 initializers untouched -- track whether each gated wave
+    # actually produced a measurement
+    ship_ran = False
+    ship_sec_ran = False
     for tag, ws_env, treelet in configs:
         os.environ["RADIANCE_WS"] = ws_env  # read at trace time
 
@@ -246,6 +252,7 @@ def main():
                     # the wave stream3 actually ships (bench default:
                     # WS+treelet primary; secondaries ride gen-1)
                     ship_worst = min(ship_worst, a)
+                    ship_ran = True
             except Exception as e:  # pragma: no cover
                 print(f"# {tag}/{wave} failed: {type(e).__name__}: "
                       f"{str(e)[:200]}", file=sys.stderr, flush=True)
@@ -287,22 +294,29 @@ def main():
                     t_ref[wave], p_ref[wave], live_h, secs, FLT_MAX,
                     dump_rays=(o_, d_))
                 ship_sec_worst = min(ship_sec_worst, a)
+                ship_sec_ran = True
             except Exception as e:  # pragma: no cover
                 print(f"# ship/{wave} failed: {type(e).__name__}: "
                       f"{str(e)[:200]}", file=sys.stderr, flush=True)
                 ship_sec_worst = 0.0
 
-    # Thresholds: 0.999 on the shipping primary wave; 0.995 on the
-    # gen-1 secondary waves.  The secondary slack covers a CLASSIFIED
-    # ~0.2-0.4% grazing-ray deficit shared by both Pallas kernels (f64
-    # ground truth, tools/classify_mismatch.py 2026-08-21: the
-    # origin-centered Pluecker moment p x q stores at ~|p||q|
-    # magnitude, so its f32 rounding alone flips near-zero side
-    # products that the oracle's local-vector Moeller-Trumbore
-    # resolves; fix = translation-stabilized leaf frames, queued).
-    # 0.995 still sits far above every engine-breaking failure mode
-    # observed (r3's actually-broken pipeline measured 0.848).
-    ok = ship_worst >= 0.999 and ship_sec_worst >= 0.995
+    # Thresholds: 0.999 on the shipping primary wave AND the gen-1
+    # secondary waves.  The round-4 0.995 interim slack (classified
+    # grazing-ray deficit of the origin-centered Pluecker moment,
+    # tools/classify_mismatch.py) was DELETED 2026-08-21 after
+    # translation-stabilized leaf frames passed on chip at ship
+    # secondaries 0.999664 (VERIFY_r05_stable.json) -- the stabilized
+    # frames compute the moment per leaf as (o - c) x d, restoring the
+    # grazing hits the legacy frames' f32 rounding flipped (vs the
+    # reference's exact Moeller-Trumbore, radiance.cl:211-251).
+    gated_ran = ship_ran and ship_sec_ran
+    ok = (gated_ran and ship_worst >= 0.999
+          and ship_sec_worst >= 0.999)
+    if not gated_ran:
+        print("# PARTIAL: shipping waves filtered out "
+              f"(wst primary ran={ship_ran}, ship secondaries "
+              f"ran={ship_sec_ran}) -- gate cannot pass",
+              file=sys.stderr, flush=True)
     print(f"VERIFY-ENTRY {'OK' if ok else 'FAIL'} "
           f"(ship primary {ship_worst:.6f}, ship secondaries "
           f"{ship_sec_worst:.6f}, stream3-matrix worst "

@@ -93,6 +93,13 @@ class DeviceScene:
     # makes the TLAS-culled many-instance stream path usable inside
     # TRACED frames (see stream3_multi.attach_multi_tables)
     multi: Optional[tuple] = None
+    # frame mode of the BUILT kernel tables (kernel_pack 'stable'):
+    # True = leaf-local moments + centroid rows (RADIANCE_STABLE_FRAMES
+    # at build time).  STATIC so trace-time kernels can bake the
+    # matching variant; tracers derive from this, never from the env
+    # (advisor r4: an env flip between build and trace silently
+    # mis-intersected)
+    stable_frames: bool = struct.field(pytree_node=False, default=False)
 
 META_A_MASK = (1 << 26) - 1
 META_COUNT_SHIFT = 26
@@ -450,6 +457,10 @@ def build_device_scene(tlas_nodes: np.ndarray,
             sorted(blas_by_offset.keys()).index(
                 int(r["bottomAccelStructOffset"]))
             for r in device_instances)),
+        stable_frames=(
+            bool(ktables["stable"]) if ktables is not None
+            else (bool(next(iter(kblas_by_offset.values()))["stable"])
+                  if want_ktables and kblas_by_offset else False)),
     )
 
 

@@ -319,7 +319,7 @@ def build_kernel_tables(kind, a, b, bot, top, faces, verts3) -> Optional[dict]:
     pc = np.where(vm, p2, 0.0).astype(np.float32)
     nrm = np.cross(pb - pa, pc - pa)                        # [nl, T, 3]
     kleaf = np.zeros((nl, 16, KERNEL_LEAF_LANES), np.float32)
-    stable = os.environ.get("RADIANCE_STABLE_FRAMES", "0") == "1"
+    stable = os.environ.get("RADIANCE_STABLE_FRAMES", "1") == "1"
     if stable:
         # Translation-stabilized leaf frames (round-4 root cause: the
         # origin-centered moment p x q stores at ~|p||q| magnitude, so
@@ -371,5 +371,11 @@ def build_kernel_tables(kind, a, b, bot, top, faces, verts3) -> Optional[dict]:
     ktri_geo[:len(faces), 6:9] = (
         verts3[faces["idx2"].astype(np.int64)] - fv0)
 
+    # the frame mode is a property of the BUILT tables (stable mode
+    # stores leaf-local moments + centroids; legacy stores the origin
+    # moment): record it so trace-time kernels derive their 'stable'
+    # flag from the tables instead of re-reading the env -- an env
+    # change between scene build and trace must not mis-pair tables
+    # with kernel variants (advisor r4)
     return dict(knode_f=kb, knode_i=km, kleaf=kleaf, kprim=kprim,
-                ktri_geo=ktri_geo)
+                ktri_geo=ktri_geo, stable=stable)

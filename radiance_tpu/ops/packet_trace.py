@@ -104,7 +104,8 @@ def trace_rays_packet_multi(scene, origin, direction, tmin, tmax,
         nodef, kleaf, kprim, ktri_geo = scene.kblas[bi]
         rec = _run(origin, direction, tmin, tmax, nodef, kleaf,
                    kprim, ktri_geo, scene.inst_inv[slot],
-                   any_hit=any_hit, interpret=interpret)
+                   any_hit=any_hit, interpret=interpret,
+                   stable=getattr(scene, "stable_frames", None))
         rec = HitRecord(t=rec.t, prim=rec.prim,
                         slot=jnp.where(rec.hit, slot, -1),
                         b1=rec.b1, b2=rec.b2)
@@ -413,7 +414,8 @@ def trace_rays_packet(scene, origin, direction, tmin, tmax,
     return _run(origin, direction, tmin, tmax,
                 scene.knode_f, scene.kleaf, scene.kprim, scene.ktri_geo,
                 scene.inst_inv[0], any_hit=any_hit, interpret=interpret,
-                live=live)
+                live=live,
+                stable=getattr(scene, "stable_frames", None))
 
 
 def build_tracer(scene, any_hit: bool = False, interpret=None):
@@ -433,8 +435,9 @@ def build_tracer(scene, any_hit: bool = False, interpret=None):
         interpret = jax.default_backend() != "tpu"
     tables = (scene.knode_f, scene.kleaf, scene.kprim, scene.ktri_geo,
               scene.inst_inv[0])
-    jrun = jax.jit(functools.partial(_run, any_hit=any_hit,
-                                     interpret=interpret))
+    jrun = jax.jit(functools.partial(
+        _run, any_hit=any_hit, interpret=interpret,
+        stable=getattr(scene, "stable_frames", None)))
 
     def run(origin, direction, tmin, tmax, live=None):
         if live is None:
@@ -445,13 +448,18 @@ def build_tracer(scene, any_hit: bool = False, interpret=None):
 
 
 def _run(origin, direction, tmin, tmax, nodef, kleaf, kprim, ktri_geo,
-         inv0, *, any_hit: bool, interpret: bool, live=None):
+         inv0, *, any_hit: bool, interpret: bool, live=None,
+         stable=None):
+    # stable: frame mode of the SUPPLIED tables (DeviceScene
+    # .stable_frames); None falls back to the env for direct
+    # table-level callers (benchmarks, verify harnesses)
+    if stable is None:
+        stable = _os.environ.get("RADIANCE_STABLE_FRAMES", "1") == "1"
     f32, i32 = jnp.float32, jnp.int32
     inst_slot = jnp.int32(0)
     masked = live is not None
     kern = functools.partial(
-        _kernel, any_hit=any_hit, masked=masked,
-        stable=_os.environ.get("RADIANCE_STABLE_FRAMES", "0") == "1")
+        _kernel, any_hit=any_hit, masked=masked, stable=stable)
     n = origin.shape[0]
     o = rmath.mat4_transform_point(inv0, origin.astype(f32))
     d = rmath.mat4_transform_dir(inv0, direction.astype(f32))
@@ -472,7 +480,7 @@ def _run(origin, direction, tmin, tmax, nodef, kleaf, kprim, ktri_geo,
         o = jnp.where(lv[:, None] > 0, o, jnp.float32(1e30))
         d = jnp.where(lv[:, None] > 0, d, jnp.float32(1.0))
 
-    if _os.environ.get("RADIANCE_STABLE_FRAMES", "0") == "1":
+    if stable:
         # stabilized frames: the ray moment is computed per leaf in
         # the kernel as (o - c) x d; the precomputed origin moment
         # must not contribute (kernel_pack stores leaf-local moments)

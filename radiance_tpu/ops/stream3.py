@@ -447,7 +447,7 @@ def _octant_scalars(rows, live, npk, interpret=None):
 
 
 def _stage_prep(rows_w, tmin, tmax, nodef, inv0, live=None,
-                interpret=None):
+                interpret=None, stable=None):
     """Stage 0 (XLA): object-space rows, phase-2 features [16, Npad],
     sub-block scalars, and the slot tables (pure packets 1:1; mixed
     packets expand to per-octant sub-walk slots from a static pool).
@@ -487,7 +487,9 @@ def _stage_prep(rows_w, tmin, tmax, nodef, inv0, live=None,
 
     ones = jnp.ones(npad, f32)
     zeros = jnp.zeros(npad, f32)
-    if os.environ.get("RADIANCE_STABLE_FRAMES", "0") == "1":
+    if stable is None:
+        stable = os.environ.get("RADIANCE_STABLE_FRAMES", "1") == "1"
+    if stable:
         # stabilized frames: the ray moment is computed PER LEAF in
         # the isect kernel as (o - c) x d (leaf-local magnitudes), so
         # the precomputed origin moment columns must not contribute
@@ -2250,7 +2252,7 @@ def _stage_isect(words, emeta, slot_pkt, feats, lim, kleaf_k,
                  *, precision: str, interpret: bool,
                  orient: str = "major", cull: bool = True,
                  salt: int = 0, occl: bool = False,
-                 lean: bool = False):
+                 lean: bool = False, stable=None):
     """Run phase 2 over all slots.  Returns out [NSLOT, PKT, 4] f32
     with lanes (t, prim, b1, b2); dead or empty slots hold
     (FLT_MAX, -1, 0, 0).  occl=True runs the any-hit variant: t is 0
@@ -2258,7 +2260,8 @@ def _stage_isect(words, emeta, slot_pkt, feats, lim, kleaf_k,
     in-kernel barycentric folds (lanes 2-3 are zeros; caller
     recomputes the winner's barys from ktri_geo)."""
     nslot = words.shape[0]
-    stable = os.environ.get("RADIANCE_STABLE_FRAMES", "0") == "1"
+    if stable is None:
+        stable = os.environ.get("RADIANCE_STABLE_FRAMES", "1") == "1"
     if orient == "major":
         x_spec = pl.BlockSpec((PKT, 16), lambda i, sp: (sp[i], 0),
                               memory_space=pltpu.VMEM)
@@ -2434,7 +2437,7 @@ def _run(rows_w, tmin, tmax, nodef, kleaf_k, kprim, ktri_geo, inv0,
          orient: str = "major", treelet: bool = False,
          presort: bool = False, with_diag: bool = False, live=None,
          occl: bool = False, exact_refine=None, ws=None,
-         blk_bound=None):
+         blk_bound=None, stable=None):
     """Full v6 pipeline on world-space component rows.  Returns a
     HitRecord (+ diagnostics when with_diag): packets flagged in
     diag['pkt_flag'] were truncated (step cap / word overflow) and
@@ -2466,7 +2469,7 @@ def _run(rows_w, tmin, tmax, nodef, kleaf_k, kprim, ktri_geo, inv0,
             rows_w, inv_blk = _block_sort(rows_w)
     rows, feats_t, scal, smeta, bscal, lim, order = \
         _stage_prep(rows_w, tmin, tmax, nodef, inv0, live=live,
-                    interpret=interpret)
+                    interpret=interpret, stable=stable)
     npk = rows[0].shape[0] // PKT
     if ws is None:
         # default ON for compiled TPU runs (chip-validated 2026-08-20:
@@ -2541,7 +2544,7 @@ def _run(rows_w, tmin, tmax, nodef, kleaf_k, kprim, ktri_geo, inv0,
     out_s = _stage_isect(words_i, emeta_i, slot_pkt, feats, lim,
                          kleaf_k, precision=precision,
                          interpret=interpret, orient=orient,
-                         occl=occl, lean=lean)
+                         occl=occl, lean=lean, stable=stable)
     # back to storage order (slot p == packet p for base slots), so
     # the glue's fold stays a tiny extras-only row scatter
     inv_order = jnp.zeros_like(order).at[order].set(
@@ -2754,7 +2757,8 @@ def trace_rows_stream3(scene, rows_w, tmin, tmax,
                      scene.kprim, scene.ktri_geo, scene.inst_inv[0],
                      tstart, precision=precision, interpret=interpret,
                      presort=presort, with_diag=True, live=live,
-                     occl=occl, treelet=treelet, blk_bound=blk_bound)
+                     occl=occl, treelet=treelet, blk_bound=blk_bound,
+                     stable=getattr(scene, "stable_frames", None))
     flag = diag["pkt_flag"]                         # sorted pkt space
     blk_perm = diag["blk_perm"]
     nsub = PKT // BLK
@@ -2932,7 +2936,8 @@ def build_tracer(scene, precision: str = "f32", interpret=None,
 
     j_run = jax.jit(functools.partial(
         _run, precision=precision, interpret=interpret, raw=raw,
-        presort=presort, with_diag=True))
+        presort=presort, with_diag=True,
+        stable=getattr(scene, "stable_frames", None)))
 
     def trace_once(rows_w, tmin, tmax):
         rec, diag = j_run(rows_w, jnp.float32(tmin), jnp.float32(tmax),

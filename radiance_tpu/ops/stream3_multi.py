@@ -332,7 +332,9 @@ def trace_rows_multi(scene, mt, rows_w, tmin, tmax,
                             kprim_i, geo_i, inv_i, tstart_i,
                             precision=precision, interpret=interpret,
                             presort=False, with_diag=True, occl=occl,
-                            live=live, blk_bound=bb_sub)
+                            live=live, blk_bound=bb_sub,
+                            stable=getattr(scene, "stable_frames",
+                                           None))
         bt, bp, bs, b1, b2, bbad = best
         # a step-capped/word-overflowed sub-packet lost hits for this
         # instance: poison its rays rather than return silent misses
@@ -388,7 +390,8 @@ def supports_native(mt) -> bool:
     return mt.kleaf_cat.shape[0] + 1 < s3.W_LEAF_MAX
 
 
-def _prep_tlas(mt, inst_inv, rows_p, tmin, tmax, live_p, scap):
+def _prep_tlas(mt, inst_inv, rows_p, tmin, tmax, live_p, scap,
+               stable=False):
     """XLA prep for the native path.  Slot = (packet, instance) pair
     surviving the TLAS block cull; each slot gets its packet's rays
     TRANSFORMED into its instance's object space, so every downstream
@@ -449,11 +452,18 @@ def _prep_tlas(mt, inst_inv, rows_p, tmin, tmax, live_p, scap):
     rows_o = tuple(a.reshape(-1) for a in (ox, oy, oz, dx, dy, dz))
 
     oxf, oyf, ozf, dxf, dyf, dzf = rows_o
-    mx = oyf * dzf - ozf * dyf
-    my = ozf * dxf - oxf * dzf
-    mz = oxf * dyf - oyf * dxf
     ones = jnp.ones(scap * PKT, f32)
     zeros = jnp.zeros(scap * PKT, f32)
+    if stable:
+        # stable tables hold LEAF-LOCAL moments; the isect kernel adds
+        # (o - c) x d per leaf, so the precomputed origin moment must
+        # be zero here exactly as in stream3._stage_prep (a nonzero
+        # moment would DOUBLE-count against the edge rows)
+        mx = my = mz = zeros
+    else:
+        mx = oyf * dzf - ozf * dyf
+        my = ozf * dxf - oxf * dzf
+        mz = oxf * dyf - oyf * dxf
     feats_t = jnp.stack([dxf, dyf, dzf, mx, my, mz, oxf, oyf, ozf,
                          ones, zeros, zeros, zeros, zeros, zeros,
                          zeros])
@@ -600,9 +610,14 @@ def trace_rows_tlas(scene, mt, rows_w, tmin, tmax,
     scap = max(((scap + 7) // 8) * 8, s3.G)
 
     inst_inv = scene.inst_inv[:mt.ninst]
+    # frame mode comes from the BUILT tables (mt.kleaf_cat is a concat
+    # of scene kernel tables), never from the env at trace time
+    stable = getattr(scene, "stable_frames", None)
+    if stable is None:
+        stable = os.environ.get("RADIANCE_STABLE_FRAMES", "1") == "1"
     (feats_t, scal, smeta, bscal, lim, order,
      pkt_of, inst_of, alive, pool_of) = _prep_tlas(
-        mt, inst_inv, rows_p, tmin, tmax, live_p, scap)
+        mt, inst_inv, rows_p, tmin, tmax, live_p, scap, stable=stable)
 
     if ws:
         words, emeta = s3._stage_emit_ws(
@@ -647,7 +662,8 @@ def trace_rows_tlas(scene, mt, rows_w, tmin, tmax,
         feats = s3.feats_rows_to_major(feats_t)
     out_s = s3._stage_isect(words_i, emeta_i, slot_pkt, feats, lim,
                             mt.kleaf_cat, precision=precision,
-                            interpret=interpret, occl=occl)
+                            interpret=interpret, occl=occl,
+                            stable=stable)
     inv_order = jnp.zeros_like(order).at[order].set(
         jnp.arange(order.shape[0], dtype=jnp.int32))
     out_u = out_s[row_of[inv_order] if ws else inv_order]
