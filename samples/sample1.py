@@ -51,6 +51,11 @@ def main():
                          "like 'camera.x 1.5' or a --controls-file")
     ap.add_argument("--controls-file", type=str, default=None,
                     help="JSON file watched for parameter edits")
+    ap.add_argument("--web", action="store_true",
+                    help="serve the progressive viewer to a browser "
+                         "(the windowed-inspector analog: live frame, "
+                         "camera/light/debug controls, Save button)")
+    ap.add_argument("--web-port", type=int, default=8642)
     args = ap.parse_args()
 
     plt = platform.Platform.GetPlatform()
@@ -137,7 +142,7 @@ def main():
         platform.WriteBuffer(plt, rd_rtprop, 16, rt)
         return img
 
-    if args.interactive:
+    if args.interactive or args.web:
         from radiance_tpu.tools import viewer
 
         def apply_controls(updates):
@@ -180,11 +185,24 @@ def main():
             platform.WriteBuffer(plt, rd_rtprop, 16, rt)
 
         out = args.out or "sample1_progressive.png"
-        viewer.render_loop(
-            render_frame, None, frames=args.frames or 0, out_path=out,
-            controls=viewer.ControlChannel(
-                use_stdin=True, watch_file=args.controls_file),
-            on_change=apply_controls)
+        if args.web:
+            from radiance_tpu.tools import web_viewer
+            web_viewer.render_loop_web(
+                render_frame, None, frames=args.frames or 0,
+                out_path=out, port=args.web_port,
+                controls={"camera.x": 0.0, "camera.y": 0.0,
+                          "camera.z": 4.0, "camera.wx": 0.0,
+                          "camera.wy": 0.0, "camera.wz": 0.0,
+                          "debug": args.debug, "batch": args.batch,
+                          "depth": args.depth},
+                on_change=apply_controls)
+        else:
+            viewer.render_loop(
+                render_frame, None, frames=args.frames or 0,
+                out_path=out,
+                controls=viewer.ControlChannel(
+                    use_stdin=True, watch_file=args.controls_file),
+                on_change=apply_controls)
         return
 
     for frame in range(args.frames):
