@@ -61,5 +61,10 @@ if need AOTPREP; then
   run PREPK 1800 RADIANCE_PREP_KERNEL=1 RADIANCE_GEN1_LIVE=1 -- python bench.py;  gate
 fi
 run ENGINE_STG 2400 RADIANCE_NOOP=0 -- python bench.py --engine;  gate
+# stream3-routed secondaries retry (r4's S3W_OS lost its measurement
+# to a remote-compile HTTP drop): drained step caps + WS emit are the
+# prerequisites that make this viable; OSORT keeps scattered rays
+# octant-coherent ahead of the packetizer
+run S3W_OS2 2400 RADIANCE_BENCH_S3WAVES=bs RADIANCE_S3_OSORT=1 -- python bench.py;  gate
 python tools/pick_bench_env.py "$LOG" .bench_cache/chain_r4.log benchmarks/artifacts/chain_r4.log >> "$LOG" 2>&1
 echo "=== chain_r5b done $(date)" >> "$LOG"
