@@ -2008,10 +2008,18 @@ def _isect3_kernel(slot_pkt, lim_ref, emeta_ref, words_ref,
                             lo0 = x[:, 6:7] - c0
                             lo1 = x[:, 7:8] - c1
                             lo2 = x[:, 8:9] - c2
-                            rm = jnp.concatenate(
-                                [lo1 * dv2 - lo2 * dv1,
-                                 lo2 * dv0 - lo0 * dv2,
-                                 lo0 * dv1 - lo1 * dv0], axis=1)
+                            # rank-3 correction as VPU broadcast-FMAs,
+                            # NOT a matmul: a K=3 dot_general at
+                            # HIGHEST costs six MXU passes (K pads to
+                            # a full tile), doubling pair cost --
+                            # chip-measured 7.38 -> 4.52 Mrays/s with
+                            # the dot form (chain_r5 HEAD_SF).  Three
+                            # [BLK,1]x[1,4T] FMAs are exact f32 on
+                            # the VPU.
+                            m = (m
+                                 + (lo1 * dv2 - lo2 * dv1) * wf[3:4, :]
+                                 + (lo2 * dv0 - lo0 * dv2) * wf[4:5, :]
+                                 + (lo0 * dv1 - lo1 * dv0) * wf[5:6, :])
                         else:
                             dv0, dv1, dv2 = (x[0:1, :], x[1:2, :],
                                              x[2:3, :])
@@ -2022,10 +2030,14 @@ def _isect3_kernel(slot_pkt, lim_ref, emeta_ref, words_ref,
                                 [lo1 * dv2 - lo2 * dv1,
                                  lo2 * dv0 - lo0 * dv2,
                                  lo0 * dv1 - lo1 * dv0], axis=0)
-                        m = m + jax.lax.dot_general(
-                            rm, wf[3:6, :], dims,
-                            preferred_element_type=f32,
-                            precision=jax.lax.Precision.HIGHEST)
+                            # minor orient is an A/B probe path only;
+                            # the dot form stays (its [3, BLK] rm
+                            # would need a lane->sublane transpose
+                            # for the FMA form)
+                            m = m + jax.lax.dot_general(
+                                rm, wf[3:6, :], dims,
+                                preferred_element_type=f32,
+                                precision=jax.lax.Precision.HIGHEST)
                     s0 = m[:, 0 * T:1 * T]
                     s1 = m[:, 1 * T:2 * T]
                     s2 = m[:, 2 * T:3 * T]
@@ -2180,10 +2192,18 @@ def _isect3_occl_kernel(slot_pkt, lim_ref, emeta_ref, words_ref,
                             lo0 = x[:, 6:7] - c0
                             lo1 = x[:, 7:8] - c1
                             lo2 = x[:, 8:9] - c2
-                            rm = jnp.concatenate(
-                                [lo1 * dv2 - lo2 * dv1,
-                                 lo2 * dv0 - lo0 * dv2,
-                                 lo0 * dv1 - lo1 * dv0], axis=1)
+                            # rank-3 correction as VPU broadcast-FMAs,
+                            # NOT a matmul: a K=3 dot_general at
+                            # HIGHEST costs six MXU passes (K pads to
+                            # a full tile), doubling pair cost --
+                            # chip-measured 7.38 -> 4.52 Mrays/s with
+                            # the dot form (chain_r5 HEAD_SF).  Three
+                            # [BLK,1]x[1,4T] FMAs are exact f32 on
+                            # the VPU.
+                            m = (m
+                                 + (lo1 * dv2 - lo2 * dv1) * wf[3:4, :]
+                                 + (lo2 * dv0 - lo0 * dv2) * wf[4:5, :]
+                                 + (lo0 * dv1 - lo1 * dv0) * wf[5:6, :])
                         else:
                             dv0, dv1, dv2 = (x[0:1, :], x[1:2, :],
                                              x[2:3, :])
@@ -2194,10 +2214,14 @@ def _isect3_occl_kernel(slot_pkt, lim_ref, emeta_ref, words_ref,
                                 [lo1 * dv2 - lo2 * dv1,
                                  lo2 * dv0 - lo0 * dv2,
                                  lo0 * dv1 - lo1 * dv0], axis=0)
-                        m = m + jax.lax.dot_general(
-                            rm, wf[3:6, :], dims,
-                            preferred_element_type=f32,
-                            precision=jax.lax.Precision.HIGHEST)
+                            # minor orient is an A/B probe path only;
+                            # the dot form stays (its [3, BLK] rm
+                            # would need a lane->sublane transpose
+                            # for the FMA form)
+                            m = m + jax.lax.dot_general(
+                                rm, wf[3:6, :], dims,
+                                preferred_element_type=f32,
+                                precision=jax.lax.Precision.HIGHEST)
                     s0 = m[:, 0 * T:1 * T]
                     s1 = m[:, 1 * T:2 * T]
                     s2 = m[:, 2 * T:3 * T]
