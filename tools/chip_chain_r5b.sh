@@ -56,6 +56,12 @@ gate() {
 
 echo "=== chain_r5b start $(date)" >> "$LOG"
 gate
+# re-gate the FMA-form stable correction (kernel numerics changed
+# after VERIFY_SF: sum order of the rank-3 correction), then re-price
+run VERIFY_SF2 3600 VERIFY_OUT=VERIFY_r05_stable2.json VERIFY_DUMP=.bench_cache/vdump_r5_sf2.npz -- python benchmarks/verify_entry.py;  gate
+if need VERIFY_SF2; then
+  run HEAD_SF2 1800 RADIANCE_GEN1_LIVE=1 -- python bench.py;  gate
+fi
 run AOTPREP 1800 RADIANCE_PREP_KERNEL=1 -- python benchmarks/aot_compile.py prep;  gate
 if need AOTPREP; then
   run PREPK 1800 RADIANCE_PREP_KERNEL=1 RADIANCE_GEN1_LIVE=1 -- python bench.py;  gate
