@@ -970,6 +970,31 @@ def run_shard1_bench():
     dt_u = (time.time() - t0) / iters
     os.environ.pop("RADIANCE_ENGINE_STAGED", None)
 
+    # staged per-wave shard composition (sharding.staged_shard_frame):
+    # the multi-chip shape of the FAST engine path -- r5 measured the
+    # monolith-under-shard_map at 3.175x the unsharded monolith, so
+    # real scaling shards each staged dispatch instead
+    from radiance_tpu.parallel.sharding import staged_shard_frame
+    dt_st = None
+    try:
+        fn_st = staged_shard_frame(tracer, mesh, batch=BATCH,
+                                   depth=DEPTH)
+        accum_s = jnp.zeros((n, 3), jnp.float32)
+        accum_s, _ = fn_st(scene, res, accum_s, jnp.uint32(0),
+                           pixel_index)
+        jax.block_until_ready(accum_s)
+        t0 = time.time()
+        ts = BATCH
+        for _ in range(iters):
+            accum_s, _ = fn_st(scene, res, accum_s, jnp.uint32(ts),
+                               pixel_index)
+            float(jnp.sum(accum_s[::65536]))
+            ts += BATCH
+        dt_st = (time.time() - t0) / iters
+    except Exception as e:  # pragma: no cover - chip-dependent
+        print(f"# shard1 staged composition failed: "
+              f"{type(e).__name__}: {str(e)[:200]}", file=sys.stderr)
+
     rays = BATCH * DEPTH * 2 * n
     print(json.dumps({
         "metric": "shard1_engine_mrays_per_sec",
@@ -978,10 +1003,18 @@ def run_shard1_bench():
         "ms_per_frame": round(dt * 1e3, 1),
         "unsharded_ms_per_frame": round(dt_u * 1e3, 1),
         "shard_overhead": round(dt / dt_u, 4),
+        "staged_ms_per_frame": (None if dt_st is None
+                                else round(dt_st * 1e3, 1)),
+        "staged_shard_overhead": (None if dt_st is None
+                                  else round(dt_st / dt_u, 4)),
+        "staged_mrays_per_sec": (None if dt_st is None
+                                 else round(rays / dt_st / 1e6, 3)),
         "mesh": "tpu:1", "res": w,
         "accum_mean": round(float(jnp.mean(accum)), 6),
         "accum_match": round(float(jnp.max(jnp.abs(
             accum - accum_u))), 6),
+        "staged_match": (None if dt_st is None else round(float(
+            jnp.max(jnp.abs(accum_s - accum_u))), 6)),
     }))
 
 

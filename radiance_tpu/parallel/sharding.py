@@ -138,6 +138,97 @@ def tile_sample_frame(tracer: WavefrontPathTracer, mesh: Mesh, *,
     return jax.jit(sharded)
 
 
+def staged_shard_frame(tracer: WavefrontPathTracer, mesh: Mesh, *,
+                       batch: int, depth: int, debug: int = 0,
+                       axis: str = "px", routes="auto",
+                       hit_group_offset: int = 0,
+                       miss_group_offset: int = 0) -> Callable:
+    """Pixel-sharded STAGED frame: every per-wave dispatch of the
+    staged scheduler (init / primary / bounce / finish,
+    engine/pathtracer._render_staged) is its own shard_mapped jit over
+    the pixel axis, instead of putting the whole monolithic frame_fn
+    under one shard_map (shard_frame).
+
+    Why: the r5 SHARD1 measurement priced the monolith-under-shard_map
+    at 3.175x the unsharded monolith on one chip, while the staged
+    composition is the validated fast engine path -- multi-chip
+    scaling must shard the fast composition, not the slow one.  Rays
+    are embarrassingly parallel, so each wave shards with scene
+    replicated and zero cross-chip communication; only the caller's
+    image assembly gathers.
+
+    Returns fn(scene, resources, accum [N,3], total_samples,
+    pixel_index [N]) -> (accum', image u8 [N,4]), N divisible by the
+    mesh size (each shard additionally pads internally to packet
+    granularity).  routes: "auto" mirrors _render_staged's defaults
+    (stream3 primary + gen-1 live secondaries on TPU, env overrides
+    honored); or pass (primary, bounce, shadow) explicitly -- e.g.
+    (None, None, None) for the env/XLA-driven selection in CPU-mesh
+    dryruns."""
+    from radiance_tpu.engine import pathtracer as pt
+
+    hit_offset = tracer.hit_offset + hit_group_offset
+    miss_index = tracer.miss_index + miss_group_offset
+    effective_depth = 1 if debug else depth
+    if routes == "auto":
+        from radiance_tpu.ops import packet_trace, stream3
+        on_tpu = jax.default_backend() == "tpu"
+        # scene capability is resolved per call in _render_staged; at
+        # frame-build time we only know the backend, so "auto" uses
+        # the TPU defaults and falls back to env-driven (None) off-TPU
+        sec = "gen1_live" if on_tpu else None
+        routes = (tracer._staged_route("primary",
+                                       "stream3" if on_tpu else None),
+                  tracer._staged_route("bounce", sec),
+                  tracer._staged_route("shadow", sec))
+    primary_route, bounce_route, shadow_route = routes
+
+    def shmap(f, n_state_in, out_spec):
+        specs = {
+            "init": (P(), P(axis), P(), P()),
+            "step": (P(), P(), P(axis), P(), P(), P(axis)),
+            "fin": (P(axis), P(axis), P()),
+        }[n_state_in]
+        return jax.jit(shard_map(
+            f, mesh=mesh, in_specs=specs, out_specs=out_spec,
+            check_rep=False))
+
+    j_init = shmap(functools.partial(pt._sample_init, tracer),
+                   "init", P(axis))
+    j_prim = shmap(
+        functools.partial(pt._sample_step, tracer, debug=debug,
+                          hit_offset=hit_offset, miss_index=miss_index,
+                          wave="primary", route=primary_route,
+                          shadow_route=shadow_route),
+        "step", P(axis))
+    j_bounce = shmap(
+        functools.partial(pt._sample_step, tracer, debug=debug,
+                          hit_offset=hit_offset, miss_index=miss_index,
+                          wave="bounce", route=bounce_route,
+                          shadow_route=shadow_route),
+        "step", P(axis))
+    j_fin = shmap(functools.partial(pt._finish_frame, tracer,
+                                    int(batch), int(debug)),
+                  "fin", (P(axis), P(axis)))
+
+    def fn(scene, resources, accum, total_samples, pixel_index):
+        ts0 = jnp.uint32(total_samples)
+        colors = jnp.zeros_like(accum)
+        for s in range(int(batch)):
+            fid = ts0 + jnp.uint32(s)
+            state = j_init(resources, pixel_index, fid, ts0)
+            if effective_depth >= 1:
+                state = j_prim(scene, resources, pixel_index, fid,
+                               jnp.int32(0), state)
+                for b in range(1, effective_depth):
+                    state = j_bounce(scene, resources, pixel_index,
+                                     fid, jnp.int32(b), state)
+            colors = colors + state[0]
+        return j_fin(accum, colors, ts0)
+
+    return fn
+
+
 def render_sharded(tracer: WavefrontPathTracer, mesh: Mesh,
                    scene: DeviceScene, resources: Dict, accum,
                    total_samples: int, width: int, height: int, *,

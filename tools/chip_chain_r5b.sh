@@ -67,6 +67,10 @@ if need AOTPREP; then
   run PREPK 1800 RADIANCE_PREP_KERNEL=1 RADIANCE_GEN1_LIVE=1 -- python bench.py;  gate
 fi
 run ENGINE_STG 2400 RADIANCE_NOOP=0 -- python bench.py --engine;  gate
+# shard1 rerun with the staged-per-wave shard composition added
+# (staged_* fields): the monolith-under-shard_map measured 3.175x;
+# this prices the fast composition under shard_map on real silicon
+run SHARD1S 2400 RADIANCE_NOOP=0 -- python bench.py --shard1;  gate
 # stream3-routed secondaries retry (r4's S3W_OS lost its measurement
 # to a remote-compile HTTP drop): drained step caps + WS emit are the
 # prerequisites that make this viable; OSORT keeps scattered rays
