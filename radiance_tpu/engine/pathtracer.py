@@ -704,18 +704,31 @@ class WavefrontPathTracer:
         pk_ok = on_tpu and packet_trace.supports(scene)
         s3_ok = on_tpu and stream3.supports(scene)
         sec_default = "gen1_live" if pk_ok else None
+        # Wave-shape-matched defaults (chip-measured r5 ENGINE_RT
+        # 0.815 Mrays/s with gen-1 live on ALL secondaries -- worse
+        # than the r4 argsort monolith's 0.95): GGX-scattered bounce
+        # waves defeat every packet method (walk_sim3 ggx: interval
+        # frusta 26x loose, 63% of packets step-cap, the coherence
+        # sort caps 100%), so bounce closest-hit AND the shadows shot
+        # from bounce hit points ride the per-ray XLA walk with parked
+        # dead lanes (no compaction, no packet-union tax).  Only the
+        # PRIMARY wave's inline shadows keep gen-1 live: their origins
+        # are tile-coherent primary hits -- the shape the bench's
+        # validated composition measures at 7.2 Mrays/s.
+        ggx_default = "xla" if on_tpu else None
         primary_route = self._staged_route(
             "primary", "stream3" if s3_ok else sec_default)
-        bounce_route = self._staged_route("bounce", sec_default)
-        shadow_route = self._staged_route("shadow", sec_default)
+        bounce_route = self._staged_route("bounce", ggx_default)
+        shadow_prim = self._staged_route("shadow", sec_default)
+        shadow_bounce = self._staged_route("shadow", ggx_default)
 
         j_init = self._staged_init_jit()
         j_prim = self._staged_step_jit(debug, hit_offset, miss_index,
                                        "primary", primary_route,
-                                       shadow_route)
+                                       shadow_prim)
         j_bounce = self._staged_step_jit(debug, hit_offset, miss_index,
                                          "bounce", bounce_route,
-                                         shadow_route)
+                                         shadow_bounce)
         j_fin = self._staged_finish_jit(int(batch), int(debug))
 
         ts0 = jnp.uint32(total_samples)

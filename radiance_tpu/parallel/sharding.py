@@ -171,17 +171,26 @@ def staged_shard_frame(tracer: WavefrontPathTracer, mesh: Mesh, *,
     miss_index = tracer.miss_index + miss_group_offset
     effective_depth = 1 if debug else depth
     if routes == "auto":
-        from radiance_tpu.ops import packet_trace, stream3
         on_tpu = jax.default_backend() == "tpu"
         # scene capability is resolved per call in _render_staged; at
         # frame-build time we only know the backend, so "auto" uses
-        # the TPU defaults and falls back to env-driven (None) off-TPU
+        # the TPU defaults and falls back to env-driven (None) off-TPU.
+        # Wave-shape-matched like _render_staged: GGX bounce waves (and
+        # their inline shadows) per-ray XLA, primary stream3 with
+        # gen-1 live shadows (tile-coherent origins).
         sec = "gen1_live" if on_tpu else None
+        ggx = "xla" if on_tpu else None
         routes = (tracer._staged_route("primary",
                                        "stream3" if on_tpu else None),
-                  tracer._staged_route("bounce", sec),
-                  tracer._staged_route("shadow", sec))
-    primary_route, bounce_route, shadow_route = routes
+                  tracer._staged_route("bounce", ggx),
+                  tracer._staged_route("shadow", sec),
+                  tracer._staged_route("shadow", ggx))
+    if len(routes) == 3:
+        primary_route, bounce_route, shadow_route = routes
+        shadow_bounce = shadow_route
+    else:
+        primary_route, bounce_route, shadow_route, shadow_bounce = \
+            routes
 
     def shmap(f, n_state_in, out_spec):
         specs = {
@@ -205,7 +214,7 @@ def staged_shard_frame(tracer: WavefrontPathTracer, mesh: Mesh, *,
         functools.partial(pt._sample_step, tracer, debug=debug,
                           hit_offset=hit_offset, miss_index=miss_index,
                           wave="bounce", route=bounce_route,
-                          shadow_route=shadow_route),
+                          shadow_route=shadow_bounce),
         "step", P(axis))
     j_fin = shmap(functools.partial(pt._finish_frame, tracer,
                                     int(batch), int(debug)),
