@@ -1138,17 +1138,29 @@ def run_sweep_bench():
     print(f"# sweep engine: {name}", file=sys.stderr)
 
     res_rows = []
-    for w, h in ((512, 512), (1024, 1024), (1920, 1080), (2048, 2048)):
+    # chunks: waves above ~2.1M rays trace as row-bands of the 1080p
+    # wave scale -- the 2048^2 single-wave shape OOMed device VMEM
+    # (161M of 128M, chain_r5 SWEEP 2026-08-21); band-chunking keeps
+    # every compiled shape at the validated wave size
+    for w, h, nch in ((512, 512, 1), (1024, 1024, 1),
+                      (1920, 1080, 1), (2048, 2048, 2)):
         o, d = camera_rays(w=w, h=h)
         o = jnp.asarray(o)
         d = jnp.asarray(d)
-        t = trace(o, d, 1e4, False)           # compile + warm
-        float(jnp.sum(t[::65536]))
+        nb = w * (h // nch)
+
+        def wave():
+            outs = [trace(o[i * nb:(i + 1) * nb],
+                          d[i * nb:(i + 1) * nb], 1e4, False)
+                    for i in range(nch)]
+            for t in outs:
+                float(jnp.sum(t[::65536]))
+
+        wave()                                # compile + warm
         iters = 3
         t0 = time.time()
         for _ in range(iters):
-            t = trace(o, d, 1e4, False)
-            float(jnp.sum(t[::65536]))
+            wave()
         dt = (time.time() - t0) / iters
         row = {"w": w, "h": h,
                "mrays": round(w * h / dt / 1e6, 3),

@@ -76,5 +76,10 @@ run SHARD1S 2400 RADIANCE_NOOP=0 -- python bench.py --shard1;  gate
 # prerequisites that make this viable; OSORT keeps scattered rays
 # octant-coherent ahead of the packetizer
 run S3W_OS2 2400 RADIANCE_BENCH_S3WAVES=bs RADIANCE_S3_OSORT=1 -- python bench.py;  gate
+# retries: SWEEP's 2048^2 single-wave shape OOMed VMEM (now band-
+# chunked); INTER's stream3 compile lost to a transient HTTP 500
+# (packet fallback recorded 8.788 -- retry for the stream3 number)
+run SWEEP2 2700 RADIANCE_NOOP=0 -- python bench.py --sweep;  gate
+run INTER2 2400 RADIANCE_BENCH_SCENE=interior -- python bench.py;  gate
 python tools/pick_bench_env.py "$LOG" .bench_cache/chain_r4.log benchmarks/artifacts/chain_r4.log >> "$LOG" 2>&1
 echo "=== chain_r5b done $(date)" >> "$LOG"
