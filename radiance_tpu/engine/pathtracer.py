@@ -704,18 +704,21 @@ class WavefrontPathTracer:
         pk_ok = on_tpu and packet_trace.supports(scene)
         s3_ok = on_tpu and stream3.supports(scene)
         sec_default = "gen1_live" if pk_ok else None
-        # Wave-shape-matched defaults (chip-measured r5 ENGINE_RT
-        # 0.815 Mrays/s with gen-1 live on ALL secondaries -- worse
-        # than the r4 argsort monolith's 0.95): GGX-scattered bounce
-        # waves defeat every packet method (walk_sim3 ggx: interval
-        # frusta 26x loose, 63% of packets step-cap, the coherence
-        # sort caps 100%), so bounce closest-hit AND the shadows shot
-        # from bounce hit points ride the per-ray XLA walk with parked
-        # dead lanes (no compaction, no packet-union tax).  Only the
-        # PRIMARY wave's inline shadows keep gen-1 live: their origins
-        # are tile-coherent primary hits -- the shape the bench's
-        # validated composition measures at 7.2 Mrays/s.
-        ggx_default = "xla" if on_tpu else None
+        # Wave-shape-matched defaults, chip-measured r5:
+        #   ENGINE_RT (gen-1 live on all secondaries)  0.815 Mrays/s
+        #   r4 ENGINE (argsort+packet on ALL waves)    0.95
+        #   SHARD1S staged (per-ray xla GGX bounces)   ~25 s/GGX wave
+        # GGX-scattered bounce waves defeat the RAW packet union
+        # (walk_sim3 ggx: frusta 26x loose, 63% step-capped), and the
+        # per-ray XLA walk is worse still at 1M-tri scale (gather-
+        # bound, no MXU).  The r4-validated scattered route is the
+        # coherence argsort + packet kernel: the ~212 ms sort RESTORES
+        # direction-octant purity and earns itself back on scattered
+        # waves (it only loses on already-coherent ones).  So bounce
+        # closest-hit and bounce-wave shadows default to "argsort",
+        # while the primary wave keeps stream3 + gen-1 live shadows
+        # (tile-coherent origins -- the 7.2 Mrays/s bench shape).
+        ggx_default = "argsort" if on_tpu else None
         primary_route = self._staged_route(
             "primary", "stream3" if s3_ok else sec_default)
         bounce_route = self._staged_route("bounce", ggx_default)

@@ -176,10 +176,11 @@ def staged_shard_frame(tracer: WavefrontPathTracer, mesh: Mesh, *,
         # frame-build time we only know the backend, so "auto" uses
         # the TPU defaults and falls back to env-driven (None) off-TPU.
         # Wave-shape-matched like _render_staged: GGX bounce waves (and
-        # their inline shadows) per-ray XLA, primary stream3 with
-        # gen-1 live shadows (tile-coherent origins).
+        # their inline shadows) argsort+packet (the r4-validated
+        # scattered route), primary stream3 with gen-1 live shadows
+        # (tile-coherent origins).
         sec = "gen1_live" if on_tpu else None
-        ggx = "xla" if on_tpu else None
+        ggx = "argsort" if on_tpu else None
         routes = (tracer._staged_route("primary",
                                        "stream3" if on_tpu else None),
                   tracer._staged_route("bounce", ggx),

@@ -56,6 +56,13 @@ gate() {
 
 echo "=== chain_r5c start $(date)" >> "$LOG"
 gate
+# engine retry with the r5 final staged defaults (stream3 primary,
+# argsort GGX bounces) -- the first ENGINE_STG attempt died to a
+# device error mid-wedge
+run ENGINE_STG 2400 RADIANCE_NOOP=0 -- python bench.py --engine;  gate
 run ANIMP 2400 RADIANCE_NOOP=0 -- python benchmarks/lbvh_probe.py;  gate
+# staged-shard reprice under the argsort GGX defaults (the xla-route
+# attempt measured 18.7x)
+run SHARD1S2 2400 RADIANCE_NOOP=0 -- python bench.py --shard1;  gate
 python tools/pick_bench_env.py "$LOG" .bench_cache/chain_r4.log benchmarks/artifacts/chain_r4.log >> "$LOG" 2>&1
 echo "=== chain_r5c done $(date)" >> "$LOG"
