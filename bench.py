@@ -1142,8 +1142,11 @@ def run_sweep_bench():
     # wave scale -- the 2048^2 single-wave shape OOMed device VMEM
     # (161M of 128M, chain_r5 SWEEP 2026-08-21); band-chunking keeps
     # every compiled shape at the validated wave size
+    # 2048x1024 half-bands (2048 pkts) still overflow vmem by 196K
+    # (the 1920x1080 wave's 2025 pkts sit just under the 128M cliff,
+    # chain_r5 SWEEP2) -- quarter-bands it is
     for w, h, nch in ((512, 512, 1), (1024, 1024, 1),
-                      (1920, 1080, 1), (2048, 2048, 2)):
+                      (1920, 1080, 1), (2048, 2048, 4)):
         o, d = camera_rays(w=w, h=h)
         o = jnp.asarray(o)
         d = jnp.asarray(d)

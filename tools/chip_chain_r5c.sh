@@ -64,5 +64,6 @@ run ANIMP 2400 RADIANCE_NOOP=0 -- python benchmarks/lbvh_probe.py;  gate
 # staged-shard reprice under the argsort GGX defaults (the xla-route
 # attempt measured 18.7x)
 run SHARD1S2 2400 RADIANCE_NOOP=0 -- python bench.py --shard1;  gate
+run SWEEP3 2700 RADIANCE_NOOP=0 -- python bench.py --sweep;  gate
 python tools/pick_bench_env.py "$LOG" .bench_cache/chain_r4.log benchmarks/artifacts/chain_r4.log >> "$LOG" 2>&1
 echo "=== chain_r5c done $(date)" >> "$LOG"
