@@ -154,8 +154,7 @@ def main_tpu():
         s, o, d, 1e-3, 1e4).t)
     o = jnp.asarray(ro)
     d = jnp.asarray(rd)
-    for tag, scn in (("tpu_built", scn_tpu), ("cpu_built", scn_cpu)):
-        t = np.asarray(jax.block_until_ready(jt(scn, o, d)))
+    def report(tag, t):
         hit_ref = t_ref < 1e30
         hit_got = t < 1e30
         agree = float((hit_ref == hit_got).mean())
@@ -165,6 +164,22 @@ def main_tpu():
         print(f"trace_{tag}: agree {agree:.4f} hits_ref "
               f"{int(hit_ref.sum())} hits_got {int(hit_got.sum())} "
               f"rmse {rmse:.5f}", flush=True)
+
+    for tag, scn in (("tpu_built", scn_tpu), ("cpu_built", scn_cpu)):
+        report(tag, np.asarray(jax.block_until_ready(jt(scn, o, d))))
+
+    # the failing bench composition: build + trace FUSED in one jitted
+    # program (XLA may fold/fuse across the bitcast-packed node rows)
+    from radiance_tpu.bvh import lbvh
+    vs, ts_, _, _ = inputs()
+
+    @jax.jit
+    def fused(v, o, d):
+        scn = lbvh.lbvh_scene(v, jnp.asarray(ts_))
+        return traversal.trace_rays(scn, o, d, 1e-3, 1e4).t
+
+    report("fused_build_trace", np.asarray(jax.block_until_ready(
+        fused(jnp.asarray(vs), o, d))))
     return 0
 
 
