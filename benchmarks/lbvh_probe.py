@@ -136,9 +136,20 @@ def main_tpu():
             bv = b.view(np.uint32) if b.dtype == np.float32 else b
             n = int((av != bv).sum())
         else:
+            av, bv = a, b
             n = int((a != b).sum())
         if n:
             bad.append((k, n))
+            # localize: per-lane counts for 2D arrays + hex samples
+            if a.ndim == 2:
+                lanes = (av != bv).sum(axis=0)
+                print(f"#   {k} per-lane diffs: {list(lanes)}",
+                      flush=True)
+            idx = np.argwhere(av != bv)[:6]
+            for ix in idx:
+                print(f"#   {k}{tuple(ix)}: cpu "
+                      f"{int(av[tuple(ix)]):#010x} tpu "
+                      f"{int(bv[tuple(ix)]):#010x}", flush=True)
     print(f"build_match: {not bad} {bad[:8]}", flush=True)
 
     # trace both scenes on device
@@ -165,21 +176,29 @@ def main_tpu():
               f"{int(hit_ref.sum())} hits_got {int(hit_got.sum())} "
               f"rmse {rmse:.5f}", flush=True)
 
-    for tag, scn in (("tpu_built", scn_tpu), ("cpu_built", scn_cpu)):
+    # NEVER device-trace a corrupt BVH: broken escape pointers walk
+    # forever and fault the worker (observed chain_r5 ANIMP)
+    targets = [("cpu_built", scn_cpu)]
+    if not bad:
+        targets.insert(0, ("tpu_built", scn_tpu))
+    else:
+        print("# skipping tpu_built trace (corrupt build)", flush=True)
+    for tag, scn in targets:
         report(tag, np.asarray(jax.block_until_ready(jt(scn, o, d))))
 
     # the failing bench composition: build + trace FUSED in one jitted
     # program (XLA may fold/fuse across the bitcast-packed node rows)
-    from radiance_tpu.bvh import lbvh
-    vs, ts_, _, _ = inputs()
+    if not bad:
+        from radiance_tpu.bvh import lbvh
+        vs, ts_, _, _ = inputs()
 
-    @jax.jit
-    def fused(v, o, d):
-        scn = lbvh.lbvh_scene(v, jnp.asarray(ts_))
-        return traversal.trace_rays(scn, o, d, 1e-3, 1e4).t
+        @jax.jit
+        def fused(v, o, d):
+            scn = lbvh.lbvh_scene(v, jnp.asarray(ts_))
+            return traversal.trace_rays(scn, o, d, 1e-3, 1e4).t
 
-    report("fused_build_trace", np.asarray(jax.block_until_ready(
-        fused(jnp.asarray(vs), o, d))))
+        report("fused_build_trace", np.asarray(jax.block_until_ready(
+            fused(jnp.asarray(vs), o, d))))
     return 0
 
 
