@@ -167,12 +167,23 @@ def build_lbvh(tri_v0: jnp.ndarray, tri_v1: jnp.ndarray, tri_v2: jnp.ndarray,
     v2g = jnp.where(valid[..., None], tri_v2[src], 0.0)
     pidg = jnp.where(valid, prim_id[src], -1).astype(jnp.int32)
 
-    bundle = jnp.zeros((g, LEAF_W, 12), jnp.float32)
-    bundle = bundle.at[:, :, 0:3].set(v0g)
-    bundle = bundle.at[:, :, 3:6].set(v1g - v0g)
-    bundle = bundle.at[:, :, 6:9].set(v2g - v0g)
-    bundle = bundle.at[:, :, 9].set(
-        jax.lax.bitcast_convert_type(pidg, jnp.float32))
+    # bundles are packed in INT32 space: TPU float ops flush denormal
+    # bit patterns to zero and canonicalize NaN payloads, so an int
+    # (prim id, meta word, escape index) bitcast into an f32 array and
+    # then touched by ANY f32 update/select is silently corrupted on
+    # device (chain_r5 ANIMP2: meta 0x00000faf -> 0x0, esc 0xffffffff
+    # -> 0x7fc00000).  Building the packed rows as int32 and
+    # bitcasting ONCE at the end is bit-safe: gathers/slices of the
+    # f32 result are pure data movement (proven on chip -- host-packed
+    # arrays traverse correctly).
+    bundle_i = jnp.zeros((g, LEAF_W, 12), jnp.int32)
+    bundle_i = bundle_i.at[:, :, 0:3].set(
+        jax.lax.bitcast_convert_type(v0g, jnp.int32))
+    bundle_i = bundle_i.at[:, :, 3:6].set(
+        jax.lax.bitcast_convert_type(v1g - v0g, jnp.int32))
+    bundle_i = bundle_i.at[:, :, 6:9].set(
+        jax.lax.bitcast_convert_type(v2g - v0g, jnp.int32))
+    bundle_i = bundle_i.at[:, :, 9].set(pidg)
 
     leaf_lo = jnp.min(jnp.where(valid[..., None], lo[src], jnp.inf), axis=1)
     leaf_hi = jnp.max(jnp.where(valid[..., None], hi[src], -jnp.inf), axis=1)
@@ -228,13 +239,17 @@ def build_lbvh(tri_v0: jnp.ndarray, tri_v1: jnp.ndarray, tri_v2: jnp.ndarray,
         | (count_f.astype(jnp.uint32) << META_COUNT_SHIFT) \
         | (kind.astype(jnp.uint32) << META_KIND_SHIFT)
 
-    packed = jnp.zeros((n_nodes, 8), jnp.float32)
-    packed = packed.at[:, 0:3].set(node_lo)
-    packed = packed.at[:, 3:6].set(node_hi)
-    packed = packed.at[:, 6].set(jax.lax.bitcast_convert_type(meta, jnp.float32))
-    packed = packed.at[:, 7].set(jax.lax.bitcast_convert_type(
-        esc.astype(jnp.int32), jnp.float32))
-    return dict(node_packed=packed, bundle_packed=bundle,
+    # int32-space packing (see bundle comment above): one bitcast at
+    # the END, never an f32 op over rows holding int bit patterns
+    packed_i = jnp.zeros((n_nodes, 8), jnp.int32)
+    packed_i = packed_i.at[:, 0:3].set(
+        jax.lax.bitcast_convert_type(node_lo, jnp.int32))
+    packed_i = packed_i.at[:, 3:6].set(
+        jax.lax.bitcast_convert_type(node_hi, jnp.int32))
+    packed_i = packed_i.at[:, 6].set(
+        jax.lax.bitcast_convert_type(meta, jnp.int32))
+    packed_i = packed_i.at[:, 7].set(esc.astype(jnp.int32))
+    return dict(node_packed_i=packed_i, bundle_packed_i=bundle_i,
                 n_internal=n_internal, counts=counts)
 
 
@@ -252,32 +267,38 @@ def lbvh_scene(vertices: jnp.ndarray, triangles: jnp.ndarray) -> DeviceScene:
     prim = jnp.arange(tri.shape[0], dtype=jnp.int32)
     blas = build_lbvh(v0, v1, v2, prim)
 
-    bp = blas["node_packed"]
-    nb = bp.shape[0]
-    root_lo = bp[0, 0:3]
-    root_hi = bp[0, 3:6]
+    bp_i = blas["node_packed_i"]
+    nb = bp_i.shape[0]
 
     # TLAS: single instance-leaf root at node 0; BLAS nodes at offset 1.
-    # rebase BLAS child indices (+1) without disturbing leaf bundle refs:
-    meta = jax.lax.bitcast_convert_type(bp[:, 6], jnp.uint32)
+    # Rebase BLAS child indices (+1) without disturbing leaf bundle
+    # refs -- ALL in int32 space (TPU f32 ops corrupt int bit
+    # patterns: denormal flush + NaN canonicalization; see build_lbvh)
+    meta = jax.lax.bitcast_convert_type(bp_i[:, 6], jnp.uint32)
     a = (meta & META_A_MASK).astype(jnp.int32)
     kind = (meta >> META_KIND_SHIFT).astype(jnp.int32)
     a = jnp.where(kind == KIND_INNER, a + 1, a)
     meta = (a.astype(jnp.uint32) & META_A_MASK) \
         | (meta & ~jnp.uint32(META_A_MASK))
-    esc = jax.lax.bitcast_convert_type(bp[:, 7], jnp.int32)
+    esc = bp_i[:, 7]
     esc = jnp.where(esc >= 0, esc + 1, esc)
-    bp = bp.at[:, 6].set(jax.lax.bitcast_convert_type(meta, jnp.float32))
-    bp = bp.at[:, 7].set(jax.lax.bitcast_convert_type(esc, jnp.float32))
+    bp_i = bp_i.at[:, 6].set(
+        jax.lax.bitcast_convert_type(meta, jnp.int32))
+    bp_i = bp_i.at[:, 7].set(esc)
 
     tlas_meta = (jnp.uint32(0)
                  | (jnp.uint32(1) << META_COUNT_SHIFT)
                  | (jnp.uint32(KIND_INST_LEAF) << META_KIND_SHIFT))
-    tlas_row = jnp.concatenate([
-        root_lo, root_hi,
-        jax.lax.bitcast_convert_type(tlas_meta, jnp.float32)[None],
-        jax.lax.bitcast_convert_type(jnp.int32(-1), jnp.float32)[None]])
-    node_packed = jnp.concatenate([tlas_row[None], bp], axis=0)
+    tlas_row_i = jnp.concatenate([
+        bp_i[0, 0:3], bp_i[0, 3:6],
+        jax.lax.bitcast_convert_type(tlas_meta, jnp.int32)[None],
+        jnp.full((1,), -1, jnp.int32)])
+    node_packed_i = jnp.concatenate([tlas_row_i[None], bp_i], axis=0)
+    # the ONE int->f32 bitcast; downstream only gathers/slices this
+    node_packed = jax.lax.bitcast_convert_type(node_packed_i,
+                                               jnp.float32)
+    bundle_packed = jax.lax.bitcast_convert_type(
+        blas["bundle_packed_i"], jnp.float32)
 
     eye = jnp.eye(4, dtype=jnp.float32)[None]
     n_nodes = nb + 1
@@ -289,13 +310,12 @@ def lbvh_scene(vertices: jnp.ndarray, triangles: jnp.ndarray) -> DeviceScene:
         node_b=jnp.zeros(n_nodes, jnp.int32),   # the packed traversal path
         node_kind=jnp.zeros(n_nodes, jnp.int32),
         node_esc=jnp.zeros(n_nodes, jnp.int32),
-        bundle_v0=blas["bundle_packed"][:, :, 0:3],
-        bundle_e1=blas["bundle_packed"][:, :, 3:6],
-        bundle_e2=blas["bundle_packed"][:, :, 6:9],
-        bundle_prim=jax.lax.bitcast_convert_type(
-            blas["bundle_packed"][:, :, 9], jnp.int32),
+        bundle_v0=bundle_packed[:, :, 0:3],
+        bundle_e1=bundle_packed[:, :, 3:6],
+        bundle_e2=bundle_packed[:, :, 6:9],
+        bundle_prim=blas["bundle_packed_i"][:, :, 9],
         node_packed=node_packed,
-        bundle_packed=blas["bundle_packed"],
+        bundle_packed=bundle_packed,
         inst_transform=eye,
         inst_inv=eye,
         inst_id=jnp.zeros(1, jnp.int32),
