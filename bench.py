@@ -1265,22 +1265,49 @@ def run_animated_bench():
         return np.einsum("ij,njk->nik", rot, base_tf)
 
     # scene rides as a jit ARG: refit swaps TLAS arrays frame to frame
-    # with fixed shapes, so the 2-level XLA walk never recompiles
-    # (packet/stream kernels bake single-instance VMEM tables instead)
-    j_trace = jax.jit(lambda scn, o, d: traversal.trace_rays(
-        scn, o, d, 1e-3, 1e4).t)
+    # with fixed shapes, so nothing recompiles.  The wave routes
+    # through the TLAS-native stream path when kernel tables exist
+    # (6.2 Mrays/s class on the 64-instance scene vs the gather-bound
+    # per-ray XLA walk's 0.009 -- r5 ANIM measured both); per frame
+    # only the world instance AABBs refit (MultiTables.refit_aabbs).
+    from radiance_tpu.ops import stream3_multi
     scene = tlas.refit(frame_tf(0))
-    jax.block_until_ready(j_trace(scene, o, d))   # compile
+    use_native = (jax.default_backend() == "tpu"
+                  and stream3_multi.supports(scene))
+    if use_native:
+        # the TLAS-native slot route is chip-validated (MULTI_N 6.203
+        # Mrays/s, zero overflow); an explicit RADIANCE_MULTI=scan
+        # still wins
+        os.environ.setdefault("RADIANCE_MULTI", "native")
+        mt = stream3_multi.MultiTables(scene)
+        rows = (tuple(o[:, k] for k in range(3))
+                + tuple(d[:, k] for k in range(3)))
+        j_multi = jax.jit(
+            lambda scn, mtt, r: stream3_multi.trace_rows_multi(
+                scn, mtt, r, 1e-3, 1e4).t)
+
+        def frame(scn):
+            mt.refit_aabbs(scn)
+            return j_multi(scn, mt.as_tuple(), rows)
+    else:
+        j_trace = jax.jit(lambda scn, o_, d_: traversal.trace_rays(
+            scn, o_, d_, 1e-3, 1e4).t)
+
+        def frame(scn):
+            return j_trace(scn, o, d)
+
+    jax.block_until_ready(frame(scene))           # compile
     frames = 6
     t0 = time.time()
     for k in range(1, frames + 1):
         scene = tlas.refit(frame_tf(k))
-        t = j_trace(scene, o, d)
+        t = frame(scene)
         float(jnp.sum(t[::65536]))
     dt = (time.time() - t0) / frames
     out["rigid_refit"] = {
         "frames_per_sec": round(1.0 / dt, 2),
         "mrays": round(w * h / dt / 1e6, 3),
+        "route": "tlas_native" if use_native else "xla_walk",
         "instances": len(tlas.source_instances)}
     print(f"# rigid refit: {out['rigid_refit']}", file=sys.stderr)
 

@@ -166,6 +166,28 @@ class MultiTables:
             aabbs[i, 3:6] = wc.max(0)
         self.aabb_w = jnp.asarray(aabbs)
 
+    def refit_aabbs(self, scene):
+        """Rigid-motion refit: recompute ONLY the world instance AABBs
+        from the scene's (updated) transforms.  Every other table is
+        transform-independent (object-space BLAS tables + instance
+        index maps), so animated-transform frames pay a 64x8-corner
+        host transform instead of a full table rebuild -- the analog
+        of api.accel.TopAccelStruct.refit one level down."""
+        aabbs = np.zeros((self.ninst, 6), np.float32)
+        tf = np.asarray(scene.inst_transform)
+        for i, bi in enumerate(scene.inst_kblas):
+            root = np.asarray(scene.kblas[bi][0])[0]
+            lo, hi = root[0:3], root[3:6]
+            cs = np.stack(np.meshgrid(*[(lo[k], hi[k])
+                                        for k in range(3)]),
+                          -1).reshape(-1, 3)
+            m = tf[i]
+            wc = cs @ m[:3, :3].T + m[:3, 3]
+            aabbs[i, 0:3] = wc.min(0)
+            aabbs[i, 3:6] = wc.max(0)
+        self.aabb_w = jnp.asarray(aabbs)
+        return self
+
     def as_tuple(self):
         """Pytree form for DeviceScene.multi (traced-frame support)."""
         return tuple(getattr(self, f) for f in self._FIELDS)

@@ -556,3 +556,39 @@ def test_tlas_native_treelet_window_clamp():
         assert ((t_got < FLT_MAX) == hr).all(), kw
         np.testing.assert_allclose(t_got[hr], t_ref[hr], rtol=2e-3,
                                    atol=1e-4)
+
+
+def test_refit_aabbs_matches_fresh_build():
+    """MultiTables.refit_aabbs must produce the same world AABBs a
+    fresh MultiTables build computes from the updated transforms
+    (rigid-animation support, bench --animated)."""
+    rng = np.random.default_rng(9)
+    instances = []
+    blas = None
+    for i in range(4):
+        if blas is None:
+            centers = rng.uniform(-2, 2, size=(60, 3)).astype(np.float32)
+            offs = rng.normal(scale=0.3, size=(60, 3, 3)).astype(np.float32)
+            verts = (centers[:, None, :] + offs).reshape(-1, 3)
+            tris = np.arange(len(verts), dtype=np.uint32).reshape(-1, 3)
+            blas = accel.BuildBottomAccelStruct(types.Mesh(verts, tris))
+        tf = np.eye(4, dtype=np.float32)
+        tf[:3, 3] = rng.uniform(-8, 8, 3)
+        instances.append(types.Instance(tf, 0, i, blas))
+    tlas = accel.BuildTopAccelStruct(instances)
+    ds = tlas.device_scene()
+    mt = stream3_multi.MultiTables(ds)
+
+    # rotate every instance, refit the TLAS + the multi AABBs
+    ang = 0.3
+    rot = np.eye(4, dtype=np.float32)
+    rot[0, 0] = rot[1, 1] = np.cos(ang)
+    rot[0, 1] = -np.sin(ang)
+    rot[1, 0] = np.sin(ang)
+    new_tf = np.stack([rot @ np.asarray(i.transform)
+                       for i in tlas.source_instances])
+    ds2 = tlas.refit(new_tf)
+    mt.refit_aabbs(ds2)
+    mt_fresh = stream3_multi.MultiTables(ds2)
+    np.testing.assert_array_equal(np.asarray(mt.aabb_w),
+                                  np.asarray(mt_fresh.aabb_w))
