@@ -39,8 +39,15 @@ def BuildBottomAccelStruct(mesh: types.Mesh, verbose: bool = False) -> types.Bot
 
 @dataclasses.dataclass
 class TopAccelStruct:
-    """Built TLAS: serialized blob + host arrays + lazy device scene."""
-    blob: bytes
+    """Built TLAS: serialized blob + host arrays + lazy device scene.
+
+    `blob` is a lazy property: refit() only invalidates it, because
+    reserializing the full AS byte blob per animation frame was ~97%
+    of the rigid-refit frame cost (chain_r5 ANIM3: 3.3 s/frame of
+    which the 262k-ray TLAS-native trace is ~0.1 s).  Reading .blob
+    after a refit still reflects the refit state (checkpoint of
+    animated scenes, tests/test_refit.py)."""
+    _blob: Optional[bytes]
     nodes: np.ndarray               # DEVICE_BVH_NODE_DTYPE
     instances: np.ndarray           # DEVICE_INSTANCE_DTYPE (leaf order)
     blas_offsets: list              # [(offset, BottomAccelStruct)]
@@ -48,6 +55,13 @@ class TopAccelStruct:
     tlas_capacity: int = 0
     _device: Optional[device.DeviceScene] = None
     _device_blas_order: Optional[list] = None  # BLAS objs in device layout order
+
+    @property
+    def blob(self) -> bytes:
+        if self._blob is None:
+            self._blob = serialize.serialize_tlas(
+                self.nodes, self.instances, self.blas_offsets)
+        return self._blob
 
     def device_scene(self) -> device.DeviceScene:
         if self._device is None:
@@ -96,7 +110,7 @@ class TopAccelStruct:
                                for off, b in new_offsets}
         self.nodes = nodes
         self.instances = dev_inst
-        self.blob = serialize.serialize_tlas(nodes, dev_inst, new_offsets)
+        self._blob = None    # lazy: reserialized only if .blob is read
         self.blas_offsets = new_offsets
         self._device = device.update_tlas(
             scene, nodes, dev_inst, blas_root_by_offset, self.tlas_capacity)
@@ -126,7 +140,7 @@ def BuildTopAccelStruct(instances: Sequence[types.Instance],
     if verbose:
         print(f"TLAS build: {len(instances)} instances, {len(nodes)} nodes, "
               f"depth {max_depth}, {time.time() - t0:.3f}s")
-    return TopAccelStruct(blob=blob, nodes=nodes, instances=dev_inst,
+    return TopAccelStruct(_blob=blob, nodes=nodes, instances=dev_inst,
                           blas_offsets=blas_offsets,
                           source_instances=list(instances),
                           tlas_capacity=device.tlas_capacity_for(len(instances)))
@@ -155,7 +169,7 @@ def FileToTopAccelStruct(path: str) -> TopAccelStruct:
     parsed = serialize.tlas_from_file(path)
 
     cap = device.tlas_capacity_for(len(parsed.instances))
-    accel = TopAccelStruct(blob=parsed.blob, nodes=parsed.nodes,
+    accel = TopAccelStruct(_blob=parsed.blob, nodes=parsed.nodes,
                            instances=parsed.instances, blas_offsets=[],
                            tlas_capacity=cap)
     accel._device = device.build_device_scene(
