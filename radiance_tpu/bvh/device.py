@@ -26,6 +26,9 @@ import dataclasses
 from typing import Dict, Optional, Sequence
 
 import numpy as np
+import functools
+
+import jax
 import jax.numpy as jnp
 from flax import struct
 
@@ -265,6 +268,15 @@ def tlas_capacity_for(n_instances: int) -> int:
     return 4 * max(n_instances, 1) + 8
 
 
+@functools.partial(jax.jit, donate_argnums=(0, 1, 2),
+                   static_argnames=("capacity",))
+def _tlas_block_update(node_packed, node_min, node_max, packed,
+                       capacity):
+    return (node_packed.at[:capacity].set(packed),
+            node_min.at[:capacity].set(packed[:, 0:3]),
+            node_max.at[:capacity].set(packed[:, 3:6]))
+
+
 def update_tlas(scene: DeviceScene,
                 tlas_nodes: np.ndarray,
                 device_instances: np.ndarray,
@@ -280,10 +292,19 @@ def update_tlas(scene: DeviceScene,
     packed, _ = _prepare_tlas_block(tlas_nodes, leaf_width, capacity)
     tf, inv, blas_root = _instance_arrays(device_instances,
                                           blas_root_by_offset)
+    # one donated dispatch instead of three eager full-array copies:
+    # donation lets XLA update the TLAS block in place, so a refit
+    # frame pays capacity*32B of upload, not ~56 MB of device copies
+    # + 3 dispatch round trips (rigid-anim frame cost, chain_r5
+    # ANIM4).  The OLD scene's node arrays are invalidated -- refit
+    # semantically mutates the device scene in place (docstring).
+    np_new, nmin_new, nmax_new = _tlas_block_update(
+        scene.node_packed, scene.node_min, scene.node_max,
+        jnp.asarray(packed), capacity)
     return scene.replace(
-        node_packed=scene.node_packed.at[:capacity].set(jnp.asarray(packed)),
-        node_min=scene.node_min.at[:capacity].set(jnp.asarray(packed[:, 0:3])),
-        node_max=scene.node_max.at[:capacity].set(jnp.asarray(packed[:, 3:6])),
+        node_packed=np_new,
+        node_min=nmin_new,
+        node_max=nmax_new,
         inst_transform=jnp.asarray(tf),
         inst_inv=jnp.asarray(inv),
         inst_id=jnp.asarray(device_instances["instanceID"].astype(np.int32)),

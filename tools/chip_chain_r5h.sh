@@ -54,12 +54,11 @@ gate() {
   wait_healthy 45 || { echo "# DEVICE STILL WEDGED, aborting chain $(date)" >> "$LOG"; exit 9; }
 }
 
-echo "=== chain_r5g start $(date)" >> "$LOG"
+echo "=== chain_r5h start $(date)" >> "$LOG"
 gate
 # engine retry with the r5 final staged defaults (stream3 primary,
 # argsort GGX bounces) -- the first ENGINE_STG attempt died to a
 # device error mid-wedge
-run ANIM4 2400 RADIANCE_NOOP=0 -- python bench.py --animated;  gate
-run ENGINE_G1S 2400 RADIANCE_ENGINE_PRIMARY=stream3 RADIANCE_GEN1_SORT=1 -- python bench.py --engine;  gate
-python tools/pick_bench_env.py "$LOG" .bench_cache/chain_r4.log benchmarks/artifacts/chain_r4.log >> "$LOG" 2>&1
-echo "=== chain_r5g done $(date)" >> "$LOG"
+run ANIM5 2400 RADIANCE_NOOP=0 -- python bench.py --animated;  gate
+run SAMPLE1 1800 RADIANCE_NOOP=0 -- python samples/sample1.py --width 512 --height 512 --batch 2 --depth 2 --frames 2 --out .bench_cache/sample1_r5.png;  gate
+echo "=== chain_r5h done $(date)" >> "$LOG"
