@@ -10,6 +10,7 @@ compile cleanly side by side) and prints per-mode agreement for the
 single-instance compiled stream3, the packet sweep, and the
 TLAS-native path -- localizing stable-vs-legacy and single-vs-multi.
 """
+import functools
 import os
 import sys
 
@@ -71,8 +72,31 @@ def main():
         m_agree = float(((np.asarray(r_m.t) < FLT_MAX)
                          == (tx < FLT_MAX)).mean())
 
-        # TLAS-native
+        # TLAS-native (+ compiled-glue bisection variants when
+        # TLASNP_BISECT=1: ws-off emit, exact-refine-off)
         mt = stream3_multi.MultiTables(ds2)
+        if os.environ.get("TLASNP_BISECT", "0") == "1":
+            for tag, kw, env in (
+                    ("ws_off", dict(ws=False), None),
+                    ("refine_off", dict(), ("RADIANCE_EXACT_REFINE",
+                                            "0")),
+                    ("ws_off_refine_off", dict(ws=False),
+                     ("RADIANCE_EXACT_REFINE", "0"))):
+                if env:
+                    os.environ[env[0]] = env[1]
+                try:
+                    r_v = jax.jit(functools.partial(
+                        stream3_multi.trace_rows_tlas,
+                        ds2, mt, tmin=1e-3, tmax=1e3, **kw))(rows)
+                    tv = np.asarray(r_v.t)
+                    vok = np.asarray(r_v.slot) != -2
+                    va = float(((tv[vok] < FLT_MAX)
+                                == (tx[vok] < FLT_MAX)).mean())
+                    print(f"#   bisect {tag}: {va:.5f} "
+                          f"(nok {float(vok.mean()):.4f})", flush=True)
+                finally:
+                    if env:
+                        os.environ.pop(env[0], None)
         r_n = jax.jit(lambda r: stream3_multi.trace_rows_tlas(
             ds2, mt, r, 1e-3, 1e3))(rows)
         tn = np.asarray(r_n.t)
@@ -87,6 +111,30 @@ def main():
               f"packet_multi {m_agree:.5f} tlas_native {n_agree:.5f} "
               f"(native missing {miss_extra} extra {hit_extra}, "
               f"nok {float(nok.mean()):.4f})", flush=True)
+        # localize: which INSTANCE do the mismatched lanes hit, and
+        # how grazing are they (XLA winner's |cos| to the ray)?
+        mm = nok & ((tn < FLT_MAX) != (tx < FLT_MAX))
+        if mm.any():
+            sl_x = np.asarray(r_x.slot)
+            sl_n = np.asarray(r_n.slot)
+            sl = np.where(tx < FLT_MAX, sl_x, sl_n)[mm]
+            import collections
+            print(f"#   mismatch instances: "
+                  f"{dict(collections.Counter(sl.tolist()))}",
+                  flush=True)
+            px = np.asarray(r_x.prim)[mm]
+            ok_p = px >= 0
+            if ok_p.any():
+                e1 = v[tris[px[ok_p], 1]] - v[tris[px[ok_p], 0]]
+                e2 = v[tris[px[ok_p], 2]] - v[tris[px[ok_p], 0]]
+                nrm = np.cross(e1, e2)
+                nrm /= np.maximum(
+                    np.linalg.norm(nrm, axis=-1, keepdims=True), 1e-30)
+                dm = np.asarray(d)[mm][ok_p]
+                cosg = np.abs(np.sum(dm * nrm, axis=-1))
+                print(f"#   grazing |cos| of XLA-hit mismatches: "
+                      f"med {np.median(cosg):.2e} "
+                      f"max {cosg.max():.2e}", flush=True)
 
 
 if __name__ == "__main__":
