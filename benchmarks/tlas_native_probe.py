@@ -76,8 +76,19 @@ def main():
         # TLASNP_BISECT=1: ws-off emit, exact-refine-off)
         mt = stream3_multi.MultiTables(ds2)
         if os.environ.get("TLASNP_BISECT", "0") == "1":
+            # scan-route reference (default multi route, compiled)
+            r_sc = jax.jit(lambda r: stream3_multi.trace_rows_multi(
+                ds2, stream3_multi.MultiTables(ds2).as_tuple(), r,
+                1e-3, 1e3))(rows)
+            tsc = np.asarray(r_sc.t)
+            sok = np.asarray(r_sc.slot) != -2
+            sa = float(((tsc[sok] < FLT_MAX)
+                        == (tx[sok] < FLT_MAX)).mean())
+            print(f"#   bisect scan_route: {sa:.5f} "
+                  f"(nok {float(sok.mean()):.4f})", flush=True)
             for tag, kw, env in (
                     ("ws_off", dict(ws=False), None),
+                    ("scap8", dict(scap=8 * 16), None),
                     ("refine_off", dict(), ("RADIANCE_EXACT_REFINE",
                                             "0")),
                     ("ws_off_refine_off", dict(ws=False),
@@ -107,6 +118,13 @@ def main():
                           & (tx[nok] < FLT_MAX)).sum())
         hit_extra = int(((tn[nok] < FLT_MAX)
                          & (tx[nok] >= FLT_MAX)).sum())
+        both_h = nok & (tn < FLT_MAX) & (tx < FLT_MAX)
+        if both_h.any():
+            rel = np.abs(tn[both_h] - tx[both_h]) / np.maximum(
+                tx[both_h], 1e-6)
+            print(f"#   both-hit t_rel: p99 "
+                  f"{np.percentile(rel, 99):.2e} max {rel.max():.2e}",
+                  flush=True)
         print(f"stable={mode}: stream3_1inst {s_agree:.5f} "
               f"packet_multi {m_agree:.5f} tlas_native {n_agree:.5f} "
               f"(native missing {miss_extra} extra {hit_extra}, "
