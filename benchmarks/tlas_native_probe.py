@@ -76,10 +76,11 @@ def main():
         # TLASNP_BISECT=1: ws-off emit, exact-refine-off)
         mt = stream3_multi.MultiTables(ds2)
         if os.environ.get("TLASNP_BISECT", "0") == "1":
-            # scan-route reference (default multi route, compiled)
-            r_sc = jax.jit(lambda r: stream3_multi.trace_rows_multi(
-                ds2, stream3_multi.MultiTables(ds2).as_tuple(), r,
-                1e-3, 1e3))(rows)
+            # scan-route reference (default multi route, compiled;
+            # eager call -- the scan sweep builds host-side leaf
+            # tables, so it cannot take tables as traced args)
+            r_sc = stream3_multi.trace_rows_multi(
+                ds2, stream3_multi.MultiTables(ds2), rows, 1e-3, 1e3)
             tsc = np.asarray(r_sc.t)
             sok = np.asarray(r_sc.slot) != -2
             sa = float(((tsc[sok] < FLT_MAX)
