@@ -46,6 +46,20 @@ def main():
     m = np.eye(4, dtype=np.float32)
     m[0, 3] = 14.0
 
+    # brute-force oracle over BOTH instances (instance 1 = same mesh
+    # at x+14): settles which traversal is wrong when they disagree
+    from radiance_tpu.ops.intersect import intersect_triangle_soup
+    v0w = v[tris[:, 0]]
+    e1w = v[tris[:, 1]] - v0w
+    e2w = v[tris[:, 2]] - v0w
+    t_a, _, _, _ = intersect_triangle_soup(
+        o, d, jnp.asarray(v0w), jnp.asarray(e1w), jnp.asarray(e2w),
+        1e-3, 1e3)
+    t_b, _, _, _ = intersect_triangle_soup(
+        o, d, jnp.asarray(v0w + np.float32([14, 0, 0])),
+        jnp.asarray(e1w), jnp.asarray(e2w), 1e-3, 1e3)
+    t_true = np.minimum(np.asarray(t_a), np.asarray(t_b))
+
     for mode in ("0", "1"):
         os.environ["RADIANCE_STABLE_FRAMES"] = mode
         ds2 = accel.BuildTopAccelStruct([
@@ -54,6 +68,9 @@ def main():
         r_x = jax.jit(lambda o_, d_: traversal.trace_rays(
             ds2, o_, d_, 1e-3, 1e3))(o, d)
         tx = np.asarray(r_x.t)
+        xa = float(((tx < FLT_MAX) == (t_true < FLT_MAX)).mean())
+        print(f"#   XLA-walk vs brute-force oracle: {xa:.5f}",
+              flush=True)
 
         # single-instance compiled stream3 on instance 0 only
         ds1 = accel.BuildTopAccelStruct([
@@ -125,6 +142,16 @@ def main():
                 tx[both_h], 1e-6)
             print(f"#   both-hit t_rel: p99 "
                   f"{np.percentile(rel, 99):.2e} max {rel.max():.2e}",
+                  flush=True)
+        # who is right on native-vs-XLA disagreements?
+        dd = nok & ((tn < FLT_MAX) != (tx < FLT_MAX))
+        if dd.any():
+            n_right = int((((tn < FLT_MAX)
+                            == (t_true < FLT_MAX)) & dd).sum())
+            x_right = int((((tx < FLT_MAX)
+                            == (t_true < FLT_MAX)) & dd).sum())
+            print(f"#   of {int(dd.sum())} disagreements: native "
+                  f"matches oracle on {n_right}, XLA on {x_right}",
                   flush=True)
         print(f"stable={mode}: stream3_1inst {s_agree:.5f} "
               f"packet_multi {m_agree:.5f} tlas_native {n_agree:.5f} "
