@@ -240,7 +240,7 @@ def _block_overlap(rows_w, aabb_w, tmin, tmax, live=None):
 
 
 def trace_rows_multi(scene, mt, rows_w, tmin, tmax,
-                     precision: str = "default", bcap_blocks=None,
+                     precision: str = "f32", bcap_blocks=None,
                      interpret=None, live=None,
                      occl: bool = False, blk_bound=None) -> HitRecord:
     """Jit-traceable many-instance trace on component rows.
@@ -572,7 +572,7 @@ _FMAX_F = 3.4028235e38
 
 
 def trace_rows_tlas(scene, mt, rows_w, tmin, tmax,
-                    precision: str = "default", interpret=None,
+                    precision: str = "f32", interpret=None,
                     live=None, occl: bool = False, scap=None,
                     ws=None, treelet: bool = False,
                     blk_bound=None) -> HitRecord:
