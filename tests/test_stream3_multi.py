@@ -592,3 +592,20 @@ def test_refit_aabbs_matches_fresh_build():
     mt_fresh = stream3_multi.MultiTables(ds2)
     np.testing.assert_array_equal(np.asarray(mt.aabb_w),
                                   np.asarray(mt_fresh.aabb_w))
+
+
+def test_public_tracer_precision_defaults_are_safe():
+    """Every public trace wrapper must default to an exact pair-matmul
+    precision.  'default' means ONE bf16 MXU pass -- the r3 incident
+    class that resurfaced in r5 when the multi wrappers defaulted to
+    it: 0.5-8% t errors on ~23% of lanes, invisible to CPU interpret
+    (which never emulates the bf16 MXU).  bench/verify pass precision
+    explicitly; these defaults are what API users get."""
+    import inspect
+    for fn in (stream3_multi.trace_rows_multi,
+               stream3_multi.trace_rows_tlas,
+               stream3.trace_rows_stream3,
+               stream3.trace_rows_cascade,
+               stream3.build_tracer):
+        d = inspect.signature(fn).parameters["precision"].default
+        assert d != "default" and d != "bf16", (fn.__name__, d)
